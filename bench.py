@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query executes fully via the noop sink (no driver collect of
+wide results -- measures the distributed plan, not row serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_crash_mapper_etl_script_spark import harness
+from nyc_crash_mapper_etl_script_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "p1_projection_computed",
+    "j1_dedup_anti_join",
+    "j5_enrichment_join",
+    "j7_circle_containment_agg",
+    "j11_update_from_join",
+    "w1_per_group_top5_pivot",
+    "o3_global_topk",
+    "c1_cdc_classify",
+    "c2_tally_reconcile",
+    "c3_geom_reconcile",
+    "dedup_exact",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    qs = harness.queries()
+    names = [n for n in HEADLINE if n in qs] or list(qs)
+
+    # warm the JVM + parquet footer caches once (not timed)
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time, noop sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

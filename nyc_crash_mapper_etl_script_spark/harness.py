@@ -1,0 +1,947 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Every SURVEY.md §2 operator is exposed as a named query over the
+driver's tables (TESTDATA.md) together with a DuckDB-executable ANSI
+SQL twin.  Parity rules that keep the order-insensitive value-hash
+stable across engines:
+
+ - every computed column is aliased identically on both sides;
+ - integer outputs are BIGINT on both sides, float outputs DOUBLE;
+ - aggregate doubles are rounded (inputs have 2 decimals, so sums are
+   exact in cent-space and round(2) is safe; row-wise doubles use the
+   *same expression order* on both sides so IEEE results match);
+ - deterministic tie-breaks on every LIMIT.
+
+Crash-domain fidelity (quirks in SURVEY.md §7.4) is covered by the
+pytest suite over generated fixtures; this registry maps the same
+operators onto the harness tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.functions.datetime_fns import (
+    derive_year_month,
+    updated_after_created,
+)
+from nyc_crash_mapper_etl_script_spark.functions.arrays import collapse_numbered_columns
+from nyc_crash_mapper_etl_script_spark.functions.geo import haversine_m, haversine_m_exact
+from nyc_crash_mapper_etl_script_spark.functions.text import (
+    quality_score,
+    whitespace_token_count,
+    doc_fingerprint,
+)
+from nyc_crash_mapper_etl_script_spark.functions.vectors import cosine
+from nyc_crash_mapper_etl_script_spark.operators.cdc import classify
+from nyc_crash_mapper_etl_script_spark.operators.dedup_merge import new_rows
+from nyc_crash_mapper_etl_script_spark.operators.reconcile import tally_mismatches
+from nyc_crash_mapper_etl_script_spark.operators.topk import (
+    per_group_top_n_pivot,
+    top_k,
+)
+from nyc_crash_mapper_etl_script_spark.schemas import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (A1 groupBy-agg, F3 math,
+# O2 deterministic sort is irrelevant to the hash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                AS sum_qty,
+           round(sum(l_extendedprice), 2)                           AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)        AS sum_disc_price,
+           floor(avg(l_quantity) * 10000) / 10000.0                 AS avg_qty,
+           count(*)                                                 AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        # floor-truncation instead of round: identical across engines
+        # even when the avg lands on an exactly-representable half
+        (F.floor(F.avg("l_quantity") * 10000) / 10000.0).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P: projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_projection_computed",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    """,
+)
+def p1_projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 4 (the product's exact decimal grid): rounding at 2
+        # sits on the .xx5 boundary where engine round paths diverge
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+@register(
+    "p3_p4_watermark_window",
+    """
+    SELECT event_id, event_type
+    FROM (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    WHERE ts >= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def p3_p4_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark lookback (main.py:57-76): the boundary is an
+    aggregate of the data itself (deterministic, unlike
+    current_date)."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    return (
+        ev.join(F.broadcast(mx))
+        .where(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 7 DAY"))
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "p5_json_sentinel",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND json_extract_string(props, '$.k') <> '0'
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def p5_json_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-sentinel null semantics (latitude != '0',
+    main.py:981): semi-structured field extracted as string, compared
+    as string, cast late."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.where(
+        k.isNotNull() & (k != "0") & (k.cast("long") > 50)
+    ).select("event_id", k.cast("long").alias("k"))
+
+
+@register(
+    "p6_p7_inlist_numeric",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE event_type IN ('signup', 'error') AND value > 0
+    GROUP BY event_type
+    """,
+)
+def p6_p7_inlist_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("signup", "error") & (F.col("value") > 0))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "p9_updated_after_created",
+    """
+    SELECT event_id
+    FROM (
+      SELECT event_id, ts,
+             ts + INTERVAL 1 HOUR * (CAST(round(value) AS BIGINT) % 48) AS updated_at
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    )
+    WHERE CAST(updated_at AS DATE) > CAST(ts AS DATE)
+    """,
+)
+def p9_updated_after_created(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-prefix compare of :updated_at vs :created_at
+    (main.py:846,993) on synthesized update timestamps."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "updated_at",
+        F.timestamp_add("HOUR", (F.round(F.col("value")).cast("long") % 48), F.col("ts")),
+    )
+    return ev.where(updated_after_created(F.col("updated_at"), F.col("ts"))).select(
+        "event_id"
+    )
+
+
+@register(
+    "p11_distinct",
+    "SELECT DISTINCT event_type FROM events",
+)
+def p11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# J: joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_dedup_anti_join",
+    """
+    WITH keyed AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT DISTINCT k FROM keyed
+    WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+    AND k NOT IN (
+      SELECT k FROM keyed WHERE ts < TIMESTAMP '2024-01-24 00:00:00' AND k IS NOT NULL
+    )
+    """,
+)
+def j1_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-insert anti-join (main.py:368-371): keys in the new
+    window not present in the base."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("k"), F.col("ts")
+    )
+    cut = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    staged = ev.where(F.col("ts") >= cut).select("k").distinct()
+    existing = ev.where(F.col("ts") < cut)
+    return new_rows(staged, existing, "k")
+
+
+@register(
+    "j5_enrichment_join",
+    """
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j5_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-join enrichment chain (J5/J10 shape); dims broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "j10_self_join",
+    """
+    SELECT a.n_name AS child, b.n_name AS parent
+    FROM nation a JOIN nation b ON a.n_regionkey = b.n_nationkey
+    """,
+)
+def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi-join parent lookup (categoryMaster c1 JOIN
+    categoryMaster c2 ON c1.parentId = c2.id,
+    walkmapper/mysql2carto.py:126-130)."""
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(b, F.col("a.n_regionkey") == F.col("b.n_nationkey")).select(
+        F.col("a.n_name").alias("child"), F.col("b.n_name").alias("parent")
+    )
+
+
+@register(
+    "j9_array_overlap_flags",
+    """
+    SELECT p_partkey,
+           list_has_any([p_type, p_brand], ['PROMO', 'ECONOMY']) AS has_flag
+    FROM part
+    """,
+)
+def j9_array_overlap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vehicle_type && ARRAY_AGG(alias) flag semantics
+    (main.py:1082-1102) -- crosswalk aliases inlined as a literal
+    array so the fact pass is pure codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.arrays_overlap(
+            F.array("p_type", "p_brand"), F.array(F.lit("PROMO"), F.lit("ECONOMY"))
+        ).alias("has_flag"),
+    )
+
+
+@register(
+    "j4_unmapped_audit",
+    """
+    SELECT DISTINCT p_type AS token
+    FROM part
+    WHERE p_type NOT IN (SELECT DISTINCT p_type FROM part WHERE p_partkey % 3 = 0)
+    """,
+)
+def j4_unmapped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Values present in facts but missing from a dimension
+    (vehicletypecrosswalk/check_vehicletypes.py:17-24): explode +
+    distinct + anti-join."""
+    p = _t(spark, sf_dir, "part")
+    crosswalk = p.where(F.col("p_partkey") % 3 == 0).select("p_type").distinct()
+    return (
+        p.select(F.col("p_type").alias("token"))
+        .distinct()
+        .join(
+            F.broadcast(crosswalk.withColumnRenamed("p_type", "token")),
+            "token",
+            "left_anti",
+        )
+    )
+
+
+@register(
+    "j11_update_from_join",
+    """
+    SELECT c_custkey,
+           coalesce(n_orders, 0) AS n_orders,
+           round(coalesce(total, 0.0), 2) AS total
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey
+    ) d ON c_custkey = o_custkey
+    """,
+)
+def j11_update_from_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... FROM delta (main.py:637-640) as functional
+    overwrite: base left-join delta + coalesce."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    delta = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    return c.join(delta, c["c_custkey"] == delta["o_custkey"], "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A: aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_count_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a4_collect_set",
+    """
+    SELECT r_name,
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def a4_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG of crosswalk aliases (main.py:1094) -- emitted as a
+    sorted joined string so the hash is representation-stable."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+    )
+
+
+@register(
+    "a5_extent",
+    """
+    SELECT round(min(x), 6) AS xmin, round(max(x), 6) AS xmax,
+           round(min(y), 6) AS ymin, round(max(y), 6) AS ymax
+    FROM (SELECT -74.2 + ((event_id * 7) % 1000) / 1000.0 * 0.5 AS x,
+                 40.5 + (event_id % 1000) / 1000.0 * 0.4 AS y
+          FROM events)
+    """,
+)
+def a5_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Extent bbox aggregate (main.py:389)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias("x"),
+        (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4).alias("y"),
+    )
+    return pts.agg(
+        F.round(F.min("x"), 6).alias("xmin"),
+        F.round(F.max("x"), 6).alias("xmax"),
+        F.round(F.min("y"), 6).alias("ymin"),
+        F.round(F.max("y"), 6).alias("ymax"),
+    )
+
+
+@register(
+    "a6_horizontal_total",
+    """
+    SELECT l_orderkey, l_linenumber,
+           coalesce(
+             CASE WHEN l_orderkey % 5 = 0 THEN NULL
+                  ELSE CAST(l_quantity AS BIGINT) % 10 + l_linenumber
+                       + CAST(round(l_discount * 100) AS BIGINT) END,
+             CAST(l_quantity AS BIGINT) % 10 + l_linenumber
+             + CAST(round(l_discount * 100) AS BIGINT)
+           ) AS total
+    FROM lineitem
+    """,
+)
+def a6_horizontal_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-total reconstruction: persons = sum of mode tallies
+    when the source column is missing (main.py:252-255)."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        F.col("l_quantity").cast("long") % 10
+        + F.col("l_linenumber")
+        + F.round(F.col("l_discount") * 100).cast("long")
+    )
+    raw = F.when(F.col("l_orderkey") % 5 == 0, F.lit(None)).otherwise(parts)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.coalesce(raw, parts).alias("total")
+    )
+
+
+@register(
+    "a7_rollup_monitor",
+    """
+    SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a7_rollup_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W/O: windows, top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_per_group_top5_pivot",
+    """
+    WITH r AS (
+      SELECT l_orderkey, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           max(CASE WHEN rn = 1 THEN l_partkey END) AS item1,
+           max(CASE WHEN rn = 2 THEN l_partkey END) AS item2,
+           max(CASE WHEN rn = 3 THEN l_partkey END) AS item3,
+           max(CASE WHEN rn = 4 THEN l_partkey END) AS item4,
+           max(CASE WHEN rn = 5 THEN l_partkey END) AS item5
+    FROM r WHERE rn <= 5 GROUP BY l_orderkey
+    """,
+)
+def w1_per_group_top5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-5-per-group pivoted to columns
+    (walkmapper/mysql2carto.py:164-201)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return per_group_top_n_pivot(
+        li,
+        "l_orderkey",
+        ["l_linenumber", "l_partkey", "l_suppkey"],
+        "l_partkey",
+        n=5,
+        out_prefix="item",
+    )
+
+
+@register(
+    "o3_global_topk",
+    """
+    SELECT o_custkey, total FROM (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey
+    ) ORDER BY total DESC, o_custkey ASC LIMIT 100
+    """,
+)
+def o3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... DESC LIMIT k materialized view
+    (refresh_intersections_highestcrashes.py:41) ->
+    TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    return top_k(agg, "total", 100, "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# F: scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f2_year_month",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y') AS year,
+           strftime(o_orderdate, '%m') AS month
+    FROM orders
+    """,
+)
+def f2_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String year/month derivation (main.py:287-288)."""
+    o = _t(spark, sf_dir, "orders")
+    year, month = derive_year_month(F.col("o_orderdate"))
+    return o.select("o_orderkey", year.alias("year"), month.alias("month"))
+
+
+@register(
+    "f4_nullif_allocation",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity * (1.0 / nullif(
+             (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             + (CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0)), 4) AS allocated
+    FROM lineitem
+    """,
+)
+def f4_nullif_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blame-factor shape: 1/NULLIF(flagsum,0) with NULL propagation
+    (main.py:686-698)."""
+    li = _t(spark, sf_dir, "lineitem")
+    flags = F.when(F.col("l_returnflag") == "R", 1).otherwise(0) + F.when(
+        F.col("l_linestatus") == "F", 1
+    ).otherwise(0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_quantity") * (F.lit(1.0) / F.nullif(flags, F.lit(0))), 4
+        ).alias("allocated"),
+    )
+
+
+@register(
+    "f5_array_build",
+    """
+    SELECT p_partkey,
+           array_to_string(
+             list_concat(
+               list_filter(list_transform(
+                 string_split_regex(replace(coalesce(p_type || ', ' || p_brand, ''), '''', ''), '\\s*,\\s*'),
+                 x -> trim(x)), x -> x <> ''),
+               list_filter(list_transform(
+                 string_split_regex(replace(coalesce(
+                   CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE '''' || p_brand || '''' END,
+                 ''), '''', ''), '\\s*,\\s*'),
+                 x -> trim(x)), x -> x <> '')
+             ), '|') AS tokens
+    FROM part
+    """,
+)
+def f5_array_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numbered-column -> array collapse with quote-strip +
+    comma-split + trim + drop-empty (main.py:135-163)."""
+    p = _t(spark, sf_dir, "part")
+    slot1 = F.concat_ws(", ", F.col("p_type"), F.col("p_brand"))
+    slot2 = F.when(F.col("p_partkey") % 3 == 0, F.lit(None)).otherwise(
+        F.concat(F.lit("'"), F.col("p_brand"), F.lit("'"))
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(collapse_numbered_columns(slot1, slot2), "|").alias("tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C: CDC / reconciliation
+# ---------------------------------------------------------------------------
+
+_CDC_SRC_SQL = """
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X-URGENT' ELSE o_orderpriority END AS prio
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS k, 'N' AS status, 'NEW' AS prio
+      FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+@register(
+    "c1_cdc_classify",
+    f"""
+    WITH src AS ({_CDC_SRC_SQL}),
+    tgt AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio
+      FROM orders
+    ),
+    s AS (SELECT k, md5(concat_ws('|', status, prio)) AS fp FROM src),
+    t AS (SELECT k, md5(concat_ws('|', status, prio)) AS fp FROM tgt)
+    SELECT cdc_class, count(*) AS n FROM (
+      SELECT CASE WHEN s.k IS NULL THEN 'delete'
+                  WHEN t.k IS NULL THEN 'insert'
+                  WHEN s.fp <> t.fp THEN 'update'
+                  ELSE 'skip' END AS cdc_class
+      FROM s FULL OUTER JOIN t ON s.k = t.k
+    ) GROUP BY cdc_class
+    """,
+)
+def c1_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint CDC classification
+    (walkmapper/mysql2carto.py:203-248) over two synthesized order
+    snapshots."""
+    o = _t(spark, sf_dir, "orders")
+    tgt = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    src_mod = o.where(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    src_new = o.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        F.lit("N").alias("status"),
+        F.lit("NEW").alias("prio"),
+    )
+    src = src_mod.unionByName(src_new)
+    return (
+        classify(src, tgt, "k", ["status", "prio"])
+        .groupBy("cdc_class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "c2_tally_reconcile",
+    """
+    WITH tgt AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice) AS BIGINT) % 100 AS t1,
+             CAST(length(o_orderpriority) AS BIGINT) AS t2
+      FROM orders
+    ),
+    src AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN (t1 + 5) % 100 ELSE t1 END AS t1,
+             CASE WHEN k % 19 = 0 THEN t2 + 1 ELSE t2 END AS t2
+      FROM tgt
+    )
+    SELECT s.k AS k, s.t1 AS t1, s.t2 AS t2
+    FROM src s JOIN tgt t ON s.k = t.k
+    WHERE s.t1 IS DISTINCT FROM t.t1 OR s.t2 IS DISTINCT FROM t.t2
+    """,
+)
+def c2_tally_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving tally reconciliation (main.py:817-965): any-of-N
+    column mismatch between re-fetched source and snapshot."""
+    o = _t(spark, sf_dir, "orders")
+    tgt = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.floor("o_totalprice") % 100).alias("t1"),
+        F.length("o_orderpriority").cast("long").alias("t2"),
+    )
+    src = tgt.select(
+        "k",
+        F.when(F.col("k") % 7 == 0, (F.col("t1") + 5) % 100).otherwise(F.col("t1")).alias("t1"),
+        F.when(F.col("k") % 19 == 0, F.col("t2") + 1).otherwise(F.col("t2")).alias("t2"),
+    )
+    return tally_mismatches(src, tgt, "k", ["t1", "t2"])
+
+
+_SYNTH_POINTS_SQL = """
+      SELECT event_id,
+             -74.2 + ((event_id * 7) % 1000) / 1000.0 * 0.5 AS lng1,
+             40.5 + (event_id % 1000) / 1000.0 * 0.4 AS lat1,
+             value
+      FROM events
+"""
+
+_HAVERSINE_SQL = """CAST(round(2 * 6372800 * asin(sqrt(
+               pow(sin(radians({lat2} - {lat1}) / 2), 2)
+               + cos(radians({lat1})) * cos(radians({lat2}))
+                 * pow(sin(radians({lng2} - {lng1}) / 2), 2)))) AS BIGINT)"""
+
+
+@register(
+    "c3_geom_reconcile",
+    f"""
+    WITH p AS ({_SYNTH_POINTS_SQL}),
+    m AS (
+      SELECT event_id, lng1, lat1,
+             lng1 + fmod(value, 2.0) / 10000.0 AS lng2,
+             lat1 + fmod(value, 3.0) / 10000.0 AS lat2
+      FROM p
+    )
+    SELECT event_id,
+           {_HAVERSINE_SQL.format(lat1="lat1", lat2="lat2", lng1="lng1", lng2="lng2")} AS moved_m
+    FROM m
+    WHERE {_HAVERSINE_SQL.format(lat1="lat1", lat2="lat2", lng1="lng1", lng2="lng2")} > 15
+    """,
+)
+def c3_geom_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moved-geometry detection: reference-faithful integer haversine
+    (R=6372800, int rounding, main.py:1117-1129) with the >15 m
+    threshold (main.py:1039)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias("lng1"),
+        (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4).alias("lat1"),
+        "value",
+    )
+    m = p.select(
+        "event_id",
+        "lng1",
+        "lat1",
+        (F.col("lng1") + (F.col("value") % 2.0) / 10000.0).alias("lng2"),
+        (F.col("lat1") + (F.col("value") % 3.0) / 10000.0).alias("lat2"),
+    )
+    dist = haversine_m(F.col("lng1"), F.col("lat1"), F.col("lng2"), F.col("lat2"))
+    return m.select("event_id", dist.alias("moved_m")).where(F.col("moved_m") > 15)
+
+
+# ---------------------------------------------------------------------------
+# Spatial stand-ins (J2/J6/J7 shapes on synthetic coordinates)
+# ---------------------------------------------------------------------------
+
+_CELLS = [
+    (1, -74.2, -74.075, 40.5, 40.7),
+    (2, -74.075, -73.95, 40.5, 40.7),
+    (3, -74.2, -74.075, 40.7, 40.9),
+    (4, -74.075, -73.95, 40.7, 40.9),
+]
+
+_CELLS_SQL = "(VALUES " + ", ".join(
+    f"({i}, {a}, {b}, {c}, {d})" for i, a, b, c, d in _CELLS
+) + ") AS cells(cell_id, xmin, xmax, ymin, ymax)"
+
+
+@register(
+    "j6_bbox_containment_join",
+    f"""
+    WITH p AS ({_SYNTH_POINTS_SQL})
+    SELECT p.event_id, cells.cell_id
+    FROM p LEFT JOIN {_CELLS_SQL}
+      ON p.lng1 >= cells.xmin AND p.lng1 < cells.xmax
+     AND p.lat1 >= cells.ymin AND p.lat1 < cells.ymax
+    """,
+)
+def j6_bbox_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """District-linkage join shape (J6, main.py:408-533): broadcast
+    dimension, range containment predicate, LEFT to keep unmatched.
+    (Exact ray-cast pip is exercised by the crash-fixture tests;
+    DuckDB can't express it compactly.)"""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias("lng1"),
+        (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4).alias("lat1"),
+    )
+    cells = spark.createDataFrame(
+        _CELLS, "cell_id int, xmin double, xmax double, ymin double, ymax double"
+    )
+    cond = (
+        (p["lng1"] >= cells["xmin"])
+        & (p["lng1"] < cells["xmax"])
+        & (p["lat1"] >= cells["ymin"])
+        & (p["lat1"] < cells["ymax"])
+    )
+    return p.join(F.broadcast(cells), cond, "left").select(
+        "event_id", F.col("cell_id").cast("int").alias("cell_id")
+    )
+
+
+_CIRCLES = [
+    (1, -74.0, 40.7, 5000.0),
+    (2, -73.95, 40.75, 8000.0),
+    (3, -74.1, 40.6, 12000.0),
+    (4, -73.9, 40.85, 3000.0),
+]
+
+_CIRCLES_SQL = "(VALUES " + ", ".join(
+    f"({i}, {x}, {y}, {r})" for i, x, y, r in _CIRCLES
+) + ") AS circles(circle_id, clng, clat, radius_m)"
+
+
+@register(
+    "j7_circle_containment_agg",
+    f"""
+    WITH p AS ({_SYNTH_POINTS_SQL})
+    SELECT circles.circle_id, count(*) AS howmany
+    FROM p JOIN {_CIRCLES_SQL}
+      ON 2 * 6372800 * asin(sqrt(
+           pow(sin(radians(circles.clat - p.lat1) / 2), 2)
+           + cos(radians(p.lat1)) * cos(radians(circles.clat))
+             * pow(sin(radians(circles.clng - p.lng1) / 2), 2))) <= circles.radius_m
+    GROUP BY circles.circle_id
+    """,
+)
+def j7_circle_containment_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crashes-within-intersection-circles count (main.py:618-647):
+    haversine(center, pt) <= radius + hash aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias("lng1"),
+        (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4).alias("lat1"),
+    )
+    circles = spark.createDataFrame(
+        _CIRCLES, "circle_id int, clng double, clat double, radius_m double"
+    )
+    cond = (
+        haversine_m_exact(p["lng1"], p["lat1"], circles["clng"], circles["clat"])
+        <= circles["radius_m"]
+    )
+    return (
+        p.join(F.broadcast(circles), cond, "inner")
+        .groupBy(F.col("circle_id").cast("int").alias("circle_id"))
+        .agg(F.count("*").alias("howmany"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: text dedup / analysis / similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT)
+           END AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", whitespace_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "sim_bruteforce_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id, sim FROM (
+      SELECT vec_id,
+             round(list_dot_product(ev, qv)
+                   / nullif(sqrt(list_dot_product(ev, ev))
+                            * sqrt(list_dot_product(qv, qv)), 0.0), 3) AS sim
+      FROM e, q
+    ) ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a fixed query vector --
+    the exact-ANN baseline; rounded before ranking so both engines
+    rank identical values."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 3).alias("sim")
+        )
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)

@@ -1,0 +1,238 @@
+"""Geo/array enrichment joins (reference §2.3 J2/J6/J7/J8/J9, §2.4 A1).
+
+District linkage (J6/J8): the reference runs 8 near-identical
+``UPDATE crashes SET col = d.identifier FROM nyc_<kind> d WHERE
+ST_Within(crashes.the_geom, d.the_geom) AND col IS NULL``
+(main.py:408-533), chunked by ``cartodb_id % 20`` when bulk
+(initialpolygonlinkage/linkthem.py:67-79).  Here: ONE broadcast join
+of the fact table against all 8 polygon families at once -- the
+modulo chunking is Spark's partitioning, the per-family UPDATE loop is
+a conditional pivot of the join result.
+
+Scale: districts are tiny (hundreds of polygons) -> broadcast; the
+fact side streams through codegen once.  The join predicate is
+bbox-range AND exact pip, so virtually all non-matches die on the
+cheap range check.
+
+Intersection tallies (J7/A1): crashes-within-circle counted per
+intersection over a trailing window (main.py:618-647) -- broadcast
+join on haversine<=radius + hash aggregate.
+
+Vehicle flags (J9): ``vehicle_type && (SELECT ARRAY_AGG(alias) ...)``
+per canonical code (main.py:1082-1102) -- collect the tiny crosswalk
+once, one ``arrays_overlap`` per flag, zero joins in the fact pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.functions.geo import (
+    bbox_contains,
+    point_in_circle_m,
+    point_in_polygon,
+    polygon_bbox,
+)
+from nyc_crash_mapper_etl_script_spark.schemas import CROSSWALK_CODE_TO_KIND
+
+#: fact column written per district family (main.py:408-533); the
+#: value column is `identifier` except borough/businessdistrict quirks
+DISTRICT_KINDS = [
+    "borough",
+    "city_council",
+    "senate",
+    "assembly",
+    "businessdistrict",
+    "community_board",
+    "neighborhood",
+    "nypd_precinct",
+]
+#: families whose guard treats '' like NULL (main.py:419, 515)
+BLANKABLE_KINDS = {"borough", "neighborhood", "businessdistrict"}
+#: families whose identifier is cast to int (main.py:528, 437-533)
+INT_KINDS = {"city_council", "community_board", "nypd_precinct", "senate", "assembly"}
+
+
+def link_districts(
+    crashes: DataFrame,
+    districts: DataFrame,
+    key: str = "cartodb_id",
+    point_col: str = "the_geom",
+    only_null: bool = True,
+) -> DataFrame:
+    """Fill the 8 district columns by point-in-polygon containment.
+
+    ``only_null=True`` preserves the reference's ``AND col IS NULL``
+    guard semantics (incremental: never overwrite an existing value;
+    blankable families also treat '' as unset, main.py:419);
+    ``only_null=False`` is recompute-all (what the bulk linkthem.py
+    pass does after NULLing at main.py:1068).
+
+    Plan shape: (narrow key+point projection) broadcast-pip-join the
+    polygon dims -> one small delta keyed by ``key`` with one column
+    per family -> joined back onto the fact table.  The fact table
+    shuffles once (the join-back); the pip probe itself never
+    shuffles.
+    """
+    dims = districts.withColumn("__bbox", polygon_bbox(F.col("the_geom")))
+    pt = F.col(f"c.{point_col}")
+    cond = (
+        pt.isNotNull()
+        & bbox_contains(F.col("d.__bbox"), pt)
+        & point_in_polygon(pt, F.col("d.the_geom"))
+    )
+    matches = (
+        crashes.select(F.col(key), F.col(point_col)).alias("c")
+        .join(F.broadcast(dims.alias("d")), cond, "inner")
+        .groupBy(F.col(f"c.{key}").alias(key))
+        .agg(
+            *[
+                F.max(F.when(F.col("d.kind") == k, F.col("d.identifier"))).alias(f"__hit_{k}")
+                for k in DISTRICT_KINDS
+            ]
+        )
+    )
+    out = crashes.join(matches, key, "left")
+    for kind in DISTRICT_KINDS:
+        hit = F.col(f"__hit_{kind}")
+        if kind in INT_KINDS:
+            hit = hit.cast("int")
+        if kind in crashes.columns:
+            cur = F.col(kind)
+            if only_null:
+                unset = cur.isNull() | (
+                    (cur == F.lit("")) if kind in BLANKABLE_KINDS else F.lit(False)
+                )
+                out = out.withColumn(kind, F.when(unset, hit).otherwise(cur))
+            else:
+                out = out.withColumn(kind, hit)
+        else:
+            out = out.withColumn(kind, hit)
+    return out.drop(*[f"__hit_{k}" for k in DISTRICT_KINDS])
+
+
+def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = True) -> DataFrame:
+    """Set ``hasvehicle_<kind>`` via array overlap with crosswalk
+    aliases (main.py:1082-1102, invoked x8 at main.py:1176-1185).
+
+    The crosswalk is collected to the driver (it is a dimension of a
+    few hundred rows; the reference embeds it as an ARRAY_AGG scalar
+    subquery) and inlined as literal arrays -> the fact-table pass is
+    pure codegen, no join, no shuffle.
+    """
+    alias_map: dict[str, list[str]] = {}
+    for row in crosswalk.groupBy("crashmapper_vehicletype").agg(
+        F.collect_set("nyc_vehicletype").alias("aliases")
+    ).collect():
+        kind = CROSSWALK_CODE_TO_KIND.get(row["crashmapper_vehicletype"])
+        if kind:
+            alias_map[kind] = sorted(row["aliases"])
+    out = crashes
+    for kind, aliases in sorted(alias_map.items()):
+        flag = f"hasvehicle_{kind}"
+        lit_arr = F.array(*[F.lit(a) for a in aliases])
+        hit = F.arrays_overlap(F.coalesce(F.col("vehicle_type"),
+                                          F.array().cast("array<string>")), lit_arr)
+        if only_null and flag in crashes.columns:
+            out = out.withColumn(flag, F.coalesce(F.col(flag), hit))
+        else:
+            out = out.withColumn(flag, hit)
+    return out
+
+
+def unmapped_vehicle_types(crashes: DataFrame, crosswalk: DataFrame) -> DataFrame:
+    """Audit: distinct free-text vehicle types present in crashes but
+    missing from the crosswalk (vehicletypecrosswalk/
+    check_vehicletypes.py:17-24) -- explode + distinct + anti-join."""
+    present = (
+        crashes.where(F.size(F.coalesce(F.col("vehicle_type"),
+                                        F.array().cast("array<string>"))) > 0)
+        .select(F.explode("vehicle_type").alias("nyc_vehicletype"))
+        .distinct()
+    )
+    return present.join(F.broadcast(crosswalk.select("nyc_vehicletype").distinct()),
+                        "nyc_vehicletype", "left_anti")
+
+
+def intersection_crash_counts(
+    crashes: DataFrame,
+    intersections: DataFrame,
+    months_window: int | None = 24,
+    reference_date=None,
+) -> DataFrame:
+    """Per-intersection crash count: injury/fatality crashes inside
+    each circle over the trailing window (main.py:618-647).
+
+    Join predicate: cheap lat/lng box window first (radius converted
+    to a degree bound), haversine-exact second.
+    """
+    pt = F.col("c.the_geom")
+    center = F.col("i.the_geom.center")
+    radius = F.col("i.the_geom.radius_m")
+    # 1 deg lat ~ 111.2 km; bound lng by cos(lat) shrink (cheap conservative box)
+    deg = radius / F.lit(111194.9)
+    box = (
+        (pt["lat"] >= center["lat"] - deg)
+        & (pt["lat"] <= center["lat"] + deg)
+        & (pt["lng"] >= center["lng"] - deg * F.lit(2.0))
+        & (pt["lng"] <= center["lng"] + deg * F.lit(2.0))
+    )
+    filtered = crashes.where(
+        (F.col("number_of_persons_injured") > 0) | (F.col("number_of_persons_killed") > 0)
+    ).where(F.col("the_geom").isNotNull())
+    if months_window is not None:
+        ref = F.lit(reference_date).cast("date") if reference_date is not None else F.current_date()
+        filtered = filtered.where(
+            F.col("date_val") >= F.add_months(ref, -months_window)
+        )
+    joined = filtered.alias("c").join(
+        F.broadcast(intersections.alias("i")),
+        box & point_in_circle_m(pt, center, radius),
+        "inner",
+    )
+    return joined.groupBy(F.col("i.cartodb_id").alias("cartodb_id")).agg(
+        F.count("*").alias("howmany")
+    )
+
+
+def update_intersection_counts(intersections: DataFrame, counts: DataFrame) -> DataFrame:
+    """UPDATE-from-join (J11): overwrite ``crashcount`` with fresh
+    counts, zeroing unmatched (the reference clears first,
+    main.py:613-615, then updates matches, main.py:637-640)."""
+    return (
+        intersections.drop("crashcount")
+        .join(counts.withColumnRenamed("cartodb_id", "__k"),
+              F.col("cartodb_id") == F.col("__k"), "left")
+        .withColumn("crashcount", F.coalesce(F.col("howmany"), F.lit(0)).cast("int"))
+        .drop("__k", "howmany")
+    )
+
+
+def filter_to_extent(crashes: DataFrame, districts: DataFrame,
+                     kind: str = "borough") -> DataFrame:
+    """J2: NULL the geom of points outside the borough bounding box
+    (main.py:378-405 computes ST_Extent of nyc_borough then NULLs
+    non-intersecting geoms)."""
+    from nyc_crash_mapper_etl_script_spark.functions.geo import extent_agg
+
+    polys = districts.where(F.col("kind") == kind).select(
+        F.explode("the_geom").alias("v")
+    ).select(F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+    box = extent_agg(polys, "x", "y").first()
+    pt = F.col("the_geom")
+    inside = (
+        (pt["lng"] >= F.lit(box["xmin"])) & (pt["lng"] <= F.lit(box["xmax"]))
+        & (pt["lat"] >= F.lit(box["ymin"])) & (pt["lat"] <= F.lit(box["ymax"]))
+    )
+    keep = pt.isNull() | inside
+    # one atomic withColumns: all three expressions see the ORIGINAL
+    # geom (sequential withColumn would re-evaluate `keep` against the
+    # already-nulled column and keep the stale lat/lng)
+    return crashes.withColumns(
+        {
+            "the_geom": F.when(keep, pt),
+            "longitude": F.when(keep, F.col("longitude")),
+            "latitude": F.when(keep, F.col("latitude")),
+        }
+    )

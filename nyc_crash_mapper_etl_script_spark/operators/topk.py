@@ -1,0 +1,53 @@
+"""Top-k and per-group top-n (reference §2.5 W1, §2.6 O3).
+
+O3 -- the materialized view ``ORDER BY crashcount DESC LIMIT 500``
+(highcrash_intersections/refresh_intersections_highestcrashes.py:41,
+K=500 at :24).  ``orderBy().limit()`` compiles to Spark's
+TakeOrderedAndProject: per-partition heaps + a driver merge of k rows
+-- no global sort, no shuffle of the full table.  That plan is exactly
+right at 100 TB (k rows per partition flow to the driver).
+
+W1 -- first-5-images-per-obstruction pivoted to ``image1..image5``
+(walkmapper/mysql2carto.py:164-201, done row-by-row in Python there
+because MySQL 5 lacks window functions).  Here: row_number window +
+conditional-first pivot, one shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_k(df: DataFrame, order_col: str, k: int, *tiebreak: str,
+          ascending: bool = False) -> DataFrame:
+    """Global top-k with deterministic tie-breaking."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in tiebreak]
+    return df.orderBy(*order).limit(k)
+
+
+def per_group_top_n_pivot(
+    df: DataFrame,
+    group_col: str,
+    order_col: str | list[str],
+    value_col: str,
+    n: int = 5,
+    out_prefix: str = "item",
+) -> DataFrame:
+    """Per group: first n values by order_col(s) spread into
+    ``{out_prefix}1..{out_prefix}n`` columns (W1).
+
+    Implemented as a conditional-aggregation pivot (no ``pivot()``
+    call -> single hash aggregate, no extra pass to discover pivot
+    values).  Pass a fully-deterministic ordering (unique within
+    group) or the column assignment is arbitrary."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(group_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    ranked = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n)
+    aggs = [
+        F.max(F.when(F.col("__rn") == i, F.col(value_col))).alias(f"{out_prefix}{i}")
+        for i in range(1, n + 1)
+    ]
+    return ranked.groupBy(group_col).agg(*aggs)
