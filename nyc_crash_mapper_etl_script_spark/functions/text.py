@@ -69,7 +69,9 @@ def quality_score(text: Column) -> Column:
     )
     punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4)
     stop_ok = F.least(F.lit(1.0), stopword_ratio(text) * 10)
-    return F.round((len_ok + punct_ok + stop_ok) / 3, 4)
+    # floor-truncation, not round: identical across engines even on
+    # exactly-representable rounding boundaries
+    return F.floor(((len_ok + punct_ok + stop_ok) / 3) * 10000) / 10000.0
 
 
 def language_id(text: Column) -> Column:

@@ -945,3 +945,297 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2 scalar/set operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_scalar_count",
+    "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 25",
+)
+def a2_scalar_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar COUNT(*) (initialpolygonlinkage/linkthem.py:38,48)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_quantity") > 25).agg(F.count("*").alias("n"))
+
+
+@register(
+    "p10_regex_validation",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE regexp_matches(event_type, '^(signup|login)$')
+    """,
+)
+def p10_regex_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex input validation (backlog/check_backlog.py:370)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").rlike("^(signup|login)$")).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "f1_string_funcs",
+    """
+    SELECT c_custkey,
+           concat_ws('-', upper(trim(c_name)),
+                     regexp_replace(c_mktsegment, '[AEIOU]', '', 'g')) AS combo,
+           CAST(length(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (trim/upper/regexp_replace/concat, main.py:158-161,
+    229-243; fingerprint concat walkmapper/mysql2carto.py:104-110)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            "-",
+            F.upper(F.trim(F.col("c_name"))),
+            F.regexp_replace(F.col("c_mktsegment"), "[AEIOU]", ""),
+        ).alias("combo"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "u1_union_accumulate",
+    """
+    SELECT event_type, count(*) AS n FROM (
+      SELECT event_type FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
+      UNION ALL
+      SELECT event_type FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-25 00:00:00'
+    ) GROUP BY event_type
+    """,
+)
+def u1_union_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-by-accumulation of chunked fetches (§2.7; main.py:1030,
+    findgeomupdates/1b-fetch_soda.py:38) -> unionByName."""
+    ev = _t(spark, sf_dir, "events")
+    w1 = ev.where(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+    w2 = ev.where(F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+    return (
+        w1.select("event_type")
+        .unionByName(w2.select("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis + dedup + similarity (documents/embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS txt,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN length(txt) >= 50 AND length(txt) <= 20000 THEN 1.0
+                  WHEN length(txt) > 0 THEN 0.3 ELSE 0.0 END AS len_ok,
+             1.0 - least(1.0,
+               (CASE WHEN length(txt) > 0
+                     THEN (length(txt) - length(regexp_replace(txt, '[^\w\s]', '', 'g')))
+                          / CAST(length(txt) AS DOUBLE)
+                     ELSE 0.0 END) * 4) AS punct_ok,
+             least(1.0,
+               (CASE WHEN len(words) > 0
+                     THEN len(list_filter(words,
+                          x -> list_contains(['the','and','of','to','is'], x)))
+                          / CAST(len(words) AS DOUBLE)
+                     ELSE 0.0 END) * 10) AS stop_ok
+      FROM t
+    )
+    SELECT doc_id,
+           floor(((len_ok + punct_ok + stop_ok) / 3) * 10000) / 10000.0 AS q
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("q"))
+
+
+@register(
+    "text_language_id",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(words, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+        len(list_filter(words, x -> list_contains(['der','die','und','nicht','ist'], x))) AS s_de,
+        len(list_filter(words, x -> list_contains(['le','la','les','est','une'], x))) AS s_fr,
+        len(list_filter(words, x -> list_contains(['el','los','que','es','una'], x))) AS s_es
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_guess
+    FROM (
+      SELECT doc_id, list_max([
+        {'score': s_en, 'lang': 'en'}, {'score': s_de, 'lang': 'de'},
+        {'score': s_fr, 'lang': 'fr'}, {'score': s_es, 'lang': 'es'}
+      ]) AS best FROM s
+    )
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_crash_mapper_etl_script_spark.functions.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+
+
+_SHINGLE_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 5
+                    THEN [array_to_string(words[i:i+4], ' ') FOR i IN range(1, len(words) - 3)]
+                  WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+                  ELSE [] END AS shs
+      FROM w
+    ),
+    tok AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tok GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_SQL
+    + """
+    , common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(common / CAST(x.n_sh + y.n_sh - common AS DOUBLE), 6) AS jaccard
+      FROM common
+      JOIN sizes x ON id_a = x.doc_id
+      JOIN sizes y ON id_b = y.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle inverted index)."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=5, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", None)  # xxhash64 not oracle-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (64 perms, 16 bands); verified
+    against exact jaccard in tests/test_dedup_text.py."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        minhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, num_perm=64, bands=16, threshold=0.5)
+
+
+@register("dedup_simhash", None)  # xxhash64 not oracle-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk blocking."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        simhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=6)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _embedding_neardup_sql() -> str:
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             round(list_dot_product(a.v, b2.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b2.v, b2.v))), 6) AS sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ) WHERE sim >= 0.4
+    """
+
+
+@register("dedup_embedding_cosine", _embedding_neardup_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH bucket blocking +
+    exact cosine verify (same deterministic planes inlined in the
+    oracle SQL)."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, dim=64, threshold=0.4, num_planes=6, seed=42)
+
+
+@register("sim_lsh_topk", None)  # approximate path; exact twin is sim_bruteforce_topk
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-k for 3 query vectors."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_topk(e, q, dim=64, k=5, num_planes=8)
+
+
+@register("multimodal_features", None)  # mapInPandas; rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched feature extraction
+    (decode stubbed deterministically; plumbing is real)."""
+    from nyc_crash_mapper_etl_script_spark.operators.multimodal import (
+        extract_features,
+        make_media_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(make_media_table(d))
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )

@@ -121,7 +121,12 @@ def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = Tr
     subquery) and inlined as literal arrays -> the fact-table pass is
     pure codegen, no join, no shuffle.
     """
-    alias_map: dict[str, list[str]] = {}
+    # every canonical kind always gets its flag column (the fact-table
+    # schema has all 8 regardless of crosswalk contents); kinds with
+    # no aliases are simply never TRUE
+    alias_map: dict[str, list[str]] = {
+        kind: [] for kind in CROSSWALK_CODE_TO_KIND.values()
+    }
     for row in crosswalk.groupBy("crashmapper_vehicletype").agg(
         F.collect_set("nyc_vehicletype").alias("aliases")
     ).collect():
@@ -131,9 +136,14 @@ def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = Tr
     out = crashes
     for kind, aliases in sorted(alias_map.items()):
         flag = f"hasvehicle_{kind}"
-        lit_arr = F.array(*[F.lit(a) for a in aliases])
-        hit = F.arrays_overlap(F.coalesce(F.col("vehicle_type"),
-                                          F.array().cast("array<string>")), lit_arr)
+        if aliases:
+            lit_arr = F.array(*[F.lit(a) for a in aliases])
+            hit = F.arrays_overlap(
+                F.coalesce(F.col("vehicle_type"), F.array().cast("array<string>")),
+                lit_arr,
+            )
+        else:
+            hit = F.lit(False)
         if only_null and flag in crashes.columns:
             out = out.withColumn(flag, F.coalesce(F.col(flag), hit))
         else:

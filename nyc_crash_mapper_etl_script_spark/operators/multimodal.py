@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct.  The Spark-side plumbing -- schema, partition-sized
+Arrow batches, ``mapInPandas`` signatures -- is real and tested; the
+actual codec work is stubbed (the decode libraries are not in this
+container) behind ``decode_stub``: a deterministic fake that derives
+"features" from the bytes, or raises ``NotImplementedError`` when
+``strict=True`` so a production deployment fails loudly instead of
+silently shipping fake features.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch``) so a 100 TB binary
+column never materializes per-executor; keep batch row counts low for
+large payloads (the knob is rows, not bytes).  Partitioning should be
+by content hash, not source file, to even out skewed media sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: media payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_sha", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def make_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a media table from the documents fixture: payload =
+    utf-8 bytes of the text (a deterministic opaque blob), metadata
+    derived from the id.  Stands in for real image bytes end-to-end.
+    """
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.col(id_col) % 640 + 32).cast("int").alias("width"),
+            (F.col(id_col) % 480 + 32).cast("int").alias("height"),
+            (F.col(id_col) % 10000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, n_features: int = 8, strict: bool = False) -> list[float]:
+    """STUB for the real image/audio decode + feature extraction.
+
+    The real implementation would decode with PIL/ffmpeg/torchvision
+    (not installed here).  The fake derives n_features floats from the
+    sha256 of the bytes -- deterministic, so the pipeline around it is
+    fully testable."""
+    if strict:
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this environment"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / float(1 << 32)
+        for i in range(n_features)
+    ]
+
+
+def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches.
+
+    Vectorized at the batch level: one Python call per Arrow batch,
+    not per row (the 10-100x difference vs a row UDF at scale)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_stub(p, n_features) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha": [
+                        hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

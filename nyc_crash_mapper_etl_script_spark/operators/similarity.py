@@ -1,0 +1,147 @@
+"""Approximate-nearest-neighbor similarity search over an
+``array<float>`` embedding column (north-star extension).
+
+ - brute-force cosine top-k: the exact baseline.  One broadcast of
+   the query set, one codegen pass over the corpus, per-query top-k
+   via window rank (shuffles only (queries x corpus-partition) score
+   rows after a cheap threshold prune).
+ - LSH-bucketed (random hyperplanes): the scale path.  Deterministic
+   seeded hyperplanes -> sign-bit bucket key; probing only the
+   query's bucket turns a full-corpus scan into a bucket scan.  At
+   100 TB the corpus is written bucketed (bucketBy on the key) so a
+   query probe is a partition-pruned read, not a join.
+ - embedding near-duplicate pairs: corpus self-join within buckets,
+   verified by exact cosine >= threshold.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nyc_crash_mapper_etl_script_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact cosine top-k per query.  Queries are broadcast (query
+    sets are small); ranking is a per-query window over scored rows.
+    """
+    scored = corpus.alias("c").join(F.broadcast(queries.alias("q"))).select(
+        F.col(f"q.{query_id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("vec_id"),
+        cosine(F.col(f"c.{vec_col}"), F.col(f"q.{query_vec_col}")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG,
+    no numpy dependency in the plan; same planes every run)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(num_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            v.append(state / float(1 << 31) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: bit p set when dot(vec, plane_p) > 0."""
+    key = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        key = key + F.when(dot(vec, plane_col) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return key
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the
+    query's hyperplane bucket.  Recall < 1.0 by construction; scale
+    path for corpora where brute force is a full scan per query."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), planes))
+    scored = c.alias("c").join(
+        F.broadcast(q.alias("q")), F.col("c.__bucket") == F.col("q.__bucket")
+    ).select(
+        F.col(f"q.{query_id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("vec_id"),
+        cosine(F.col(f"c.{vec_col}"), F.col(f"q.{query_vec_col}")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (a < b, cosine >= threshold) via
+    bucket blocking + exact verify.  High-cosine pairs land in the
+    same bucket with probability (1 - theta/pi)^planes; for dedup
+    recall, union several plane seeds at 100 TB."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

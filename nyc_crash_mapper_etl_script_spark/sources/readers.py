@@ -1,0 +1,67 @@
+"""Readers (reference §2.1 S1-S5).
+
+The reference's sources are HTTP endpoints (Socrata SODA, CARTO SQL
+API, MySQL).  In the Spark engine each becomes a schema-on-read scan;
+the SoQL/SQL pushdown the reference hand-builds ($where/$select,
+main.py:89-97, 831-838) is Catalyst's filter/column pushdown for
+free -- callers just ``.filter``/``.select`` and the scan narrows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_crash_mapper_etl_script_spark.schemas import SODA_FEED_SCHEMA
+
+
+def read_soda_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: SODA feed snapshot (JSON lines or parquet dump of the
+    collisions feed).  Every data field is read as string -- "SODA
+    uses JSON but doesn't use typing" (main.py:856); the system
+    columns :created_at/:updated_at arrive as ``created_at``/
+    ``updated_at`` timestamps ($select=':*,*', main.py:834-835).
+
+    A date-window filter applied by the caller prunes at the scan
+    (the $where pushdown analog)."""
+    if path.endswith(".parquet"):
+        return spark.read.parquet(path)
+    return spark.read.schema(SODA_FEED_SCHEMA).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S5: header CSV scan (fixtallies/1-diffs.py:23-32)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S4: MySQL/JDBC scan (walkmapper/mysql2carto.py:63,114-137).
+
+    Partitioned reads parallelize the extract (the reference reads
+    the whole table through one cursor).  No JDBC driver ships in
+    this environment -- the call path is real, exercised against
+    parquet stand-ins in tests."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

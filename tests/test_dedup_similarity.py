@@ -1,0 +1,145 @@
+"""North-star operator tests: text dedup, similarity search,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from nyc_crash_mapper_etl_script_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    make_media_table,
+)
+from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing in the old oak tree near "
+    "the quiet river bank as morning light spreads across the valley"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("quick", "slow")),  # near dup of 0
+        (3, "completely different text about databases and distributed query engines"),
+        (4, "another unrelated document concerning maritime navigation routes"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["keeper"]: r["n"] for r in exact_duplicates(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert out[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    mh = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+          minhash_near_duplicates(docs, threshold=0.5).collect()}
+    # all truly-similar pairs found; estimates near truth
+    assert exact <= set(mh)
+    assert mh[(0, 1)] == 1.0
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_duplicates(docs, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0  # identical text -> identical fingerprint
+    assert (0, 2) in pairs  # one-word edit -> few bits differ
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+
+    def vec(seed, dim=16):
+        state = seed * 2654435761 % (1 << 31)
+        out = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            out.append(state / float(1 << 31) * 2 - 1)
+        n = math.sqrt(sum(x * x for x in out))
+        return [x / n for x in out]
+
+    base = vec(7)
+    # co-directional scale: cosine 1.0 AND identical hyperplane signs,
+    # so the LSH recall assertion is deterministic
+    near = [x * 1.001 for x in base]
+    rows = [(0, base), (1, near)] + [(i, vec(i * 13 + 1)) for i in range(2, 30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = brute_force_topk(embeddings, q, k=3).collect()
+    assert [r["vec_id"] for r in out][:2] == [0, 1]  # self then near-dup
+    assert out[0]["sim"] == pytest.approx(1.0, abs=1e-5)
+    assert out[1]["sim"] > 0.99
+
+
+def test_lsh_topk_finds_near_neighbor(embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = lsh_topk(embeddings, q, dim=16, k=3, num_planes=4).collect()
+    got = [r["vec_id"] for r in out]
+    # the truly-near vector shares every hyperplane bucket with its twin
+    assert got[:2] == [0, 1]
+
+
+def test_embedding_near_duplicates(embeddings):
+    pairs = {(r["id_a"], r["id_b"]): r["sim"] for r in
+             embedding_near_duplicates(embeddings, dim=16, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+
+
+def test_multimodal_pipeline(spark, docs):
+    media = make_media_table(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media, n_features=8)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 6
+    assert all(len(r["features"]) == 8 for r in rows.values())
+    # deterministic: same payload -> same features & sha
+    assert rows[0]["features"] == rows[1]["features"]
+    assert rows[0]["payload_sha"] == rows[1]["payload_sha"]
+    assert rows[0]["payload_sha"] != rows[2]["payload_sha"]
+    assert rows[5]["n_bytes"] == 0
+    # re-run identical (no hidden randomness)
+    again = {r["media_id"]: r for r in extract_features(media, n_features=8).collect()}
+    assert again[3]["features"] == rows[3]["features"]
+
+
+def test_decode_stub_strict_raises():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", strict=True)
