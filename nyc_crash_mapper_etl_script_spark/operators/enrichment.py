@@ -69,29 +69,29 @@ def link_districts(
     ``only_null=False`` is recompute-all (what the bulk linkthem.py
     pass does after NULLing at main.py:1068).
 
-    Plan shape: (narrow key+point projection) broadcast-pip-join the
-    polygon dims -> one small delta keyed by ``key`` with one column
-    per family -> joined back onto the fact table.  The fact table
-    shuffles once (the join-back); the pip probe itself never
-    shuffles.
+    Plan shape: (narrow key+point projection) grid-bucketed
+    broadcast HASH join against the polygon dims (spatial_join.py --
+    equi-join on cell, never a nested-loop) -> one small delta keyed
+    by ``key`` with one column per family -> joined back onto the
+    fact table.  The fact table shuffles once (the join-back); the
+    pip probe itself never shuffles.
     """
-    dims = districts.withColumn("__bbox", polygon_bbox(F.col("the_geom")))
-    pt = F.col(f"c.{point_col}")
-    cond = (
-        pt.isNotNull()
-        & bbox_contains(F.col("d.__bbox"), pt)
-        & point_in_polygon(pt, F.col("d.the_geom"))
+    from nyc_crash_mapper_etl_script_spark.operators.spatial_join import (
+        points_in_polygons,
     )
-    matches = (
-        crashes.select(F.col(key), F.col(point_col)).alias("c")
-        .join(F.broadcast(dims.alias("d")), cond, "inner")
-        .groupBy(F.col(f"c.{key}").alias(key))
-        .agg(
-            *[
-                F.max(F.when(F.col("d.kind") == k, F.col("d.identifier"))).alias(f"__hit_{k}")
-                for k in DISTRICT_KINDS
-            ]
-        )
+
+    dims = districts.withColumnRenamed("the_geom", "__poly")
+    pts = crashes.select(F.col(key), F.col(point_col)).where(
+        F.col(point_col).isNotNull()
+    )
+    joined = points_in_polygons(
+        pts, dims, point_col=point_col, polygon_col="__poly", how="inner"
+    )
+    matches = joined.groupBy(F.col(f"p.{key}").alias(key)).agg(
+        *[
+            F.max(F.when(F.col("g.kind") == k, F.col("g.identifier"))).alias(f"__hit_{k}")
+            for k in DISTRICT_KINDS
+        ]
     )
     out = crashes.join(matches, key, "left")
     for kind in DISTRICT_KINDS:
@@ -174,20 +174,15 @@ def intersection_crash_counts(
     """Per-intersection crash count: injury/fatality crashes inside
     each circle over the trailing window (main.py:618-647).
 
-    Join predicate: cheap lat/lng box window first (radius converted
-    to a degree bound), haversine-exact second.
+    Grid-bucketed equi-join (spatial_join.points_in_circles): hash
+    join on cell id, exact haversine only on same-cell pairs -- at
+    prod scale (1.5M crashes x 40k circles) a nested-loop spatial
+    join would evaluate 60G predicates; this evaluates ~1 per point.
     """
-    pt = F.col("c.the_geom")
-    center = F.col("i.the_geom.center")
-    radius = F.col("i.the_geom.radius_m")
-    # 1 deg lat ~ 111.2 km; bound lng by cos(lat) shrink (cheap conservative box)
-    deg = radius / F.lit(111194.9)
-    box = (
-        (pt["lat"] >= center["lat"] - deg)
-        & (pt["lat"] <= center["lat"] + deg)
-        & (pt["lng"] >= center["lng"] - deg * F.lit(2.0))
-        & (pt["lng"] <= center["lng"] + deg * F.lit(2.0))
+    from nyc_crash_mapper_etl_script_spark.operators.spatial_join import (
+        points_in_circles,
     )
+
     filtered = crashes.where(
         (F.col("number_of_persons_injured") > 0) | (F.col("number_of_persons_killed") > 0)
     ).where(F.col("the_geom").isNotNull())
@@ -196,12 +191,13 @@ def intersection_crash_counts(
         filtered = filtered.where(
             F.col("date_val") >= F.add_months(ref, -months_window)
         )
-    joined = filtered.alias("c").join(
-        F.broadcast(intersections.alias("i")),
-        box & point_in_circle_m(pt, center, radius),
-        "inner",
+    circles = intersections.select(
+        F.col("cartodb_id").alias("__i_id"),
+        F.col("the_geom.center").alias("center"),
+        F.col("the_geom.radius_m").alias("radius_m"),
     )
-    return joined.groupBy(F.col("i.cartodb_id").alias("cartodb_id")).agg(
+    joined = points_in_circles(filtered.select("the_geom"), circles, how="inner")
+    return joined.groupBy(F.col("g.__i_id").alias("cartodb_id")).agg(
         F.count("*").alias("howmany")
     )
 
