@@ -1239,3 +1239,124 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late coverage: P8 incremental guard, J2 bbox sanity null-out, O1/O2/O4
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p8_null_guard_incremental",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE upper(o_orderpriority) END AS prio_norm,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT o_orderkey, upper(o_orderpriority) AS prio_norm, TRUE AS recomputed
+    FROM base WHERE prio_norm IS NULL
+    UNION ALL
+    SELECT o_orderkey, prio_norm, FALSE AS recomputed
+    FROM base WHERE prio_norm IS NOT NULL
+    """,
+)
+def p8_null_guard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unprocessed-rows guard (P8, main.py:700, 712, 788, 1095):
+    ``WHERE x IS NULL`` selects the to-do slice, the expensive pass
+    recomputes only that slice, and the untouched rows are unioned
+    back unchanged — the reference's incremental-recompute pattern
+    expressed as filter + union instead of in-place UPDATE."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.upper("o_orderpriority"))
+        .alias("prio_norm"),
+        "o_orderpriority",
+    )
+    todo = base.where(F.col("prio_norm").isNull()).select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_norm"),
+        F.lit(True).alias("recomputed"),
+    )
+    done = base.where(F.col("prio_norm").isNotNull()).select(
+        "o_orderkey", "prio_norm", F.lit(False).alias("recomputed")
+    )
+    return todo.unionByName(done)
+
+
+@register(
+    "j2_bbox_sanity_nullout",
+    f"""
+    WITH p AS ({_SYNTH_POINTS_SQL}),
+    ext AS (
+      SELECT min(xmin) AS xmin, max(xmax) AS xmax,
+             min(ymin) AS ymin, max(ymax) AS ymax
+      FROM {_CELLS_SQL}
+    )
+    SELECT p.event_id,
+           CASE WHEN p.lng1 >= ext.xmin AND p.lng1 <= ext.xmax
+                 AND p.lat1 >= ext.ymin AND p.lat1 <= ext.ymax
+                THEN round(p.lng1, 6) END AS lng_ok,
+           CASE WHEN p.lng1 >= ext.xmin AND p.lng1 <= ext.xmax
+                 AND p.lat1 >= ext.ymin AND p.lat1 <= ext.ymax
+                THEN round(p.lat1, 6) END AS lat_ok
+    FROM p CROSS JOIN ext
+    """,
+)
+def j2_bbox_sanity_nullout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo sanity filter (J2 + A5, filter_carto_data at
+    main.py:378-405): aggregate the dimension polygons' extent
+    (ST_Extent ≡ min/max agg, main.py:389), broadcast the 1-row box,
+    and NULL the coordinates of points falling outside it."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias("lng1"),
+        (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4).alias("lat1"),
+    )
+    cells = spark.createDataFrame(
+        _CELLS, "cell_id int, xmin double, xmax double, ymin double, ymax double"
+    )
+    ext = cells.agg(
+        F.min("xmin").alias("xmin"),
+        F.max("xmax").alias("xmax"),
+        F.min("ymin").alias("ymin"),
+        F.max("ymax").alias("ymax"),
+    )
+    inside = (
+        (F.col("lng1") >= F.col("xmin"))
+        & (F.col("lng1") <= F.col("xmax"))
+        & (F.col("lat1") >= F.col("ymin"))
+        & (F.col("lat1") <= F.col("ymax"))
+    )
+    return p.crossJoin(F.broadcast(ext)).select(
+        "event_id",
+        F.when(inside, F.round("lng1", 6)).alias("lng_ok"),
+        F.when(inside, F.round("lat1", 6)).alias("lat_ok"),
+    )
+
+
+@register(
+    "o1_ordered_page",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 1000
+    """,
+)
+def o1_ordered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-side ORDER BY + page-size LIMIT (O1/O2/O4,
+    main.py:93-94): deterministic tie-broken sort with a bounded
+    page — Spark plans TakeOrderedAndProject (no full sort, no
+    full shuffle of the sorted stream)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(1000)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
