@@ -265,13 +265,17 @@ def j1_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j5_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-join enrichment chain (J5/J10 shape); dims broadcast."""
+    """Hash-join enrichment chain (J5/J10 shape).  nation/region are
+    fixed-size dims -> forced broadcast; customer scales with the
+    fact table, so its strategy is left to AQE (broadcast at small
+    sf, shuffled hash/sort-merge beyond the threshold — forcing
+    broadcast here would OOM a 100 TB run)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
@@ -845,24 +849,40 @@ _CIRCLES_SQL = "(VALUES " + ", ".join(
     """,
 )
 def j7_circle_containment_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crashes-within-intersection-circles count (main.py:618-647):
-    haversine(center, pt) <= radius + hash aggregate."""
+    """Crashes-within-intersection-circles count (main.py:618-647)
+    via the engine's spatial join.  The dimension here is 4 literal
+    circles, so the caller picks ``strategy="nlj"`` (broadcast
+    nested-loop with the cheap bbox conjunct short-circuiting the
+    trig); the reference's real 40k-intersection workload uses the
+    default grid strategy — a hash join on the grid cell — whose
+    cost stays linear at 100 TB (plan shape proven in
+    tests/test_spatial_join.py)."""
+    from nyc_crash_mapper_etl_script_spark.operators.spatial_join import (
+        points_in_circles,
+    )
+
     ev = _t(spark, sf_dir, "events")
     p = ev.select(
         "event_id",
-        (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias("lng1"),
-        (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4).alias("lat1"),
+        F.struct(
+            (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias(
+                "lng"
+            ),
+            (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4).alias("lat"),
+        ).alias("the_geom"),
     )
     circles = spark.createDataFrame(
         _CIRCLES, "circle_id int, clng double, clat double, radius_m double"
-    )
-    cond = (
-        haversine_m_exact(p["lng1"], p["lat1"], circles["clng"], circles["clat"])
-        <= circles["radius_m"]
+    ).select(
+        "circle_id",
+        F.struct(F.col("clng").alias("lng"), F.col("clat").alias("lat")).alias(
+            "center"
+        ),
+        "radius_m",
     )
     return (
-        p.join(F.broadcast(circles), cond, "inner")
-        .groupBy(F.col("circle_id").cast("int").alias("circle_id"))
+        points_in_circles(p, circles, strategy="nlj")
+        .groupBy(F.col("g.circle_id").cast("int").alias("circle_id"))
         .agg(F.count("*").alias("howmany"))
     )
 

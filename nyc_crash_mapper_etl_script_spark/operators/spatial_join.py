@@ -86,6 +86,7 @@ def points_in_polygons(
     cell_deg: float | None = None,
     broadcast_geoms: bool = True,
     how: str = "inner",
+    strategy: str = "grid",
 ) -> DataFrame:
     """Equi-join points to containing polygons.
 
@@ -93,9 +94,22 @@ def points_in_polygons(
     and ``g``.  ``how='left'`` keeps uncontained points with NULL
     polygon columns.  ``cell_deg=None`` sizes the grid to the largest
     polygon (<=4 cells per polygon).
+
+    ``strategy``: ``"grid"`` (default) hash-joins on the grid cell —
+    the only plan that survives a big dimension (40k intersections,
+    100 TB facts).  ``"nlj"`` skips the grid: a broadcast nested-loop
+    with the cheap bbox conjunct first, which beats the grid's
+    explode+probe overhead when the caller statically knows the
+    dimension is a handful of geometries.
     """
     pt = F.col(f"p.{point_col}")
     boxed = polygons.withColumn("__bbox", polygon_bbox(F.col(polygon_col)))
+    if strategy == "nlj":
+        right = F.broadcast(boxed.alias("g")) if broadcast_geoms else boxed.alias("g")
+        cond = bbox_contains(F.col("g.__bbox"), pt) & point_in_polygon(
+            pt, F.col(f"g.{polygon_col}")
+        )
+        return points.alias("p").join(right, cond, how).drop("__bbox")
     if cell_deg is None:
         cell_deg = _adaptive_cell(boxed, 0.05)
     geoms = boxed.withColumn("__cell", F.explode(bbox_cells(F.col("__bbox"), cell_deg)))
@@ -121,11 +135,13 @@ def points_in_circles(
     cell_deg: float | None = None,
     broadcast_geoms: bool = True,
     how: str = "inner",
+    strategy: str = "grid",
 ) -> DataFrame:
     """Equi-join points to containing circles (haversine <= radius).
 
     Circle bbox: radius in degrees, latitude-aware longitude bound.
     ``cell_deg=None`` sizes the grid to the largest circle.
+    ``strategy`` as in :func:`points_in_polygons`.
     """
     deg_lat = F.col(radius_col) / F.lit(111194.9)
     # conservative lng expansion at |lat| (cos shrink), capped at x4
@@ -138,6 +154,13 @@ def points_in_circles(
         (F.col(center_col)["lat"] + deg_lat).alias("ymax"),
     )
     boxed = circles.withColumn("__bbox", box)
+    if strategy == "nlj":
+        pt = F.col(f"p.{point_col}")
+        right = F.broadcast(boxed.alias("g")) if broadcast_geoms else boxed.alias("g")
+        cond = bbox_contains(F.col("g.__bbox"), pt) & point_in_circle_m(
+            pt, F.col(f"g.{center_col}"), F.col(f"g.{radius_col}")
+        )
+        return points.alias("p").join(right, cond, how).drop("__bbox")
     if cell_deg is None:
         cell_deg = _adaptive_cell(boxed, 0.01)
     geoms = boxed.withColumn("__cell", F.explode(bbox_cells(F.col("__bbox"), cell_deg)))

@@ -35,15 +35,43 @@ def per_group_top_n_pivot(
     value_col: str,
     n: int = 5,
     out_prefix: str = "item",
+    bounded_groups: bool = True,
 ) -> DataFrame:
     """Per group: first n values by order_col(s) spread into
     ``{out_prefix}1..{out_prefix}n`` columns (W1).
 
-    Implemented as a conditional-aggregation pivot (no ``pivot()``
-    call -> single hash aggregate, no extra pass to discover pivot
-    values).  Pass a fully-deterministic ordering (unique within
-    group) or the column assignment is arbitrary."""
+    ``bounded_groups=True`` (default): ONE hash aggregate —
+    ``slice(sort_array(collect_list(struct(order..., value))), 1, n)``
+    — a single shuffle with map-side partial aggregation and no sort
+    of the full table.  Right whenever group size is bounded (images
+    per obstruction ≤ dozens, lineitems per order ≤ 7).
+
+    ``bounded_groups=False``: row_number window + conditional pivot
+    (two shuffles, but rows stream through the sort) — the safe plan
+    when one group could hold millions of rows and a collected list
+    would not fit in task memory.
+
+    Pass a fully-deterministic ordering (unique within group) or the
+    column assignment is arbitrary."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if bounded_groups:
+        skey = F.struct(
+            *[F.col(c).alias(f"__o{j}") for j, c in enumerate(order_cols)],
+            F.col(value_col).alias("__v"),
+        )
+        agged = df.groupBy(group_col).agg(
+            F.slice(F.sort_array(F.collect_list(skey)), 1, n).alias("__top")
+        )
+        return agged.select(
+            group_col,
+            *[
+                # try_: NULL past the end of a short group (ANSI mode)
+                F.try_element_at(F.col("__top"), F.lit(i))["__v"].alias(
+                    f"{out_prefix}{i}"
+                )
+                for i in range(1, n + 1)
+            ],
+        )
     w = Window.partitionBy(group_col).orderBy(*[F.col(c).asc() for c in order_cols])
     ranked = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n)
     aggs = [

@@ -108,3 +108,42 @@ def test_left_join_keeps_unmatched(spark):
     )
     got = {r["pid"]: r["cid"] for r in out.collect()}
     assert got == {1: 1, 2: None}
+
+
+def test_nlj_strategy_matches_grid(spark):
+    """Both physical strategies produce identical pairs; only the
+    plan differs (grid = hash join, nlj = broadcast nested-loop with
+    bbox short-circuit for tiny dimensions)."""
+    pts = _random_points(spark, n=200, seed=11)
+    circles = spark.createDataFrame(
+        [
+            (1, Row(lng=-74.0, lat=40.7), 5000.0),
+            (2, Row(lng=-73.8, lat=40.8), 12000.0),
+        ],
+        "cid long, center struct<lng:double,lat:double>, radius_m double",
+    )
+    sel = lambda df: {  # noqa: E731
+        (r.pid, r.cid)
+        for r in df.select(
+            F.col("p.pid").alias("pid"), F.col("g.cid").alias("cid")
+        ).collect()
+    }
+    assert sel(points_in_circles(pts, circles)) == sel(
+        points_in_circles(pts, circles, strategy="nlj")
+    )
+
+    polys = spark.createDataFrame(
+        [
+            Row(gid=1, poly=[Row(x=-74.2, y=40.5), Row(x=-74.0, y=40.5),
+                             Row(x=-74.0, y=40.7), Row(x=-74.2, y=40.7)]),
+        ]
+    )
+    selp = lambda df: {  # noqa: E731
+        (r.pid, r.gid)
+        for r in df.select(
+            F.col("p.pid").alias("pid"), F.col("g.gid").alias("gid")
+        ).collect()
+    }
+    assert selp(points_in_polygons(pts, polys, polygon_col="poly")) == selp(
+        points_in_polygons(pts, polys, polygon_col="poly", strategy="nlj")
+    )
