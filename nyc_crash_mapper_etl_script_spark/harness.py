@@ -1261,6 +1261,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+             END AS kind,
+             CAST(doc_id % 10000 AS INT) AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST((duration_ms * i) // 4 AS INT) AS offset_ms
+    FROM media CROSS JOIN (VALUES (0), (1), (2), (3)) AS f(i)
+    WHERE kind = 'video'
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (north star): mapInPandas fan-out of each
+    video payload into n evenly-spaced frames.  The oracle checks the
+    relational part (which rows fan out, at which offsets); the fake
+    frame bytes themselves are covered by determinism tests."""
+    from nyc_crash_mapper_etl_script_spark.operators.multimodal import (
+        frame_sample,
+        make_media_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample(make_media_table(d), n_frames=4).select(
+        "media_id", "frame_idx", "offset_ms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Late coverage: P8 incremental guard, J2 bbox sanity null-out, O1/O2/O4
 # ---------------------------------------------------------------------------

@@ -119,3 +119,110 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int, strict: bool = False) -> bytes:
+    """STUB for image resize (real impl: PIL/libvips, not in this
+    container).  Deterministic fake: tag the payload with the target
+    box so downstream steps see a changed, reproducible blob."""
+    if strict:
+        raise NotImplementedError(
+            "image resize requires codec libraries not present in this environment"
+        )
+    return (payload or b"") + f"|resized:{w}x{h}".encode()
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image payload to width x height via mapInPandas
+    (one Python call per Arrow batch).  Non-image rows pass through
+    untouched.  Metadata struct is rewritten to the new box so the
+    schema contract holds end-to-end."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            payloads = [
+                resize_stub(p, width, height) if img else p
+                for p, img in zip(pdf["payload"], is_img)
+            ]
+            metas = [
+                {**m, "width": width, "height": height} if img else m
+                for m, img in zip(pdf["meta"], is_img)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, strict: bool = False) -> DataFrame:
+    """Sample n_frames evenly-spaced frames from each video payload
+    (decode stubbed: each fake frame is payload-sha-derived and offset
+    -tagged, so rows are deterministic).  One output row per frame —
+    the fan-out happens inside the Arrow batch, so a 100 TB video
+    column streams through without materializing per-executor."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "offset_ms": [], "frame": []}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "video decode requires codec libraries not present"
+                    )
+                duration = int(meta["duration_ms"] or 0)
+                for i in range(n_frames):
+                    off = (duration * i) // max(n_frames, 1)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["offset_ms"].append(off)
+                    out["frame"].append(
+                        hashlib.sha256((payload or b"") + str(off).encode()).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -143,3 +143,47 @@ def test_multimodal_pipeline(spark, docs):
 def test_decode_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         decode_stub(b"bytes", strict=True)
+
+
+def test_resize_images(spark, docs):
+    from nyc_crash_mapper_etl_script_spark.operators.multimodal import (
+        make_media_table,
+        resize_images,
+    )
+
+    media = make_media_table(docs)
+    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert len(out) == 6
+    for mid, r in out.items():
+        src = {x["media_id"]: x for x in media.collect()}[mid]
+        if r["kind"] == "image":
+            assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
+            assert bytes(r["payload"]).endswith(b"|resized:224x224")
+        else:  # non-images pass through untouched
+            assert bytes(r["payload"]) == bytes(src["payload"])
+            assert r["meta"]["width"] == src["meta"]["width"]
+
+
+def test_frame_sample(spark, docs):
+    from nyc_crash_mapper_etl_script_spark.operators.multimodal import (
+        frame_sample,
+        make_media_table,
+    )
+
+    media = make_media_table(docs)
+    n_videos = media.where(F.col("kind") == "video").count()
+    frames = frame_sample(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 4 * n_videos
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, fr in by_media.items():
+        assert sorted(x["frame_idx"] for x in fr) == [0, 1, 2, 3]
+        offs = [x["offset_ms"] for x in sorted(fr, key=lambda x: x["frame_idx"])]
+        assert offs == sorted(offs)  # evenly spaced, monotone
+        assert all(len(bytes(x["frame"])) == 32 for x in fr)  # sha256 fake frames
+    # deterministic across runs
+    again = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
+             for r in frame_sample(media, n_frames=4).collect()}
+    assert all(again[(r["media_id"], r["frame_idx"])] == bytes(r["frame"]) for r in rows)
