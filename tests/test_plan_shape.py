@@ -61,3 +61,31 @@ def test_hot_expressions_stay_in_codegen(spark):
     # '*(n)' prefixes mark WholeStageCodegen spans in toString() form
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_month_partitioned_fact_prunes(spark, tmp_path_factory):
+    """The reference derives year/month string columns
+    (main.py:287-288) — here they are the fact table's physical
+    partition keys, so the nightly month-window queries (P3/P4, C5
+    backfill) touch only the partitions in the window."""
+    p = str(tmp_path_factory.mktemp("fact") / "crashes")
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.concat(F.lit("20"), (F.lit(20) + F.col("id") % 3)).alias("year"),
+        F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0").alias("month"),
+        (F.col("id") % 97).alias("injured"),
+    )
+    df.write.partitionBy("year", "month").mode("overwrite").parquet(p)
+
+    q = spark.read.parquet(p).where(
+        (F.col("year") == "2021") & (F.col("month") == "06")
+    )
+    plan = _executed(q)
+    assert "PartitionFilters" in plan
+    assert "(year = 2021)" in plan.replace("'", "") or "year#" in plan
+    # pruned scan reads 1 of 36 partitions
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    files_read = q.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(p).select(F.input_file_name()).distinct().count()
+    assert files_read < all_files / 10

@@ -1,0 +1,46 @@
+"""Plan-quality gate over the whole query registry: every registered
+query's physical plan is checked for the operators that would break at
+100 TB — accidental nested-loop joins, cartesian products, and
+row-at-a-time Python evaluation.  Exceptions are explicit and
+documented where they are intentional."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_crash_mapper_etl_script_spark import harness
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries where a BroadcastNestedLoopJoin is the *chosen* strategy
+#: (tiny literal dimension with a non-equi predicate; see the
+#: strategy="nlj" docs in operators/spatial_join.py)
+NLJ_OK = {
+    "j6_bbox_containment_join",   # 4 literal cells, range containment
+    "j7_circle_containment_agg",  # 4 literal circles, strategy="nlj"
+    "j2_bbox_sanity_nullout",     # 1-row broadcast extent (scalar box)
+    "p3_p4_watermark_window",     # 1-row broadcast max-ts watermark
+    "sim_bruteforce_topk",        # broadcast query set x corpus: the
+                                  # exact-ANN baseline is a cross join
+                                  # by definition (scale path: sim_lsh)
+}
+
+#: queries that legitimately run vectorized Python (Arrow batches)
+ARROW_OK = {
+    "multimodal_features",
+    "multimodal_frame_sample",
+}
+
+
+@pytest.mark.parametrize("name", sorted(harness.queries()))
+def test_plan_shape(name, spark):
+    df = harness.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: accidental NLJ"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    # row-at-a-time Python is never acceptable
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python stage"
+        assert "MapInPandas" not in plan, f"{name}: unexpected Python stage"
