@@ -1241,6 +1241,21 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=5, num_planes=8)
 
 
+@register("sim_ivf_topk", None)  # approximate path; exact twin is sim_bruteforce_topk
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: nearest-centroid cells probed via EQUI join
+    (hash join touching n_probe/n_cells of the corpus).  Full-probe
+    equivalence to brute force is pinned in
+    tests/test_dedup_similarity.py."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(e, q, k=5, n_cells=8, n_probe=2)
+
+
 @register("multimodal_features", None)  # mapInPandas; rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched feature extraction

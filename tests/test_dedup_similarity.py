@@ -187,3 +187,40 @@ def test_frame_sample(spark, docs):
     again = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
              for r in frame_sample(media, n_frames=4).collect()}
     assert all(again[(r["media_id"], r["frame_idx"])] == bytes(r["frame"]) for r in rows)
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(embeddings):
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import ivf_topk
+
+    q = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in brute_force_topk(embeddings, q, k=5).collect()}
+    # probing every cell degrades IVF to exact search
+    full = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in ivf_topk(embeddings, q, k=5, n_cells=6, n_probe=6).collect()}
+    assert full == exact
+
+
+def test_ivf_topk_partial_probe(embeddings):
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        select_centroids,
+    )
+
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk(embeddings, q, k=3, n_cells=4, n_probe=2).collect()
+    got = [r["vec_id"] for r in out]
+    # query 0's own cell is always probed (cosine(q, centroid) is
+    # maximal for the centroid it's assigned to), and its twin (vec 1,
+    # cosine 1.0 co-directional) assigns to the same cell -> both found
+    assert got[:2] == [0, 1]
+    # partial probe scans fewer candidates than the corpus
+    cents = select_centroids(embeddings, 4)
+    assigned = ivf_assign(embeddings, cents)
+    assert assigned.count() == embeddings.count()
+    assert assigned.select("cell_id").distinct().count() <= 4
