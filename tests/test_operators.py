@@ -388,3 +388,28 @@ def test_filter_to_extent(spark):
     assert out[1]["the_geom"] is not None
     assert out[2]["the_geom"] is None and out[2]["longitude"] is None
     assert out[3]["the_geom"] is None
+
+
+def test_salted_join_matches_plain(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    plain = {(r["rowid"], r["name"]) for r in fact.join(dim, "k").collect()}
+    salted = {(r["rowid"], r["name"])
+              for r in salted_join(fact, dim, "k", n_salts=8).collect()}
+    assert salted == plain
+    # the join key really is (k, salt): both sides carry the salt
+    plan = salted_join(fact, dim, "k", n_salts=8)._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    # left join keeps unmatched skewed rows exactly once
+    dim_missing_hot = dim.where(F.col("k") != 7)
+    left_plain = fact.join(dim_missing_hot, "k", "left").count()
+    left_salted = salted_join(fact, dim_missing_hot, "k", n_salts=8, how="left").count()
+    assert left_salted == left_plain == fact.count()
