@@ -29,7 +29,7 @@ from nyc_crash_mapper_etl_script_spark.functions.datetime_fns import (
     updated_after_created,
 )
 from nyc_crash_mapper_etl_script_spark.functions.arrays import collapse_numbered_columns
-from nyc_crash_mapper_etl_script_spark.functions.geo import haversine_m, haversine_m_exact
+from nyc_crash_mapper_etl_script_spark.functions.geo import haversine_m
 from nyc_crash_mapper_etl_script_spark.functions.text import (
     quality_score,
     whitespace_token_count,

@@ -25,15 +25,9 @@ once, one ``arrays_overlap`` per flag, zero joins in the fact pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nyc_crash_mapper_etl_script_spark.functions.geo import (
-    bbox_contains,
-    point_in_circle_m,
-    point_in_polygon,
-    polygon_bbox,
-)
 from nyc_crash_mapper_etl_script_spark.schemas import CROSSWALK_CODE_TO_KIND
 
 #: fact column written per district family (main.py:408-533); the

@@ -4,7 +4,6 @@ multimodal plumbing."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (

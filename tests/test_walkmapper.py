@@ -10,7 +10,6 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from nyc_crash_mapper_etl_script_spark.plans.walkmapper import (
-    SUMMARY_COLS,
     TARGET_COLS,
     prepare_source,
     sync,
