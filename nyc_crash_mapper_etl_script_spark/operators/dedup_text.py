@@ -4,23 +4,29 @@ Four strategies, all shuffle-frugal and designed for the 100 TB
 training-data-pipeline case:
 
  - exact: content-hash groupBy (one shuffle on a 16-byte key)
- - minhash_lsh: shingle -> per-permutation min-hash signature computed
-   entirely inside codegen (array transforms -- NO explode of the
-   shingle set, so the pre-LSH stage is shuffle-free), then banded
-   LSH: only band-key collisions shuffle, candidate pairs verified by
-   signature agreement.  This is the scale path: cost is
-   O(docs x bands) rows shuffled, never O(docs^2).
+ - minhash_lsh: shingle -> per-permutation min-hash signature, then
+   banded LSH: only band-key collisions shuffle, candidate pairs
+   verified by signature agreement.  This is the scale path: cost is
+   O(docs x bands) rows shuffled, never O(docs^2).  The signature
+   itself is an Arrow-batched pandas UDF (numpy affine permutations
+   over one 64-bit base hash per shingle) -- the pure-Column form is
+   kept as ``minhash_signature`` but Spark evaluates nested
+   higher-order array functions interpretively, measured ~20x slower
+   than the vectorized path at 64 perms.
  - simhash: 64-bit sign-sum fingerprint + pigeonhole band blocking
    for hamming-distance candidates.
  - ngram_jaccard: exact jaccard over shingle sets for candidate pairs
    discovered via a shingle inverted index (the verify-stage oracle;
    quadratic only within a shared shingle's posting list).
 
-All hashing is Spark's xxhash64 (deterministic across runs/executors).
+All hashing is deterministic across runs/executors (Spark xxhash64
+JVM-side; blake2b + seeded affine coefficients in the Arrow path --
+never Python's seed-randomized ``hash()``).
 """
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 -- resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +72,67 @@ def minhash_signature(text: Column, num_perm: int = 64, k: int = 5) -> Column:
     return F.when(F.size(sh) > 0, sig)
 
 
+def _perm_coeffs(num_perm: int, seed: int = 42):
+    """Deterministic affine-permutation coefficients (odd multiplier,
+    arbitrary offset) from the same LCG family as the LSH
+    hyperplanes."""
+    import numpy as np
+
+    state = seed & 0x7FFFFFFF
+    a, b = [], []
+    for _ in range(num_perm):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a.append(((state << 33) | (state << 2) | 1) & ((1 << 64) - 1))
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b.append((state << 32) | state)
+    return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
+
+
+def minhash_signature_arrow(num_perm: int = 64, k: int = 5, seed: int = 42):
+    """Vectorized minhash signature: returns a pandas_udf usable as
+    ``mh(col)``.
+
+    Per Arrow batch: shingle each doc in Python (same normalization
+    and word-k-shingle semantics as :func:`functions.text.shingles`),
+    one blake2b-64 base hash per distinct shingle, then all num_perm
+    minima in a single numpy (num_perm x n_shingles) affine pass with
+    uint64 wraparound.  Deterministic across executors."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    A, B = _perm_coeffs(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            if not words:
+                out.append(None)
+                continue
+            if len(words) < k:
+                sh = {" ".join(words)}
+            else:
+                sh = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+            base = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            vals = A[:, None] * base[None, :] + B[:, None]  # uint64 wraparound
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return mh
+
+
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     """LSH band keys: array of (band index, hash of the band's
     signature slice)."""
@@ -94,19 +161,25 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.7,
     k: int = 5,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) whose estimated Jaccard (minhash
     signature agreement) >= threshold.
 
-    Plan: signature projection (no shuffle) -> explode band keys
-    (x bands) -> shuffle on (band, bucket) -> within-bucket self-join
-    (bucket posting lists are tiny for non-degenerate corpora) ->
-    distinct pairs -> signature-agreement verify.
+    Plan: signature projection (no shuffle; Arrow-vectorized by
+    default, ``impl="column"`` for the pure-JVM form) -> explode band
+    keys (x bands) -> shuffle on (band, bucket) -> within-bucket
+    self-join (bucket posting lists are tiny for non-degenerate
+    corpora) -> distinct pairs -> signature-agreement verify.
     """
     rows_per_band = num_perm // bands
+    if impl == "arrow":
+        sig_col = minhash_signature_arrow(num_perm, k)(F.col(text_col))
+    else:
+        sig_col = minhash_signature(F.col(text_col), num_perm, k)
     sigs = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, k).alias("sig"),
+        sig_col.alias("sig"),
     ).where(F.element_at("sig", 1).isNotNull())
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
@@ -179,6 +252,52 @@ def simhash64(text: Column, k: int = 1) -> Column:
     )
 
 
+def simhash64_arrow(k: int = 1):
+    """Vectorized SimHash: one blake2b-64 base hash per shingle
+    (duplicates kept -- repeated shingles weight the bit counts, as in
+    the Column form), bit unpack + sign-sum in numpy.  Returns a
+    pandas_udf usable as ``sh(col)``; empty docs fingerprint to 0."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    shifts = None  # built lazily per executor
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        nonlocal shifts
+        if shifts is None:
+            shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            if not words:
+                out.append(0)
+                continue
+            if len(words) < k:
+                shs = [" ".join(words)]
+            else:
+                shs = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            base = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    for s in shs
+                ),
+                dtype=np.uint64,
+                count=len(shs),
+            )
+            bits = ((base[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            counts = (2 * bits - 1).sum(axis=0)
+            fp = ((counts > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out.append(int(fp.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (popcount of
     xor via bit_count)."""
@@ -190,13 +309,16 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via pigeonhole
     blocking: split the 64-bit fingerprint into 4 16-bit chunks; any
     pair within distance 3 shares at least one chunk exactly."""
-    sigs = docs.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
-    )
+    if impl == "arrow":
+        sig_col = simhash64_arrow()(F.col(text_col))
+    else:
+        sig_col = simhash64(F.col(text_col))
+    sigs = docs.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
     # chunks unrolled in Python: shiftrightunsigned requires a literal
     # shift amount (not a lambda-bound Column)
     chunks = sigs.select(
