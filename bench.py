@@ -33,7 +33,11 @@ HEADLINE = [
     "c2_tally_reconcile",
     "c3_geom_reconcile",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "text_quality",
+    "multimodal_features",
 ]
 
 
