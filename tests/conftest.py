@@ -11,7 +11,8 @@ from pyspark.sql import SparkSession
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     s = (
         SparkSession.builder.master("local[4]")
         .appName("tests")
@@ -19,6 +20,7 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     yield s

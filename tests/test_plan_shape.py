@@ -89,3 +89,34 @@ def test_month_partitioned_fact_prunes(spark, tmp_path_factory):
     files_read = q.select(F.input_file_name()).distinct().count()
     all_files = spark.read.parquet(p).select(F.input_file_name()).distinct().count()
     assert files_read < all_files / 10
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join (SURVEY §4 'bucketing for co-located joins'):
+    two tables bucketed on the join key by the same bucket count join
+    with NO Exchange on either side — the shuffle is paid once at
+    write time, then every downstream join of the pair is free.  At
+    100 TB this is the difference between re-shuffling the fact table
+    per enrichment pass and scanning it in place."""
+    spark.sql("DROP TABLE IF EXISTS fact_b")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
+    spark.range(10000).select(
+        F.col("id"), (F.col("id") % 200).alias("k"), (F.col("id") % 7).alias("v")
+    ).write.bucketBy(8, "k").sortBy("k").saveAsTable("fact_b")
+    spark.range(200).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    ).write.bucketBy(8, "k").saveAsTable("dim_b")
+
+    fact = spark.table("fact_b")
+    dim = spark.table("dim_b")
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fact.join(dim.hint("shuffle_merge"), "k")
+        plan = _executed(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS fact_b")
+        spark.sql("DROP TABLE IF EXISTS dim_b")
