@@ -1,0 +1,122 @@
+"""Property-based invariants (hypothesis) for the operators whose
+correctness is a conservation law rather than a fixed expectation.
+
+Each example generates a whole batch of rows and runs one Spark job,
+so example counts stay small but row coverage is wide."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.operators.blame import (
+    BY_VEHICLE,
+    allocate_blame,
+)
+from nyc_crash_mapper_etl_script_spark.operators.cdc import classify
+
+FLAGS = [
+    "hasvehicle_bicycle",
+    "hasvehicle_scooter",
+    "hasvehicle_motorcycle",
+    "hasvehicle_busvan",
+    "hasvehicle_car",
+    "hasvehicle_suv",
+    "hasvehicle_truck",
+    "hasvehicle_other",
+]
+TALLIES = [
+    "number_of_cyclist_injured",
+    "number_of_cyclist_killed",
+    "number_of_motorist_injured",
+    "number_of_motorist_killed",
+    "number_of_pedestrian_injured",
+    "number_of_pedestrian_killed",
+]
+
+blame_row = st.tuples(
+    st.tuples(*[st.one_of(st.none(), st.booleans()) for _ in FLAGS]),
+    st.tuples(*[st.integers(min_value=0, max_value=5) for _ in TALLIES]),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(blame_row, min_size=1, max_size=25))
+def test_blame_spread_conserves_tallies(spark, rows):
+    """For every mode and outcome, the 8-way by-vehicle spread sums
+    back to the raw tally (the blame factor is 1/#open-gates and each
+    open gate receives the full allocated value) -- the conservation
+    law behind main.py:650-790."""
+    data = [
+        (i, *flags, *tallies) for i, (flags, tallies) in enumerate(rows)
+    ]
+    schema = (
+        "rid long, "
+        + ", ".join(f"{f} boolean" for f in FLAGS)
+        + ", "
+        + ", ".join(f"{t} int" for t in TALLIES)
+    )
+    df = allocate_blame(spark.createDataFrame(data, schema), only_null=False)
+    checks = []
+    for mode, src in [
+        ("cyclist", F.col("number_of_cyclist_{o}")),
+        ("motorist", F.col("number_of_motorist_{o}")),
+        ("pedestrian", F.col("number_of_pedestrian_{o}")),
+    ]:
+        for outcome in ["injured", "killed"]:
+            total = sum(
+                (F.col(f"{mode}_{outcome}_by{veh}") for veh in list(BY_VEHICLE)[1:]),
+                F.col(f"{mode}_{outcome}_by{list(BY_VEHICLE)[0]}"),
+            )
+            tally = F.col(f"number_of_{mode}_{outcome}").cast("double")
+            checks.append(
+                F.max(F.abs(total - tally)).alias(f"{mode}_{outcome}")
+            )
+    worst = df.agg(*checks).first()
+    for name, err in worst.asDict().items():
+        assert err is not None and err < 1e-9, (name, err)
+
+
+cdc_universe = st.dictionaries(
+    st.integers(min_value=0, max_value=40),
+    st.tuples(st.booleans(), st.booleans(), st.booleans(), st.booleans()),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(universe=cdc_universe)
+def test_cdc_classify_partitions_keys(spark, universe):
+    """classify() assigns exactly the reference's classes
+    (walkmapper/mysql2carto.py:203-248): insert = src-only non-tombstone,
+    update = both sides and fingerprint differs, skip = both sides and
+    equal, delete = tombstoned src row present in target."""
+    src_rows, tgt_rows, expect = [], [], {}
+    for k, (in_src, in_tgt, changed, tomb) in universe.items():
+        if in_tgt:
+            tgt_rows.append((k, f"v{k}"))
+        if in_src:
+            src_rows.append((k, f"w{k}" if changed else f"v{k}", tomb))
+            if tomb:
+                # tombstone never synced -> skip (the reference only
+                # issues DELETEs for rows present in the target,
+                # mysql2carto.py:221-241)
+                expect[k] = "delete" if in_tgt else "skip"
+            elif not in_tgt:
+                expect[k] = "insert"
+            else:
+                expect[k] = "update" if changed else "skip"
+    if not src_rows:
+        return
+    src = spark.createDataFrame(src_rows, "k long, payload string, tomb boolean")
+    tgt = spark.createDataFrame(tgt_rows or [(-(10 ** 9), "none")], "k long, payload string")
+    got = {
+        r["k"]: r["cdc_class"]
+        for r in classify(src, tgt, "k", ["payload"], is_delete=F.col("tomb")).collect()
+    }
+    for k, cls in expect.items():
+        assert got.get(k) == cls, (k, cls, got.get(k))
