@@ -1277,6 +1277,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ingest_check",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           sha256(coalesce(text, '')) AS payload_sha,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the multimodal feature pass: the
+    mapInPandas pipeline's id/kind/content-hash/byte-length columns
+    verified value-by-value against DuckDB (the stubbed feature floats
+    themselves are covered by determinism tests)."""
+    from nyc_crash_mapper_etl_script_spark.operators.multimodal import (
+        extract_features,
+        make_media_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(make_media_table(d)).select(
+        "media_id", "kind", "payload_sha", "n_bytes"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH media AS (

@@ -32,6 +32,7 @@ NLJ_OK = {
 ARROW_OK = {
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_ingest_check",
     "dedup_minhash_lsh",  # numpy minhash (HOF Column form measured ~13x slower)
     "dedup_simhash",      # numpy simhash, same rationale
 }
