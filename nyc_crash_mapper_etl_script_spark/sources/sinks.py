@@ -56,3 +56,28 @@ def write_csv(df: DataFrame, path: str, order_by: list[str] | None = None) -> No
     ORDER BY before export, findgeomupdates/1a:15)."""
     out = df.orderBy(*order_by) if order_by else df
     out.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def compact(spark, path: str, target_mb: int = 128) -> int:
+    """VACUUM FULL analog (main.py:1105-1107, fixtallies/2:67-71):
+    rewrite a parquet table into ~target_mb files.  The reference
+    vacuums because MVCC updates bloat pages; here the bloat source
+    is small appended files from incremental merges (S7/S8), and the
+    fix is the same idea — rewrite storage, contents unchanged.
+
+    Local-FS implementation writes alongside then swaps; on object
+    storage use a table format's OPTIMIZE/rewrite action instead.
+    Returns the new file count."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(f.replace("file:", "")) for f in df.inputFiles()
+    )
+    n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

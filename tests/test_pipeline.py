@@ -277,3 +277,22 @@ def test_overwrite_view(spark, tmp_path_factory):
     assert spark.read.parquet(p).count() == 10
     overwrite_view(spark.range(3).toDF("n"), p)
     assert spark.read.parquet(p).count() == 3
+
+
+def test_compact_rewrites_small_files(spark, tmp_path_factory):
+    from nyc_crash_mapper_etl_script_spark.sources.sinks import compact
+
+    p = str(tmp_path_factory.mktemp("compact") / "t")
+    base = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    base.write.parquet(p)
+    # simulate many tiny incremental appends
+    for i in range(5):
+        spark.range(1000 + i * 10, 1000 + (i + 1) * 10).select(
+            F.col("id"), (F.col("id") % 5).alias("v")
+        ).repartition(4).write.mode("append").parquet(p)
+    before_files = len(spark.read.parquet(p).inputFiles())
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    n = compact(spark, p)
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before            # contents unchanged
+    assert len(spark.read.parquet(p).inputFiles()) == n < before_files
