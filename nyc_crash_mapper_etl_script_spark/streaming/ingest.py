@@ -6,19 +6,19 @@ The reference emulates a stream with cron + a 2-month lookback window
 
     readStream(feed dir, SODA schema)
       -> normalize (same codegen pass as batch -- ONE code path)
-      -> withWatermark(date_val, 60 days)     # the lookback window
-      -> dropDuplicates([socrata_id])         # the anti-join
-      -> foreachBatch(append_merge)           # idempotent sink
+      -> foreachBatch: in-batch dropDuplicates
+                       + anti-join merge vs the on-disk table
+                       + reconcile path for already-present keys
 
-``foreachBatch`` re-checks against the on-disk table, so replayed
-micro-batches stay exactly-once even across restarts (watermark state
-only bounds the in-memory dedup map).
-
-Late tally/geom updates (C2/C3) are the same stream observed with
-``update`` semantics: rows whose socrata_id already exists flow to
-the reconcile path instead of insert -- handled inside the same
-foreachBatch via the batch operators (merge-vs-update classification
-is one anti-join).
+Exactly-once comes from the sink's idempotent anti-join merge (a
+replayed micro-batch appends 0 rows), NOT from stream-level
+``dropDuplicatesWithinWatermark`` -- that would swallow replayed keys
+in state *before* the sink sees them, making the late-update
+reconcile path (C2/C3) unreachable.  Rows whose socrata_id already
+exists are exactly the updates: they flow to tally reconciliation
+inside the same foreachBatch (merge-vs-update classification is one
+anti-join).  Stream-level keyed state is showcased where it is the
+right tool: streaming/stateful.py.
 """
 
 from __future__ import annotations
@@ -39,7 +39,6 @@ def stream_ingest(
     feed_dir: str,
     target_path: str,
     checkpoint_dir: str,
-    watermark: str = "60 days",
     reconcile_tallies: bool = True,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
@@ -50,14 +49,11 @@ def stream_ingest(
     and incremental via the checkpoint.  Set False for a continuous
     micro-batch run."""
     raw = spark.readStream.schema(SODA_FEED_SCHEMA).json(feed_dir)
-    normalized = (
-        normalize_soda_feed(raw)
-        .withWatermark("date_val", watermark)
-        .dropDuplicatesWithinWatermark(["socrata_id"])
-    )
+    normalized = normalize_soda_feed(raw)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        batch = batch.dropDuplicates(["socrata_id"])  # in-batch collapse
         try:
             existing = s.read.parquet(target_path)
         except Exception:  # first batch: table does not exist yet

@@ -296,3 +296,40 @@ def test_compact_rewrites_small_files(spark, tmp_path_factory):
     after = {tuple(r) for r in spark.read.parquet(p).collect()}
     assert after == before            # contents unchanged
     assert len(spark.read.parquet(p).inputFiles()) == n < before_files
+
+
+def test_streaming_ingest_reconciles_tallies(spark, tmp_path_factory):
+    """C2 on the stream: a replayed row whose tallies changed flows to
+    the reconcile path and the repaired snapshot lands beside the
+    target (the foreachBatch merge-vs-update classification)."""
+    from nyc_crash_mapper_etl_script_spark.streaming.ingest import stream_ingest
+
+    root = tmp_path_factory.mktemp("stream_rec")
+    feed_dir = root / "feed"
+    feed_dir.mkdir()
+    target = str(root / "target")
+
+    with open(feed_dir / "b1.jsonl", "w") as f:
+        for r in _feed_rows():
+            f.write(json.dumps(r) + "\n")
+    q = stream_ingest(spark, str(feed_dir), target, str(root / "ckpt"),
+                      reconcile_tallies=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 4
+
+    # replay row 101 with a bumped pedestrian tally
+    upd = dict(_feed_rows()[0])
+    upd["number_of_pedestrians_injured"] = "7"
+    upd["number_of_persons_injured"] = "7"
+    with open(feed_dir / "b2.jsonl", "w") as f:
+        f.write(json.dumps(upd) + "\n")
+    q2 = stream_ingest(spark, str(feed_dir), target, str(root / "ckpt"),
+                       reconcile_tallies=True)
+    q2.awaitTermination(120)
+
+    # no duplicate insert...
+    assert spark.read.parquet(target).count() == 4
+    # ...and the repaired snapshot carries the new tally for 101
+    repaired = spark.read.parquet(target + "__repair")
+    r101 = {r["socrata_id"]: r for r in repaired.collect()}[101]
+    assert r101["number_of_pedestrian_injured"] == 7
