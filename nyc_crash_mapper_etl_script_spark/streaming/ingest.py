@@ -61,15 +61,28 @@ def stream_ingest(
             return
         from nyc_crash_mapper_etl_script_spark.operators.dedup_merge import new_rows
 
-        fresh = new_rows(batch, existing, "socrata_id")
+        # localCheckpoint pins the insert/update split BEFORE any
+        # write: both sides are micro-batch sized, and without it the
+        # lazy anti-join would re-evaluate against the just-appended
+        # table (fresh would turn empty mid-sink)
+        fresh = new_rows(batch, existing, "socrata_id").localCheckpoint()
         fresh.write.mode("append").parquet(target_path)
         if reconcile_tallies:
             # updated rows (key already present): C2 tally reconcile
-            updated = batch.join(fresh, "socrata_id", "left_anti")
-            mismatches = tally_mismatches(updated, existing, "socrata_id")
+            updated = batch.join(fresh, "socrata_id", "left_anti").localCheckpoint()
+            merged = s.read.parquet(target_path)  # post-append snapshot
+            mismatches = tally_mismatches(updated, merged, "socrata_id")
             if mismatches.limit(1).count():
-                repaired = apply_tally_updates(existing, mismatches, "socrata_id")
-                repaired.write.mode("overwrite").parquet(target_path + "__repair")
+                import os
+                import shutil
+
+                repaired = apply_tally_updates(merged, mismatches, "socrata_id")
+                # write-aside + swap (local FS; on object storage use a
+                # table format's transactional rewrite)
+                tmp = target_path.rstrip("/") + "__repairing"
+                repaired.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(target_path)
+                os.rename(tmp, target_path)
 
     writer = normalized.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -327,9 +327,8 @@ def test_streaming_ingest_reconciles_tallies(spark, tmp_path_factory):
                        reconcile_tallies=True)
     q2.awaitTermination(120)
 
-    # no duplicate insert...
-    assert spark.read.parquet(target).count() == 4
-    # ...and the repaired snapshot carries the new tally for 101
-    repaired = spark.read.parquet(target + "__repair")
-    r101 = {r["socrata_id"]: r for r in repaired.collect()}[101]
+    # no duplicate insert, and the target itself carries the repair
+    got = spark.read.parquet(target)
+    assert got.count() == 4
+    r101 = {r["socrata_id"]: r for r in got.collect()}[101]
     assert r101["number_of_pedestrian_injured"] == 7
