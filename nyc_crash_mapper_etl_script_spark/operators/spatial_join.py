@@ -101,6 +101,12 @@ def points_in_polygons(
     with the cheap bbox conjunct first, which beats the grid's
     explode+probe overhead when the caller statically knows the
     dimension is a handful of geometries.
+
+    The exact ray-cast stays a Column predicate inside the join: an
+    Arrow post-join filter was measured 2x SLOWER end-to-end (every
+    candidate row pays polygon-array serialization into Python,
+    dwarfing the interpreted-HOF cost it saves) — see
+    tests/test_spatial_join.py for the parity suite.
     """
     pt = F.col(f"p.{point_col}")
     boxed = polygons.withColumn("__bbox", polygon_bbox(F.col(polygon_col)))

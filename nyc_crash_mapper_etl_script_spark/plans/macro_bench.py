@@ -1,0 +1,159 @@
+"""Nightly-pipeline macro benchmark: the reference's full main() DAG
+(ingest-normalize -> dedup-merge -> extent filter -> district linkage
+-> vehicle flags -> blame allocation -> intersection tallies ->
+top-k) over a crash-shaped workload synthesized deterministically
+from the harness `events` table.
+
+This is the apples-to-apples throughput claim: the reference runs
+this workload through chunked HTTP statements (50-row inserts,
+1 q/s updates, ~15 min blame passes; BASELINE.md); here it is one
+Spark job graph.  At sf0.1 that is ~600k feed rows against 14
+district polygons, 200 intersection circles and an 8-entry crosswalk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.plans.nightly import run_nightly
+from nyc_crash_mapper_etl_script_spark.schemas import CRASHES_SCHEMA, load_table
+
+#: vehicle text seen in the synthetic feed -> canonical code
+_CROSSWALK = [
+    ("Sedan", "CAR"),
+    ("Station Wagon/Sport Utility Vehicle", "SUV"),
+    ("Pick-up Truck", "TRUCK"),
+    ("Bike", "BICYCLE"),
+    ("Motorcycle", "MOTORCYCLE-MOPED"),
+    ("E-Scooter", "E-BIKE-SCOOT"),
+    ("Bus", "BUS-VAN"),
+    ("Garbage or Refuse", "OTHER"),
+]
+_VEHICLES = [v for v, _ in _CROSSWALK]
+
+
+def synth_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> SODA-feed-shaped rows (all strings, quirks included):
+    coords spread over [0,4)x[0,2) degrees, ~5% missing coordinates,
+    plural pedestrians columns, numbered vehicle-type columns."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    has_geo = eid % 20 != 0
+    veh = F.element_at(
+        F.array(*[F.lit(v) for v in _VEHICLES]), (eid % 8 + 1).cast("int")
+    )
+    veh2 = F.when(
+        eid % 3 == 0,
+        F.element_at(F.array(*[F.lit(v) for v in _VEHICLES]), (eid % 5 + 1).cast("int")),
+    )
+    t = lambda c: c.cast("int").cast("string")  # noqa: E731
+    v = F.round(F.col("value")).cast("int")
+    return ev.select(
+        eid.cast("string").alias("collision_id"),
+        F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit("T00:00:00.000")).alias(
+            "crash_date"
+        ),
+        F.date_format("ts", "H:mm").alias("crash_time"),
+        F.when(has_geo, ((eid % 1000) / 500.0).cast("string")).alias("latitude"),
+        F.when(has_geo, (((eid * 7) % 1000) / 250.0).cast("string")).alias("longitude"),
+        F.concat(F.lit("  STREET "), (eid % 500).cast("string"), F.lit("  ")).alias(
+            "on_street_name"
+        ),
+        F.lit(None).cast("string").alias("off_street_name"),
+        F.lit(None).cast("string").alias("cross_street_name"),
+        F.lit("11201").alias("zip_code"),
+        F.lit("").alias("borough"),
+        t(v % 3).alias("number_of_motorist_injured"),
+        t(F.when(eid % 50 == 0, 1).otherwise(0)).alias("number_of_motorist_killed"),
+        t(F.when(eid % 4 == 0, 1).otherwise(0)).alias("number_of_cyclist_injured"),
+        t(F.lit(0)).alias("number_of_cyclist_killed"),
+        t(v % 2).alias("number_of_pedestrians_injured"),
+        t(F.when(eid % 100 == 0, 1).otherwise(0)).alias("number_of_pedestrians_killed"),
+        # persons totals deliberately missing for 1 in 7 (A6 reconstruction)
+        F.when(eid % 7 != 0, t(v % 3 + v % 2)).alias("number_of_persons_injured"),
+        F.when(eid % 7 != 0, t(F.lit(0))).alias("number_of_persons_killed"),
+        F.lit("Driver Inattention, Unsafe Speed").alias("contributing_factor_vehicle_1"),
+        F.lit(None).cast("string").alias("contributing_factor_vehicle_2"),
+        F.lit(None).cast("string").alias("contributing_factor_vehicle_3"),
+        F.lit(None).cast("string").alias("contributing_factor_vehicle_4"),
+        F.lit(None).cast("string").alias("contributing_factor_vehicle_5"),
+        veh.alias("vehicle_type_code1"),
+        veh2.alias("vehicle_type_code2"),
+        F.lit(None).cast("string").alias("vehicle_type_code_3"),
+        F.lit(None).cast("string").alias("vehicle_type_code_4"),
+        F.lit(None).cast("string").alias("vehicle_type_code_5"),
+        F.col("ts").alias("created_at"),
+        F.col("ts").alias("updated_at"),
+    )
+
+
+def synth_dims(spark: SparkSession):
+    """District rectangles tiling [0,4)x[0,2) for three district
+    kinds (borough 2x2, community_board 4x2, nypd_precinct 8x4 = 44
+    polygons), a 20x10 grid of intersection circles, and the
+    crosswalk."""
+    def ring(x0, y0, x1, y1):
+        return [
+            {"x": x0, "y": y0}, {"x": x1, "y": y0},
+            {"x": x1, "y": y1}, {"x": x0, "y": y1},
+        ]
+
+    rows = []
+    for kind, nx, ny, numeric in [
+        ("borough", 2, 2, False),        # text identifiers
+        ("community_board", 4, 2, True), # int-typed in the warehouse
+        ("nypd_precinct", 8, 4, True),   # (identifier::int, main.py:528)
+    ]:
+        for i in range(nx):
+            for j in range(ny):
+                ident = str(100 * i + j) if numeric else f"{kind[:2]}-{i}-{j}"
+                rows.append(
+                    {
+                        "kind": kind,
+                        "identifier": ident,
+                        "the_geom": ring(4.0 * i / nx, 2.0 * j / ny,
+                                         4.0 * (i + 1) / nx, 2.0 * (j + 1) / ny),
+                    }
+                )
+    districts = spark.createDataFrame(
+        rows,
+        "kind string, identifier string, "
+        "the_geom array<struct<x:double,y:double>>",
+    )
+    circles = [
+        (100 + 10 * i + j,
+         f"int-{i}-{j}",
+         "syn",
+         ((0.1 + i * 0.2, 0.1 + j * 0.2), 8000.0),
+         None)
+        for i in range(20)
+        for j in range(10)
+    ]
+    intersections = spark.createDataFrame(
+        circles,
+        ("cartodb_id long, name string, borough string, "
+         "the_geom struct<center:struct<lng:double,lat:double>,radius_m:double>, "
+         "crashcount int"),
+    )
+    crosswalk = spark.createDataFrame(
+        _CROSSWALK, "nyc_vehicletype string, crashmapper_vehicletype string"
+    )
+    return districts, intersections, crosswalk
+
+
+def nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full nightly DAG at harness scale; returns the enriched
+    fact table (act on it to execute the whole graph)."""
+    feed = synth_feed(spark, sf_dir)
+    districts, intersections, crosswalk = synth_dims(spark)
+    empty = spark.createDataFrame([], CRASHES_SCHEMA)
+    out = run_nightly(
+        feed,
+        empty,
+        districts,
+        intersections,
+        crosswalk,
+        months_window=None,
+    )
+    return out["crashes"]

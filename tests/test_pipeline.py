@@ -332,3 +332,21 @@ def test_streaming_ingest_reconciles_tallies(spark, tmp_path_factory):
     assert got.count() == 4
     r101 = {r["socrata_id"]: r for r in got.collect()}[101]
     assert r101["number_of_pedestrian_injured"] == 7
+
+
+def test_macro_bench_nightly_e2e(spark):
+    """The synthesized macro workload runs the whole DAG and produces
+    enriched rows: every geo-coded crash gets its districts, flags,
+    and blame columns."""
+    from nyc_crash_mapper_etl_script_spark.plans.macro_bench import nightly_e2e
+
+    out = nightly_e2e(spark, "/root/testdata/sf0.001")
+    rows = out.where(F.col("the_geom").isNotNull()).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["borough"] is not None          # pip linkage hit
+        assert r["nypd_precinct"] is not None    # int-typed kind too
+        assert r["blame_factor"] is not None and r["blame_factor"] > 0
+    total = out.count()
+    geo = out.where(F.col("the_geom").isNotNull()).count()
+    assert total > geo > 0.9 * total * 0.95  # ~5% geo-less quirk rows
