@@ -46,12 +46,34 @@ from nyc_crash_mapper_etl_script_spark.operators.topk import top_k
 
 
 def assign_serial_ids(fresh: DataFrame, existing: DataFrame, key: str = "cartodb_id") -> DataFrame:
-    """Serial-PK analog for new rows: continue from max(existing).
-    Deterministic (ordered by socrata_id), one tiny shuffle of the
-    new batch only."""
+    """Serial-PK analog for new rows: continue from max(existing),
+    ids dense and ordered by socrata_id.
+
+    Scalable two-phase rank (no single-task global window): range-
+    partition by socrata_id, rank locally inside each range, then add
+    the broadcast cumulative count of the ranges before it.  Because
+    ranges are ordered and socrata_id is unique, local_rank + offset
+    IS the global rank no matter where the sampled range boundaries
+    fall, so the ids are deterministic while every task holds only its
+    own slice of the batch."""
     start = (existing.agg(F.coalesce(F.max(key), F.lit(0)).alias("mx"))).first()["mx"]
-    w = Window.orderBy("socrata_id")
-    return fresh.withColumn(key, (F.row_number().over(w) + F.lit(start)).cast("long"))
+    ranged = fresh.repartitionByRange("socrata_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("socrata_id")
+    local = ranged.withColumn("__rn", F.row_number().over(w))
+    prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(prior), F.lit(0)))
+        .drop("__cnt")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(key, (F.col("__rn") + F.col("__off") + F.lit(start)).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def run_nightly(
