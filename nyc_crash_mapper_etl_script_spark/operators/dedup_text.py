@@ -168,9 +168,15 @@ def minhash_near_duplicates(
 
     Plan: signature projection (no shuffle; Arrow-vectorized by
     default, ``impl="column"`` for the pure-JVM form) -> explode band
-    keys (x bands) -> shuffle on (band, bucket) -> within-bucket
-    self-join (bucket posting lists are tiny for non-degenerate
-    corpora) -> distinct pairs -> signature-agreement verify.
+    keys (x bands) -> ONE shuffle on (band, bucket) -> per-bucket
+    posting list (sorted by id, so emitted pairs are id-ordered) ->
+    in-bucket pair expansion + signature-agreement verify -> distinct
+    on the NARROW (id_a, id_b, est) rows.
+
+    vs. the textbook banded self-join: the signature subtree (a
+    Python-worker pandas UDF) appears once in the plan instead of on
+    both join sides, and the pair-dedup shuffle carries ~30 bytes/row
+    instead of two full num_perm x 8-byte signatures.
     """
     rows_per_band = num_perm // bands
     if impl == "arrow":
@@ -184,33 +190,42 @@ def minhash_near_duplicates(
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
-            "inner",
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    members = (
+        banded.groupBy("bk")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    # all (i < j) pairs of the posting list; HOF volume is tiny (lists
+    # are a handful of docs for non-degenerate corpora)
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("pr")
     )
     agree = F.size(
         F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            F.zip_with(F.col("pr.a.sig"), F.col("pr.b.sig"), lambda x, y: x == y),
             lambda v: v,
         )
     )
     return (
-        cand.withColumn(
-            "est_jaccard", F.round(agree.cast("double") / F.lit(float(num_perm)), 6)
+        pairs.select(
+            F.col("pr.a.id").alias("id_a"),
+            F.col("pr.b.id").alias("id_b"),
+            F.round(agree.cast("double") / F.lit(float(num_perm)), 6).alias(
+                "est_jaccard"
+            ),
         )
-        .drop("sig_a", "sig_b")
         .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

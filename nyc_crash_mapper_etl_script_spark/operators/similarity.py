@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401 -- resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -176,23 +177,43 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (argmax
-    cosine, ties to the smallest cell_id): one broadcast of the tiny
-    centroid set, one codegen scoring pass, one hash aggregate.
-    At 100 TB, write the corpus partitioned/bucketed by ``cell_id``
-    so probes become partition-pruned scans."""
-    scored = corpus.alias("c").join(F.broadcast(centroids)).select(
-        F.col(f"c.{id_col}").alias(id_col),
-        F.col(f"c.{vec_col}").alias(vec_col),
-        F.col("cell_id"),
-        cosine(F.col(f"c.{vec_col}"), F.col("cv")).alias("__sim"),
-    )
-    best = F.max(
-        F.struct(F.col("__sim"), (-F.col("cell_id")).alias("__neg"))
-    )["__neg"]
-    return (
-        scored.groupBy(id_col)
-        .agg((-best).alias("cell_id"), F.first(vec_col).alias(vec_col))
-        .select(id_col, vec_col, F.col("cell_id").cast("int").alias("cell_id"))
+    cosine, ties to the smallest cell_id) as a pure MAP: the centroid
+    set is tiny by construction, so it is collected once and closed
+    over by an Arrow-batched UDF that does one (batch x dim) @
+    (dim x cells) matmul per batch.  ZERO shuffles -- the previous
+    broadcast-join + groupBy-argmax form re-shuffled the entire
+    corpus (embeddings included) just to pick a max, which is the
+    exact pattern that dies at 100 TB.  Write the result partitioned/
+    bucketed by ``cell_id`` so probes become partition-pruned scans.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = centroids.orderBy("cell_id").collect()
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int32)
+    dim = C.shape[1]
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        M = np.array(
+            [v if v is not None else [0.0] * dim for v in vecs], dtype=np.float64
+        )
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = (M / norms) @ Cn.T
+        # argmax returns the FIRST max -> ties break to smallest cell
+        return pd.Series(cell_ids[np.argmax(sims, axis=1)])
+
+    # the UDF is deterministic, but telling Catalyst so lets it clone
+    # the call into the downstream join's null-filter -> two Python
+    # evaluations per row; nondeterministic pins a single evaluation
+    nearest = nearest.asNondeterministic()
+
+    return corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        nearest(F.col(vec_col)).alias("cell_id"),
     )
 
 
