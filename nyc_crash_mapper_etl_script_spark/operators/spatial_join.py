@@ -64,18 +64,52 @@ def bbox_cells(box: Column, cell_deg: float) -> Column:
     )
 
 
+#: target total dimension-side (geometry, cell) rows for the
+#: budget-sized grid -- small enough to broadcast, large enough that
+#: cells stay fine-grained for mixed-scale dimension layers
+_CELL_BUDGET = 65536
+
+
 def _adaptive_cell(geoms: DataFrame, floor_deg: float) -> float:
-    """Cell size >= the largest geometry bbox edge, so every geometry
-    lands in at most 4 cells.  One tiny driver action on the
-    DIMENSION side only (never the fact table); a fixed-size grid
-    with mixed geometry scales would otherwise explode a 4-degree
-    polygon into thousands of cells."""
+    """Pick the cell size from the dimension's bbox statistics: the
+    SMALLEST cell whose total (geometry x overlapped-cells) fan-out
+    stays within ``_CELL_BUDGET`` rows.
+
+    Sizing to the largest geometry edge (the obvious rule) collapses
+    for layered dimensions of mixed scale -- one borough-sized polygon
+    forces borough-sized cells, so every cell holds a geometry from
+    EVERY layer and each fact row pays an exact pip test per layer.
+    Small cells keep ~one candidate per layer; correctness never
+    depends on the size because bbox_cells enumerates every overlapped
+    cell.  Expected fan-out for cell c: sum_i (dx_i/c + 1)(dy_i/c + 1)
+    = A/c^2 + B/c + n with A = sum dx*dy, B = sum (dx+dy); solve the
+    quadratic for the budget.  One tiny driver action on the DIMENSION
+    side only (never the fact table)."""
     row = geoms.agg(
+        F.sum(
+            (F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"])
+            * (F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"])
+        ).alias("a"),
+        F.sum(
+            (F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"])
+            + (F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"])
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n"),
         F.max(F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"]).alias("dx"),
         F.max(F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"]).alias("dy"),
     ).first()
-    biggest = max(row["dx"] or 0.0, row["dy"] or 0.0)
-    return max(floor_deg, biggest * 1.001)
+    a, b, n = row["a"] or 0.0, row["b"] or 0.0, row["n"] or 0
+    slack = _CELL_BUDGET - n
+    if slack <= 0 or (a <= 0.0 and b <= 0.0):
+        # degenerate: point-like geoms, or more geoms than budget ->
+        # fall back to the coarse largest-edge rule (<=4 cells each)
+        biggest = max(row["dx"] or 0.0, row["dy"] or 0.0)
+        return max(floor_deg, biggest * 1.001)
+    if a > 0.0:
+        inv_c = (-b + (b * b + 4.0 * a * slack) ** 0.5) / (2.0 * a)
+    else:
+        inv_c = slack / b
+    return max(floor_deg, 1.0 / inv_c if inv_c > 0 else floor_deg)
 
 
 def points_in_polygons(
