@@ -1168,27 +1168,115 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=5, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", None)  # xxhash64 not oracle-expressible
+def _minhash_md5_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """Full-value DuckDB twin of the banded-LSH minhash dedup: the
+    md5 hash family (``md5_number_upper`` == first 8 md5 bytes
+    little-endian) with 32-bit affine multipliers keeps every
+    permutation inside HUGEINT, so the oracle reproduces signatures,
+    band buckets, candidate pairs, AND estimated jaccards exactly."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import perm_coeffs_md5
+
+    a, b = perm_coeffs_md5(num_perm)
+    rpb = num_perm // bands
+    perm_rows = ", ".join(f"({p}, {a[p]}, {b[p]})" for p in range(num_perm))
+    return (
+        _SHINGLE_SQL
+        + f"""
+    , perms(p, a, b) AS (VALUES {perm_rows}),
+    minh AS (
+      SELECT doc_id, p,
+             min(CAST((CAST(a AS HUGEINT) * CAST(md5_number_upper(sh) AS HUGEINT)
+                       + CAST(b AS HUGEINT)) % 18446744073709551616 AS UBIGINT)) AS mv
+      FROM tok CROSS JOIN perms
+      GROUP BY doc_id, p
+    ),
+    sigs AS (SELECT doc_id, list(mv ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+    bandkeys AS (
+      SELECT doc_id, p // {rpb} AS band,
+             string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS bkey
+      FROM minh GROUP BY doc_id, p // {rpb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b,
+             round(len([i FOR i IN range(1, {num_perm + 1})
+                        IF sa.sig[i] = sb.sig[i]]) / {num_perm}.0, 6) AS est_jaccard
+      FROM cand
+      JOIN sigs sa ON id_a = sa.doc_id
+      JOIN sigs sb ON id_b = sb.doc_id
+    ) WHERE est_jaccard >= {threshold}
+    """
+    )
+
+
+@register("dedup_minhash_lsh", _minhash_md5_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (64 perms, 16 bands); verified
-    against exact jaccard in tests/test_dedup_text.py."""
+    """MinHash+LSH near-dup candidates (64 perms, 16 bands), md5 hash
+    family: the DuckDB twin replays signatures and banding exactly
+    (same affine perms over the same base hash).  Also verified
+    against exact jaccard in tests/test_dedup_similarity.py."""
     from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
         minhash_near_duplicates,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, num_perm=64, bands=16, threshold=0.5)
+    return minhash_near_duplicates(
+        d, num_perm=64, bands=16, threshold=0.5, base_hash="md5"
+    )
 
 
-@register("dedup_simhash", None)  # xxhash64 not oracle-expressible
+_SIMHASH_MD5_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ((md5_number_upper(t) >> CAST(b AS INT)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS cnt
+      FROM tok CROSS JOIN range(64) r(b)
+      GROUP BY doc_id, b
+    ),
+    fp0 AS (
+      SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN cnt > 0
+                                    THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INT)
+                                              AS HUGEINT) END), 0)
+                  AS UBIGINT) AS fp
+      FROM bits GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT d.doc_id, coalesce(f.fp, CAST(0 AS UBIGINT)) AS fp
+      FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 6
+    """
+
+
+@register("dedup_simhash", _SIMHASH_MD5_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole chunk blocking."""
+    """SimHash near-dup pairs, md5 hash family.  Spark blocks with
+    max_hamming+1 pigeonhole chunks (FULL recall at the threshold),
+    so the oracle's exhaustive all-pairs scan yields the identical
+    pair set -- blocking is a pure optimization, not a semantic."""
     from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
         simhash_near_duplicates,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=6)
+    return simhash_near_duplicates(d, max_hamming=6, base_hash="md5")
 
 
 def _plane_sql(plane: list[float]) -> str:
@@ -1229,9 +1317,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(e, dim=64, threshold=0.4, num_planes=6, seed=42)
 
 
-@register("sim_lsh_topk", None)  # approximate path; exact twin is sim_bruteforce_topk
+def _lsh_topk_sql(k: int = 5, num_planes: int = 8) -> str:
+    """DuckDB twin of the hyperplane-LSH ANN probe: the deterministic
+    planes are inlined as literals (like ``_embedding_neardup_sql``),
+    and ranking happens on cosine rounded at 6 with a vec_id
+    tie-break on both engines."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, num_planes, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.v, q.qv)
+                   / nullif(sqrt(list_dot_product(c.v, c.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)), 0.0), 6) AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket
+    )
+    SELECT query_id, vec_id, rank, sim FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_lsh_topk", _lsh_topk_sql())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-k for 3 query vectors."""
+    """Hyperplane-LSH bucketed ANN top-k for 3 query vectors; the
+    oracle twin replays the same inlined planes, buckets, and
+    round-then-rank ordering."""
     from nyc_crash_mapper_etl_script_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1241,11 +1363,65 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=5, num_planes=8)
 
 
-@register("sim_ivf_topk", None)  # approximate path; exact twin is sim_bruteforce_topk
+def _ivf_topk_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
+    """DuckDB twin of the md5/column IVF configuration: centroids by
+    md5-hex order, assignment and probe by round-6 cosine with
+    smallest-cell tie-break, final round-then-rank top-k."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"round(list_dot_product({x}, {y})"
+            f" / nullif(sqrt(list_dot_product({x}, {x}))"
+            f" * sqrt(list_dot_product({y}, {y})), 0.0), 6)"
+        )
+
+    by_hash = "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER ({by_hash}) - 1 AS INT) AS cell_id, v AS cv
+      FROM e QUALIFY row_number() OVER ({by_hash}) <= {n_cells}
+    ),
+    assign AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT e.vec_id, e.v, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos("e.v", "c.cv")} DESC,
+                                           c.cell_id ASC) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    probe AS (
+      SELECT query_id, qv, cell_id FROM (
+        SELECT q.query_id, q.qv, c.cell_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos("q.qv", "c.cv")} DESC,
+                                           c.cell_id ASC) AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= {n_probe}
+    )
+    SELECT query_id, vec_id, rank, sim FROM (
+      SELECT p.query_id, a.vec_id,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {cos("a.v", "p.qv")} DESC,
+                                         a.vec_id ASC) AS rank,
+             {cos("a.v", "p.qv")} AS sim
+      FROM assign a JOIN probe p ON a.cell_id = p.cell_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_ivf_topk", _ivf_topk_sql())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: nearest-centroid cells probed via EQUI join
-    (hash join touching n_probe/n_cells of the corpus).  Full-probe
-    equivalence to brute force is pinned in
+    (hash join touching n_probe/n_cells of the corpus).  This
+    registration uses the md5 centroid order; the Arrow matmul
+    assignment compares round-6 cosines, so the DuckDB twin replays
+    cell selection, assignment, probes, and ranking exactly (the
+    literal-centroid ``assign_impl="column"`` path is the
+    bit-identical fallback, pinned equal in tests); full-probe
+    equivalence to brute force stays pinned in
     tests/test_dedup_similarity.py."""
     from nyc_crash_mapper_etl_script_spark.operators.similarity import ivf_topk
 
@@ -1253,13 +1429,43 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return ivf_topk(e, q, k=5, n_cells=8, n_probe=2)
+    return ivf_topk(e, q, k=5, n_cells=8, n_probe=2, hash_fn="md5")
 
 
-@register("multimodal_features", None)  # mapInPandas; rows-only check
+def _multimodal_features_sql(n_features: int = 8) -> str:
+    """Full-value twin of the stubbed feature extraction: feature i is
+    ``int(sha256(payload)[4i:4i+4]) / 2^32`` computed in double,
+    narrowed to float32 by the array<float> schema -- reproduced with
+    hex-substring parsing + CAST AS REAL (bit-exact, verified against
+    numpy float32)."""
+    feats = ",\n           ".join(
+        "round(CAST(CAST(CAST(CAST(('0x' || substr(sha, {o}, 8)) AS UBIGINT)"
+        " AS DOUBLE) / 4294967296.0 AS REAL) AS DOUBLE), 6) AS f{i}".format(
+            o=1 + 8 * i, i=i
+        )
+        for i in range(n_features)
+    )
+    return f"""
+    WITH m AS (SELECT doc_id, coalesce(text, '') AS txt,
+                      sha256(coalesce(text, '')) AS sha
+               FROM documents)
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           sha AS payload_sha,
+           CAST(octet_length(encode(txt)) AS BIGINT) AS n_bytes,
+           {feats}
+    FROM m
+    """
+
+
+@register("multimodal_features", _multimodal_features_sql())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched feature extraction
-    (decode stubbed deterministically; plumbing is real)."""
+    (decode stubbed deterministically; plumbing is real).  Every
+    feature float is oracle-checked: the stub's sha256 arithmetic is
+    pure SQL in DuckDB."""
     from nyc_crash_mapper_etl_script_spark.operators.multimodal import (
         extract_features,
         make_media_table,
@@ -1272,7 +1478,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "payload_sha",
         "n_bytes",
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
     )
 
 

@@ -88,13 +88,44 @@ def _perm_coeffs(num_perm: int, seed: int = 42):
     return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
 
 
-def minhash_signature_arrow(num_perm: int = 64, k: int = 5, seed: int = 42):
+def perm_coeffs_md5(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Affine coefficients for the md5 (oracle-parity) hash family:
+    32-bit odd multipliers, 64-bit offsets.  The multiplier is kept
+    under 2^32 so ``a * h + b`` fits in a signed 128-bit HUGEINT --
+    ANSI engines can then evaluate the permutation exactly as
+    ``(a * h + b) % 2^64`` while numpy gets the same value from
+    native uint64 wraparound.  Returned as python ints so callers can
+    inline them into SQL text."""
+    state = seed & 0x7FFFFFFF
+    a, b = [], []
+    for _ in range(num_perm):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a.append((state * 2 + 1) & 0xFFFFFFFF)
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b.append((state << 32) | state)
+    return a, b
+
+
+def _md5_u64(s: str) -> int:
+    """First 8 bytes of md5, little-endian -- bit-for-bit DuckDB's
+    ``md5_number_upper``, the shared base hash of every oracle-twinned
+    dedup variant."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def minhash_signature_arrow(
+    num_perm: int = 64, k: int = 5, seed: int = 42, base_hash: str = "blake2b"
+):
     """Vectorized minhash signature: returns a pandas_udf usable as
     ``mh(col)``.
 
     Per Arrow batch: shingle each doc in Python (same normalization
     and word-k-shingle semantics as :func:`functions.text.shingles`),
-    one blake2b-64 base hash per distinct shingle, then all num_perm
+    one 64-bit base hash per distinct shingle (blake2b by default;
+    ``base_hash="md5"`` uses the DuckDB-reproducible ``_md5_u64``
+    family with SQL-safe 32-bit multipliers), then all num_perm
     minima in a single numpy (num_perm x n_shingles) affine pass with
     uint64 wraparound.  Deterministic across executors."""
     import hashlib
@@ -102,7 +133,18 @@ def minhash_signature_arrow(num_perm: int = 64, k: int = 5, seed: int = 42):
     import numpy as np
     from pyspark.sql import types as T
 
-    A, B = _perm_coeffs(num_perm, seed)
+    if base_hash == "md5":
+        a_l, b_l = perm_coeffs_md5(num_perm, seed)
+        A = np.array(a_l, dtype=np.uint64)
+        B = np.array(b_l, dtype=np.uint64)
+        hfn = _md5_u64
+    else:
+        A, B = _perm_coeffs(num_perm, seed)
+
+        def hfn(s: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+            )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
@@ -117,12 +159,7 @@ def minhash_signature_arrow(num_perm: int = 64, k: int = 5, seed: int = 42):
             else:
                 sh = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
             base = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                    )
-                    for s in sh
-                ),
+                (hfn(s) for s in sh),
                 dtype=np.uint64,
                 count=len(sh),
             )
@@ -162,6 +199,8 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     k: int = 5,
     impl: str = "arrow",
+    base_hash: str = "blake2b",
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) whose estimated Jaccard (minhash
     signature agreement) >= threshold.
@@ -180,7 +219,7 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_perm // bands
     if impl == "arrow":
-        sig_col = minhash_signature_arrow(num_perm, k)(F.col(text_col))
+        sig_col = minhash_signature_arrow(num_perm, k, seed, base_hash)(F.col(text_col))
     else:
         sig_col = minhash_signature(F.col(text_col), num_perm, k)
     sigs = docs.select(
@@ -267,15 +306,26 @@ def simhash64(text: Column, k: int = 1) -> Column:
     )
 
 
-def simhash64_arrow(k: int = 1):
-    """Vectorized SimHash: one blake2b-64 base hash per shingle
+def simhash64_arrow(k: int = 1, base_hash: str = "blake2b"):
+    """Vectorized SimHash: one 64-bit base hash per shingle
     (duplicates kept -- repeated shingles weight the bit counts, as in
-    the Column form), bit unpack + sign-sum in numpy.  Returns a
-    pandas_udf usable as ``sh(col)``; empty docs fingerprint to 0."""
+    the Column form; ``base_hash="md5"`` swaps in the
+    DuckDB-reproducible ``_md5_u64``), bit unpack + sign-sum in
+    numpy.  Returns a pandas_udf usable as ``sh(col)``; empty docs
+    fingerprint to 0."""
     import hashlib
 
     import numpy as np
     from pyspark.sql import types as T
+
+    if base_hash == "md5":
+        hfn = _md5_u64
+    else:
+
+        def hfn(s: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+            )
 
     shifts = None  # built lazily per executor
 
@@ -295,12 +345,7 @@ def simhash64_arrow(k: int = 1):
             else:
                 shs = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
             base = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                    )
-                    for s in shs
-                ),
+                (hfn(s) for s in shs),
                 dtype=np.uint64,
                 count=len(shs),
             )
@@ -325,14 +370,30 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     impl: str = "arrow",
+    base_hash: str = "blake2b",
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via pigeonhole
-    blocking: split the 64-bit fingerprint into 4 16-bit chunks; any
-    pair within distance 3 shares at least one chunk exactly."""
+    blocking.
+
+    The fingerprint is split into ``max_hamming + 1`` chunks (evenly
+    sized, last chunk takes the remainder): a pair within
+    ``max_hamming`` differing bits cannot touch every chunk, so it
+    shares at least one chunk exactly -- FULL recall at the declared
+    threshold for any ``max_hamming`` <= 63, not just the <= 3 a
+    fixed 4x16 split guarantees."""
     if impl == "arrow":
-        sig_col = simhash64_arrow()(F.col(text_col))
+        sig_col = simhash64_arrow(base_hash=base_hash)(F.col(text_col))
     else:
         sig_col = simhash64(F.col(text_col))
+    n_chunks = min(max_hamming + 1, 64)
+    # distribute 64 bits as evenly as possible -> exactly n_chunks
+    # non-empty chunks, so the pigeonhole guarantee holds
+    base_w, rem = divmod(64, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        w = base_w + (1 if c < rem else 0)
+        bounds.append((off, w))
+        off += w
     sigs = docs.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
     # chunks unrolled in Python: shiftrightunsigned requires a literal
     # shift amount (not a lambda-bound Column)
@@ -344,11 +405,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sig"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("key"),
                     )
-                    for c in range(4)
+                    for c, (off, w) in enumerate(bounds)
                 ]
             )
         ).alias("ck"),

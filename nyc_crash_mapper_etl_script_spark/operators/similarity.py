@@ -41,7 +41,12 @@ def brute_force_topk(
     scored = corpus.alias("c").join(F.broadcast(queries.alias("q"))).select(
         F.col(f"q.{query_id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("vec_id"),
-        cosine(F.col(f"c.{vec_col}"), F.col(f"q.{query_vec_col}")).alias("sim"),
+        # rounded BEFORE ranking: both engines (and the DuckDB oracle
+        # twin) then rank identical values, with the id tie-break
+        # resolving rounding-induced ties deterministically
+        F.round(cosine(F.col(f"c.{vec_col}"), F.col(f"q.{query_vec_col}")), 6).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
@@ -49,7 +54,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+        .select("query_id", "vec_id", "rank", "sim")
     )
 
 
@@ -102,7 +107,10 @@ def lsh_topk(
     ).select(
         F.col(f"q.{query_id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("vec_id"),
-        cosine(F.col(f"c.{vec_col}"), F.col(f"q.{query_vec_col}")).alias("sim"),
+        # rounded before ranking (see brute_force_topk)
+        F.round(cosine(F.col(f"c.{vec_col}"), F.col(f"q.{query_vec_col}")), 6).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
@@ -110,7 +118,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+        .select("query_id", "vec_id", "rank", "sim")
     )
 
 
@@ -153,20 +161,33 @@ def select_centroids(
     n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: n_cells corpus vectors
     chosen by hash order (a seeded spread sample -- the k-means step
     of classical IVF traded for reproducibility; at 100 TB train
     k-means on a sample and broadcast the result the same way).
+    ``hash_fn="md5"`` orders by the md5 hex string of the id instead
+    -- same spread, but expressible 1:1 in the DuckDB oracle twin.
     Returns (cell_id, cv)."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-    return (
-        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    if hash_fn == "md5":
+        hcol = F.md5(F.col(id_col).cast("string"))
+    else:
+        hcol = F.xxhash64(F.col(id_col))
+    # number the <= n_cells winners without a global window (which
+    # would carry a "no partition defined" hazard marker even though
+    # the input is provably tiny): fold them into ONE sorted array and
+    # posexplode, so cell_id = position in (hash, id) order
+    winners = (
+        corpus.orderBy(hcol, F.col(id_col))
         .limit(n_cells)
-        .select(
-            (F.row_number().over(w) - 1).alias("cell_id"),
-            F.col(vec_col).alias("cv"),
-        )
+        .select(hcol.alias("__h"), F.col(id_col).alias("__id"), F.col(vec_col).alias("cv"))
+    )
+    packed = winners.agg(
+        F.array_sort(F.collect_list(F.struct("__h", "__id", "cv"))).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("cell_id", "s")).select(
+        "cell_id", F.col("s.cv").alias("cv")
     )
 
 
@@ -175,6 +196,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (argmax
     cosine, ties to the smallest cell_id) as a pure MAP: the centroid
@@ -185,11 +207,44 @@ def ivf_assign(
     corpus (embeddings included) just to pick a max, which is the
     exact pattern that dies at 100 TB.  Write the result partitioned/
     bucketed by ``cell_id`` so probes become partition-pruned scans.
+
+    ``impl="column"`` inlines the centroids as literal arrays into a
+    single codegen projection (still zero shuffles, still one map).
+    Its sequential-accumulation cosine is bit-identical to DuckDB's
+    ``list_dot_product`` form, which makes it the oracle-parity path;
+    the argmax compares cosines rounded at 6 so both engines break
+    the same near-ties by smallest cell_id.  The Arrow matmul stays
+    the scale path: at thousands of cells a literal expression per
+    centroid stops being reasonable, a (batch x dim) @ (dim x cells)
+    matmul does not.
     """
     import numpy as np
     from pyspark.sql import types as T
 
     rows = centroids.orderBy("cell_id").collect()
+    if impl == "column":
+        structs = [
+            F.struct(
+                F.coalesce(
+                    -F.round(
+                        cosine(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                        ),
+                        6,
+                    ),
+                    F.lit(float("inf")),
+                ).alias("negsim"),
+                F.lit(int(r["cell_id"])).cast("int").alias("cell_id"),
+            )
+            for r in rows
+        ]
+        best = F.element_at(F.array_sort(F.array(*structs)), 1)
+        return corpus.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            best["cell_id"].alias("cell_id"),
+        )
     C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int32)
@@ -201,7 +256,10 @@ def ivf_assign(
             [v if v is not None else [0.0] * dim for v in vecs], dtype=np.float64
         )
         norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        sims = (M / norms) @ Cn.T
+        # round-6 before argmax: the same compare-rounded contract as
+        # the column impl / SQL twin, so matmul summation-order noise
+        # (~1e-15) cannot flip an assignment between engines
+        sims = np.round((M / norms) @ Cn.T, 6)
         # argmax returns the FIRST max -> ties break to smallest cell
         return pd.Series(cell_ids[np.argmax(sims, axis=1)])
 
@@ -227,6 +285,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    hash_fn: str = "xxhash64",
+    assign_impl: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k: score only the corpus cells whose
     centroids are the query's n_probe nearest.
@@ -234,9 +294,11 @@ def ivf_topk(
     The probe is an EQUI join on cell_id -- a hash join touching
     n_probe/n_cells of the corpus -- unlike brute force's full cross
     join.  ``n_probe == n_cells`` degrades gracefully to exact
-    search (recall 1.0), which the tests pin."""
-    cents = select_centroids(corpus, n_cells, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    search (recall 1.0), which the tests pin.  All rankings compare
+    cosines rounded at 6 with deterministic id tie-breaks, so the
+    md5/column configuration is reproducible 1:1 in ANSI SQL."""
+    cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, impl=assign_impl)
     qcells = (
         queries.alias("q")
         .join(F.broadcast(cents))
@@ -244,7 +306,9 @@ def ivf_topk(
             F.col(f"q.{query_id_col}").alias("query_id"),
             F.col(f"q.{query_vec_col}").alias("qv"),
             F.col("cell_id"),
-            cosine(F.col(f"q.{query_vec_col}"), F.col("cv")).alias("__csim"),
+            F.round(cosine(F.col(f"q.{query_vec_col}"), F.col("cv")), 6).alias(
+                "__csim"
+            ),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -258,7 +322,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        cosine(F.col(vec_col), F.col("qv")).alias("sim"),
+        F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
@@ -266,5 +330,5 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+        .select("query_id", "vec_id", "rank", "sim")
     )

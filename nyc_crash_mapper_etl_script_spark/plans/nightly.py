@@ -62,13 +62,30 @@ def assign_serial_ids(fresh: DataFrame, existing: DataFrame, key: str = "cartodb
     )
     w = Window.partitionBy("__pid").orderBy("socrata_id")
     local = ranged.withColumn("__rn", F.row_number().over(w))
-    prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        local.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__off", F.coalesce(F.sum("__cnt").over(prior), F.lit(0)))
-        .drop("__cnt")
+    # exclusive prefix sum over the per-range counts (n_partitions
+    # rows) -- folded into one sorted array + HOF instead of a global
+    # running-sum window, which would plan a no-partition WindowExec
+    # (a genuine hazard marker elsewhere, noise on a provably tiny
+    # aggregate)
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    packed = counts.agg(
+        F.array_sort(F.collect_list(F.struct("__pid", "__cnt"))).alias("arr")
     )
+    offsets = packed.select(
+        F.explode(
+            F.transform(
+                F.col("arr"),
+                lambda s, i: F.struct(
+                    s["__pid"].alias("__pid"),
+                    F.aggregate(
+                        F.slice(F.col("arr"), 1, i),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["__cnt"],
+                    ).alias("__off"),
+                ),
+            )
+        ).alias("o")
+    ).select("o.__pid", "o.__off")
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(key, (F.col("__rn") + F.col("__off") + F.lit(start)).cast("long"))

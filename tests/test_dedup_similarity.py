@@ -202,6 +202,23 @@ def test_ivf_topk_full_probe_equals_bruteforce(embeddings):
     assert full == exact
 
 
+def test_ivf_assign_arrow_equals_column(embeddings):
+    """The Arrow matmul assignment and the literal-centroid column
+    assignment implement the same round-6 argmax contract -- pinned
+    equal so the oracle-parity analysis of one covers both."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_assign,
+        select_centroids,
+    )
+
+    cents = select_centroids(embeddings, 5, hash_fn="md5")
+    arrow = {r["vec_id"]: r["cell_id"]
+             for r in ivf_assign(embeddings, cents, impl="arrow").collect()}
+    column = {r["vec_id"]: r["cell_id"]
+              for r in ivf_assign(embeddings, cents, impl="column").collect()}
+    assert arrow == column
+
+
 def test_ivf_topk_partial_probe(embeddings):
     from nyc_crash_mapper_etl_script_spark.operators.similarity import (
         ivf_assign,
