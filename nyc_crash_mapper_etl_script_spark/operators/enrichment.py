@@ -201,13 +201,16 @@ def intersection_crash_counts(
 
 def update_intersection_counts(intersections: DataFrame, counts: DataFrame) -> DataFrame:
     """UPDATE-from-join (J11): overwrite ``crashcount`` with fresh
-    counts, zeroing unmatched (the reference clears first,
-    main.py:613-615, then updates matches, main.py:637-640)."""
+    counts.  The reference clears ALL counts to NULL first
+    (main.py:613-615) and then updates only matched rows
+    (main.py:637-640), so intersections with no crashes end up NULL —
+    not 0 — in the materialized table; we reproduce that observable
+    NULL."""
     return (
         intersections.drop("crashcount")
         .join(counts.withColumnRenamed("cartodb_id", "__k"),
               F.col("cartodb_id") == F.col("__k"), "left")
-        .withColumn("crashcount", F.coalesce(F.col("howmany"), F.lit(0)).cast("int"))
+        .withColumn("crashcount", F.col("howmany").cast("int"))
         .drop("__k", "howmany")
     )
 
@@ -229,13 +232,8 @@ def filter_to_extent(crashes: DataFrame, districts: DataFrame,
         & (pt["lat"] >= F.lit(box["ymin"])) & (pt["lat"] <= F.lit(box["ymax"]))
     )
     keep = pt.isNull() | inside
-    # one atomic withColumns: all three expressions see the ORIGINAL
-    # geom (sequential withColumn would re-evaluate `keep` against the
-    # already-nulled column and keep the stale lat/lng)
-    return crashes.withColumns(
-        {
-            "the_geom": F.when(keep, pt),
-            "longitude": F.when(keep, F.col("longitude")),
-            "latitude": F.when(keep, F.col("latitude")),
-        }
-    )
+    # only the_geom is nulled (main.py:378-405 sets the_geom = NULL
+    # and nothing else): the raw longitude/latitude columns survive so
+    # downstream geom-repair (the reference ecosystem's fixnullgeom)
+    # can rebuild the point from them
+    return crashes.withColumn("the_geom", F.when(keep, pt))

@@ -134,7 +134,13 @@ def embedding_near_duplicates(
     """Near-duplicate vector pairs (a < b, cosine >= threshold) via
     bucket blocking + exact verify.  High-cosine pairs land in the
     same bucket with probability (1 - theta/pi)^planes; for dedup
-    recall, union several plane seeds at 100 TB."""
+    recall, union several plane seeds at 100 TB.
+
+    A degenerate bucket (e.g. every all-zero vector hashes to the
+    same code) stays memory-safe: the sort-merge self-join streams
+    candidates with spill-to-disk per-key buffering instead of
+    collecting the bucket into an array, so task memory is bounded
+    even when the candidate count is quadratic."""
     planes = _hyperplanes(dim, num_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("id"),

@@ -57,6 +57,33 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_ngram_posting_cap_parity(spark):
+    """With the posting-list cap active, candidate generation drops
+    popular shingles but verification runs on full shingle sets:
+    identical pairs AND identical jaccard values on a corpus where
+    a hot shingle's posting list exceeds the cap."""
+    # all 12 docs share a short hot header (posting list 12 > cap 8,
+    # so its shingles drop from the index) but qualifying pairs live
+    # inside two groups whose long bodies supply rare shingles
+    header = "common header words repeated across corpus"
+    body = {
+        0: BASE,
+        1: ("maritime charts describe coastal depths and currents while "
+            "lighthouse keepers log passing vessels through foggy nights "
+            "and harbor pilots guide ships between narrow channel buoys"),
+    }
+    rows = [(i, f"{header} {body[i % 2]}") for i in range(12)] + [
+        (20, "entirely different content about oceanic cartography methods")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              ngram_jaccard_pairs(docs, threshold=0.5, max_posting=8).collect()}
+    assert capped == uncapped
+    assert len(capped) == 2 * (6 * 5 // 2)  # both groups fully paired
+
+
 def test_minhash_agrees_with_exact_jaccard(docs):
     exact = {(r["id_a"], r["id_b"]) for r in
              ngram_jaccard_pairs(docs, threshold=0.5).collect()}
@@ -65,6 +92,27 @@ def test_minhash_agrees_with_exact_jaccard(docs):
     # all truly-similar pairs found; estimates near truth
     assert exact <= set(mh)
     assert mh[(0, 1)] == 1.0
+
+
+def test_minhash_bucket_cap_routes_identically(spark):
+    """A degenerate bucket (many byte-identical boilerplate docs all
+    landing in one band bucket) must route through the streaming
+    self-join path without changing the emitted pair set."""
+    boiler = [(100 + i, BASE) for i in range(60)]
+    other = [
+        (0, BASE.replace("quick", "slow")),
+        (1, "unrelated text about databases and query engines entirely"),
+        (2, ""),
+    ]
+    docs = spark.createDataFrame(boiler + other, "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+              minhash_near_duplicates(docs, threshold=0.5, max_bucket=8).collect()}
+    uncapped = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+                minhash_near_duplicates(docs, threshold=0.5,
+                                        max_bucket=10**9).collect()}
+    assert capped == uncapped
+    # all 60 boilerplate copies pair with each other (and with doc 0)
+    assert len(capped) >= 60 * 59 // 2
 
 
 def test_simhash_near_duplicates(docs):

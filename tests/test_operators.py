@@ -46,6 +46,17 @@ def test_dedup_merge_idempotent(spark):
     assert new_rows(staged, out, "socrata_id").count() == 0
 
 
+def test_dedup_merge_drops_null_keyed_staged(spark):
+    """NULL-keyed staged rows never insert (reference NOT IN
+    semantics: NULL NOT IN (non-empty set) is never TRUE)."""
+    existing = spark.createDataFrame([(1, "a")], "socrata_id long, payload string")
+    staged = spark.createDataFrame(
+        [(None, "dirty"), (2, "b")], "socrata_id long, payload string"
+    )
+    got = new_rows(staged, existing, "socrata_id").collect()
+    assert [(r["socrata_id"], r["payload"]) for r in got] == [(2, "b")]
+
+
 # ---------------------------------------------------------------------------
 # CDC (C1)
 # ---------------------------------------------------------------------------
@@ -371,7 +382,9 @@ def test_intersection_counts_and_update(spark):
     assert got == {10: 2}  # crash 3 filtered (no injuries), 4 far away, 5 null geom
     updated = {r["cartodb_id"]: r["crashcount"] for r in
                update_intersection_counts(inters, counts).collect()}
-    assert updated == {10: 2, 11: 0}  # 11 cleared then zero-filled
+    # 11 cleared to NULL and never re-matched: the reference leaves
+    # no-crash intersections NULL (main.py:613-615), not 0
+    assert updated == {10: 2, 11: None}
 
 
 def test_filter_to_extent(spark):
@@ -385,7 +398,9 @@ def test_filter_to_extent(spark):
     out = {r["cartodb_id"]: r for r in
            filter_to_extent(crashes, _districts(spark)).collect()}
     assert out[1]["the_geom"] is not None
-    assert out[2]["the_geom"] is None and out[2]["longitude"] is None
+    # only the_geom nulled; raw lng/lat survive for geom repair
+    # (reference main.py:378-405 NULLs the_geom alone)
+    assert out[2]["the_geom"] is None and out[2]["longitude"] == 99.0
     assert out[3]["the_geom"] is None
 
 
