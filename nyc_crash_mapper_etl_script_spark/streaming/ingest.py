@@ -14,7 +14,11 @@ Exactly-once comes from the sink's idempotent anti-join merge (a
 replayed micro-batch appends 0 rows), NOT from stream-level
 ``dropDuplicatesWithinWatermark`` -- that would swallow replayed keys
 in state *before* the sink sees them, making the late-update
-reconcile path (C2/C3) unreachable.  Rows whose socrata_id already
+reconcile path (C2/C3) unreachable.  The target is a
+:class:`~..sources.txtable.TxTable` (month-partitioned, log-committed):
+inserts append files, tally repairs merge only the touched months, and
+a crash at any point inside the sink leaves either the previous or the
+next committed version -- never a half-written table.  Rows whose socrata_id already
 exists are exactly the updates: they flow to tally reconciliation
 inside the same foreachBatch (merge-vs-update classification is one
 anti-join).  Stream-level keyed state is showcased where it is the
@@ -48,41 +52,51 @@ def stream_ingest(
     the exact cron-batch semantics of the reference, but restart-safe
     and incremental via the checkpoint.  Set False for a continuous
     micro-batch run."""
+    from pyspark.sql import functions as F
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
     raw = spark.readStream.schema(SODA_FEED_SCHEMA).json(feed_dir)
     normalized = normalize_soda_feed(raw)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        batch = batch.dropDuplicates(["socrata_id"])  # in-batch collapse
-        try:
-            existing = s.read.parquet(target_path)
-        except Exception:  # first batch: table does not exist yet
-            batch.write.mode("overwrite").parquet(target_path)
+        # year-month partitioning: inserts append into their own
+        # months' dirs, and a tally repair is a TxTable.merge that
+        # rewrites ONLY the months containing mismatched keys --
+        # O(touched partitions), never O(table), with an atomic log
+        # commit instead of the old rewrite-everything directory swap
+        batch = batch.dropDuplicates(["socrata_id"]).withColumn(
+            "__ym", F.concat_ws("-", "year", "month")
+        )
+        tx = TxTable(target_path, partition_by=["__ym"])
+        if not tx.exists():
+            tx.init(batch)
             return
         from nyc_crash_mapper_etl_script_spark.operators.dedup_merge import new_rows
 
+        existing = tx.read(s)
         # localCheckpoint pins the insert/update split BEFORE any
         # write: both sides are micro-batch sized, and without it the
         # lazy anti-join would re-evaluate against the just-appended
         # table (fresh would turn empty mid-sink)
         fresh = new_rows(batch, existing, "socrata_id").localCheckpoint()
-        fresh.write.mode("append").parquet(target_path)
+        if fresh.count():
+            tx.append(fresh)
         if reconcile_tallies:
             # updated rows (key already present): C2 tally reconcile
             updated = batch.join(fresh, "socrata_id", "left_anti").localCheckpoint()
-            merged = s.read.parquet(target_path)  # post-append snapshot
+            merged = tx.read(s)
             mismatches = tally_mismatches(updated, merged, "socrata_id")
             if mismatches.limit(1).count():
-                import os
-                import shutil
-
-                repaired = apply_tally_updates(merged, mismatches, "socrata_id")
-                # write-aside + swap (local FS; on object storage use a
-                # table format's transactional rewrite)
-                tmp = target_path.rstrip("/") + "__repairing"
-                repaired.write.mode("overwrite").parquet(tmp)
-                shutil.rmtree(target_path)
-                os.rename(tmp, target_path)
+                # repaired ROWS, not a repaired table: current rows for
+                # the mismatched keys with fresh tallies spliced in;
+                # the merge rewrites just their partitions
+                to_fix = merged.join(
+                    mismatches.select("socrata_id"), "socrata_id", "left_semi"
+                )
+                repaired = apply_tally_updates(to_fix, mismatches, "socrata_id")
+                tx.merge(repaired, "socrata_id")
 
     writer = normalized.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,142 @@
+"""Connector shim tests: SODA/CARTO fetch-to-landing against a
+directory-backed fake feed server (no network), including the full
+run_nightly DAG fed through the live-connector path."""
+
+from __future__ import annotations
+
+import pytest
+
+from test_pipeline import (
+    _crosswalk,
+    _districts,
+    _empty_crashes,
+    _feed_rows,
+    _intersections,
+)
+
+from nyc_crash_mapper_etl_script_spark.plans.nightly import run_nightly
+from nyc_crash_mapper_etl_script_spark.sources.connectors import (
+    CartoSqlClient,
+    SodaClient,
+    read_carto_table,
+    read_soda,
+)
+
+SODA_URL = "https://fake.socrata.test/resource/h9gi-nx95.json"
+CARTO_URL = "https://fake.carto.test/api/v2/sql"
+
+
+class FakeSodaServer:
+    """Directory-of-rows stand-in for the SODA endpoint: honors
+    $limit/$offset paging and records every request's params so tests
+    can assert the pushdown contract."""
+
+    def __init__(self, rows, fail_with=None):
+        self.rows = rows
+        self.calls: list[dict] = []
+        self.fail_with = fail_with
+
+    def __call__(self, url, params):
+        assert url == SODA_URL
+        self.calls.append(dict(params))
+        if self.fail_with is not None:
+            return {"error": True, "message": self.fail_with}
+        lo = int(params.get("$offset", "0"))
+        hi = lo + int(params["$limit"])
+        return self.rows[lo:hi]
+
+
+def test_soda_paging_and_pushdown(tmp_path):
+    rows = [{"collision_id": str(i)} for i in range(25)]
+    server = FakeSodaServer(rows)
+    client = SodaClient(SODA_URL, app_token="tok", page_size=10, transport=server)
+    n = client.fetch_to_landing(
+        str(tmp_path / "landing"),
+        where="crash_date >= '2024-06-01'",
+        order="crash_date DESC",
+    )
+    assert n == 25
+    assert len(server.calls) == 3  # 10 + 10 + 5 (short page terminates)
+    first = server.calls[0]
+    # the reference's exact param contract (main.py:89-97, 834-835)
+    assert first["$where"] == "crash_date >= '2024-06-01'"
+    assert first["$order"] == "crash_date DESC"
+    assert first["$limit"] == "10"
+    assert first["$$app_token"] == "tok"
+    assert first["$select"] == ":*,*"
+    assert server.calls[2]["$offset"] == "20"
+    landed = sorted(p.name for p in (tmp_path / "landing").iterdir())
+    assert landed == ["part-00000.jsonl", "part-00001.jsonl", "part-00002.jsonl"]
+
+
+def test_soda_error_envelope_raises(tmp_path):
+    server = FakeSodaServer([], fail_with="rate limited")
+    client = SodaClient(SODA_URL, transport=server)
+    with pytest.raises(RuntimeError, match="rate limited"):
+        client.fetch_to_landing(str(tmp_path / "landing"))
+
+
+def test_soda_month_shards():
+    shards = SodaClient.shards("2024-05-01", "2024-08-01")
+    assert len(shards) == 3
+    assert shards[0] == (
+        "crash_date >= '2024-05-01' AND crash_date < '2024-06-01'"
+    )
+    assert shards[-1].startswith("crash_date >= '2024-07-01'")
+
+
+def test_carto_select_lands_rows(spark, tmp_path):
+    def server(url, params):
+        assert url == CARTO_URL
+        assert params["q"] == (
+            "SELECT * FROM crashes_table WHERE date_val >= '2024-06-01T00:00:00Z'"
+        )
+        assert params["api_key"] == "key"
+        return {"rows": [{"socrata_id": 1}, {"socrata_id": 2}]}
+
+    df = read_carto_table(
+        spark,
+        CARTO_URL,
+        str(tmp_path / "carto"),
+        "crashes_table",
+        where="date_val >= '2024-06-01T00:00:00Z'",
+        api_key="key",
+        transport=server,
+    )
+    assert sorted(r["socrata_id"] for r in df.collect()) == [1, 2]
+
+
+def test_carto_dml_error_envelope():
+    client = CartoSqlClient(CARTO_URL, transport=lambda u, p: {"error": ["nope"]})
+    with pytest.raises(RuntimeError, match="CARTO SQL API error"):
+        client.sql("SELECT 1")
+
+
+def test_read_soda_feeds_run_nightly(spark, tmp_path):
+    """End-to-end through the live-connector path: fake feed server ->
+    paged landing -> typed scan -> full nightly DAG.  Results match
+    the snapshot-path pipeline test expectations."""
+    server = FakeSodaServer(_feed_rows())
+    feed = read_soda(
+        spark,
+        SODA_URL,
+        str(tmp_path / "landing"),
+        where="crash_date >= '2024-05-01'",
+        order="crash_date DESC",
+        transport=server,
+        page_size=3,  # force multi-page landing
+    )
+    assert len(server.calls) == 2
+    out = run_nightly(
+        feed,
+        _empty_crashes(spark),
+        _districts(spark),
+        _intersections(spark),
+        _crosswalk(spark),
+        reference_date="2024-07-01",
+    )
+    crashes = {r["socrata_id"]: r for r in out["crashes"].collect()}
+    assert set(crashes) == {101, 102, 103, 104}
+    assert crashes[101]["borough"] == "Brooklyn"
+    assert crashes[103]["the_geom"] is None  # outside extent, nulled
+    assert crashes[103]["longitude"] == 99.0  # raw coords survive

@@ -1,0 +1,141 @@
+"""TxTable: atomic log-committed parquet table -- merge/delete
+partition scoping, crash recovery at every failure point, plain-read
+compatibility."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(
+        [(k, v, ym) for k, v, ym in pairs], "k long, v string, ym string"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    tx = TxTable(str(tmp_path / "t"), partition_by=["ym"])
+    tx.init(
+        _rows(
+            spark,
+            [(1, "a", "2024-05"), (2, "b", "2024-05"), (3, "c", "2024-06")],
+        )
+    )
+    return tx
+
+
+def _as_dict(df):
+    return {r["k"]: (r["v"], r["ym"]) for r in df.collect()}
+
+
+def test_init_read_roundtrip(spark, table):
+    assert _as_dict(table.read(spark)) == {
+        1: ("a", "2024-05"),
+        2: ("b", "2024-05"),
+        3: ("c", "2024-06"),
+    }
+    # quiescent table is plain-parquet readable with identical rows
+    assert _as_dict(spark.read.parquet(table.root)) == _as_dict(table.read(spark))
+
+
+def test_append_and_merge_semantics(spark, table):
+    table.append(_rows(spark, [(4, "d", "2024-06")]))
+    # merge: replace k=2, insert k=5
+    table.merge(_rows(spark, [(2, "B", "2024-05"), (5, "e", "2024-05")]), "k")
+    got = _as_dict(table.read(spark))
+    assert got == {
+        1: ("a", "2024-05"),
+        2: ("B", "2024-05"),
+        3: ("c", "2024-06"),
+        4: ("d", "2024-06"),
+        5: ("e", "2024-05"),
+    }
+    assert _as_dict(spark.read.parquet(table.root)) == got
+
+
+def test_merge_rewrites_only_touched_partitions(spark, table):
+    before = {f for f in table._live_files() if f.startswith("ym=2024-06")}
+    table.merge(_rows(spark, [(2, "B", "2024-05")]), "k")
+    after = {f for f in table._live_files() if f.startswith("ym=2024-06")}
+    assert before == after  # untouched month's files carried over
+    may = {f for f in table._live_files() if f.startswith("ym=2024-05")}
+    assert may.isdisjoint(before)
+
+
+def test_merge_idempotent(spark, table):
+    src = _rows(spark, [(2, "B", "2024-05"), (5, "e", "2024-05")])
+    table.merge(src, "k")
+    first = _as_dict(table.read(spark))
+    table.merge(src, "k")
+    assert _as_dict(table.read(spark)) == first
+
+
+def test_delete_by_key(spark, table):
+    table.delete(spark.createDataFrame([(2,)], "k long"), "k")
+    assert set(_as_dict(table.read(spark))) == {1, 3}
+    # june untouched by the delete of a may row
+    assert any(f.startswith("ym=2024-06") for f in table._live_files())
+
+
+def test_crash_before_commit_leaves_old_version(spark, table):
+    """Death during staging (before the commit point): reader sees the
+    previous version; the re-run converges."""
+    src = _rows(spark, [(2, "B", "2024-05")])
+    orig_publish = TxTable._publish
+    try:
+        TxTable._publish = lambda self, entry: (_ for _ in ()).throw(
+            RuntimeError("killed before commit")
+        )
+        with pytest.raises(RuntimeError, match="killed before commit"):
+            table.merge(src, "k")
+    finally:
+        TxTable._publish = orig_publish
+    # staged garbage exists but the committed view is unchanged
+    assert _as_dict(table.read(spark))[2] == ("b", "2024-05")
+    # recovery (run inside read) wiped the orphan staging dir
+    assert not os.path.isdir(os.path.join(table.root, "_staging"))
+    table.merge(src, "k")  # re-run converges
+    assert _as_dict(table.read(spark))[2] == ("B", "2024-05")
+
+
+def test_crash_after_commit_recovers_forward(spark, table):
+    """Death after the commit point but before finalize: the commit
+    won; recovery completes the renames and the merged data is
+    visible -- including to plain parquet readers afterwards."""
+    src = _rows(spark, [(2, "B", "2024-05")])
+    orig_finalize = TxTable._finalize
+    try:
+        TxTable._finalize = lambda self, mapping, removes: (_ for _ in ()).throw(
+            RuntimeError("killed after commit")
+        )
+        with pytest.raises(RuntimeError, match="killed after commit"):
+            table.merge(src, "k")
+    finally:
+        TxTable._finalize = orig_finalize
+    got = _as_dict(table.read(spark))  # read triggers recovery
+    assert got[2] == ("B", "2024-05")
+    assert len(got) == 3
+    assert _as_dict(spark.read.parquet(table.root)) == got
+
+
+def test_unpartitioned_table(spark, tmp_path):
+    tx = TxTable(str(tmp_path / "u"))
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    tx.init(df)
+    tx.merge(
+        spark.createDataFrame([(1, "y"), (9, "z")], "k long, v string"), "k"
+    )
+    got = {r["k"]: r["v"] for r in tx.read(spark).collect()}
+    assert got == {0: "x", 1: "y", 2: "x", 3: "x", 4: "x", 9: "z"}
+
+
+def test_concurrent_publish_takes_distinct_versions(spark, table):
+    v1 = table._publish({"op": "noop", "add": [], "remove": [], "staged": {}})
+    v2 = table._publish({"op": "noop", "add": [], "remove": [], "staged": {}})
+    assert v2 == v1 + 1
