@@ -54,33 +54,38 @@ def main() -> None:
     # synthesized from `events` -- the end-to-end throughput number
     names = names + ["nightly_e2e"]
 
-    # each plan is DECLARED once: driver-side plan construction /
-    # Catalyst analysis is a fixed per-query cost independent of data
-    # scale, so the steady-state number times re-EXECUTION of the
-    # declared plan (what actually grows with the data)
-    dfs = {
-        name: (
+    def build(name):
+        return (
             nightly_e2e(spark, sf_dir)
             if name == "nightly_e2e"
             else qs[name](spark, sf_dir)
         )
-        for name in names
-    }
 
     def runq(name):
-        dfs[name].write.format("noop").mode("overwrite").save()
+        # a FRESH plan per execution: queries that internally cache a
+        # subtree (lazy localCheckpoint in the LSH dedup) must not get
+        # to reuse a previous run's materialization -- every timed run
+        # recomputes the full operator.  The timer starts after plan
+        # declaration: driver-side construction / Catalyst analysis is
+        # a fixed per-query cost independent of data scale, so the
+        # number measures distributed execution, the quantity that
+        # grows with the data.
+        df = build(name)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
 
-    # warm pass (untimed): JVM JIT, parquet footers, and each query's
-    # physical compilation -- the timed pass then measures steady-state
-    # distributed execution, the quantity that scales with data size
+    # warm pass (untimed): JVM JIT, parquet footers, physical
+    # compilation.  Then REPS timed executions per query, reporting the
+    # per-query MINIMUM: this box is a shared VM, and min-of-k is the
+    # standard way to read steady-state compute through host noise.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in names:
         runq(name)
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        runq(name)
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(min(runq(name) for _ in range(reps)), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -41,19 +41,25 @@ from nyc_crash_mapper_etl_script_spark.functions.geo import (
 _GRID_SHIFT = 21
 
 
-def point_cell(lng: Column, lat: Column, cell_deg: float) -> Column:
-    """Single grid-cell id for a point."""
-    ix = F.floor((lng + 180.0) / cell_deg).cast("long")
-    iy = F.floor((lat + 90.0) / cell_deg).cast("long")
+def _cell_lit(cell_deg) -> Column:
+    return cell_deg if isinstance(cell_deg, Column) else F.lit(float(cell_deg))
+
+
+def point_cell(lng: Column, lat: Column, cell_deg) -> Column:
+    """Single grid-cell id for a point (cell size literal or Column)."""
+    c = _cell_lit(cell_deg)
+    ix = F.floor((lng + 180.0) / c).cast("long")
+    iy = F.floor((lat + 90.0) / c).cast("long")
     return F.shiftleft(ix, _GRID_SHIFT) + iy
 
 
-def bbox_cells(box: Column, cell_deg: float) -> Column:
+def bbox_cells(box: Column, cell_deg) -> Column:
     """All grid-cell ids a bbox struct overlaps (array<long>)."""
-    x0 = F.floor((box["xmin"] + 180.0) / cell_deg).cast("long")
-    x1 = F.floor((box["xmax"] + 180.0) / cell_deg).cast("long")
-    y0 = F.floor((box["ymin"] + 90.0) / cell_deg).cast("long")
-    y1 = F.floor((box["ymax"] + 90.0) / cell_deg).cast("long")
+    c = _cell_lit(cell_deg)
+    x0 = F.floor((box["xmin"] + 180.0) / c).cast("long")
+    x1 = F.floor((box["xmax"] + 180.0) / c).cast("long")
+    y0 = F.floor((box["ymin"] + 90.0) / c).cast("long")
+    y1 = F.floor((box["ymax"] + 90.0) / c).cast("long")
     return F.flatten(
         F.transform(
             F.sequence(x0, x1),
@@ -70,39 +76,64 @@ def bbox_cells(box: Column, cell_deg: float) -> Column:
 _CELL_BUDGET = 65536
 
 
-def _adaptive_cell(geoms: DataFrame, floor_deg: float) -> float:
-    """Pick the cell size from the dimension's bbox statistics: the
-    SMALLEST cell whose total (geometry x overlapped-cells) fan-out
-    stays within ``_CELL_BUDGET`` rows.
+#: cell-size ratio between adjacent grid levels
+_LEVEL_BASE = 4.0
+#: edge spread (in levels) beyond which the multi-level ladder beats a
+#: single compromise cell: >= 2 levels means a >= 16x scale mix
+_LEVEL_SPAN_MIN = 2
 
-    Sizing to the largest geometry edge (the obvious rule) collapses
-    for layered dimensions of mixed scale -- one borough-sized polygon
-    forces borough-sized cells, so every cell holds a geometry from
-    EVERY layer and each fact row pays an exact pip test per layer.
-    Small cells keep ~one candidate per layer; correctness never
-    depends on the size because bbox_cells enumerates every overlapped
-    cell.  Expected fan-out for cell c: sum_i (dx_i/c + 1)(dy_i/c + 1)
-    = A/c^2 + B/c + n with A = sum dx*dy, B = sum (dx+dy); solve the
-    quadratic for the budget.  One tiny driver action on the DIMENSION
-    side only (never the fact table)."""
-    row = geoms.agg(
-        F.sum(
-            (F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"])
-            * (F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"])
-        ).alias("a"),
-        F.sum(
-            (F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"])
-            + (F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"])
-        ).alias("b"),
+
+def _geom_level(edge: Column, floor_deg: float) -> Column:
+    """Ladder level for a geometry: the smallest level whose cell
+    (floor * BASE^level) is >= the bbox edge, so every geometry
+    overlaps <= 4 cells AT ITS OWN LEVEL regardless of scale.
+    Correctness never depends on the level chosen -- points probe all
+    present levels -- so float jitter in the log only shifts fan-out
+    by one rung."""
+    import math
+
+    return (
+        F.when(edge <= floor_deg, F.lit(0))
+        .otherwise(
+            F.ceil(F.log(edge / F.lit(floor_deg)) / math.log(_LEVEL_BASE) - 1e-9)
+        )
+        .cast("int")
+    )
+
+
+def _grid_plan(boxed: DataFrame, floor_deg: float):
+    """One dimension-side driver action deciding the grid shape:
+    ``("multi", levels)`` when the dimension mixes geometry scales by
+    >= 16x (borough polygons layered with precinct polygons -- SURVEY
+    §8's case), else ``("single", cell_deg)`` via the budget rule."""
+    dx = F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"]
+    dy = F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"]
+    row = boxed.agg(
+        F.collect_set(_geom_level(F.greatest(dx, dy), floor_deg)).alias("lvls"),
+        F.sum(dx * dy).alias("a"),
+        F.sum(dx + dy).alias("b"),
         F.count(F.lit(1)).alias("n"),
-        F.max(F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"]).alias("dx"),
-        F.max(F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"]).alias("dy"),
+        F.max(dx).alias("dx"),
+        F.max(dy).alias("dy"),
     ).first()
+    levels = sorted(row["lvls"] or [0])
+    if len(levels) > 1 and levels[-1] - levels[0] >= _LEVEL_SPAN_MIN:
+        return "multi", levels
+    return "single", _adaptive_cell_from_stats(row, floor_deg)
+
+
+def _adaptive_cell_from_stats(row, floor_deg: float) -> float:
+    """Budget-sized single cell: the SMALLEST cell whose total
+    (geometry x overlapped-cells) fan-out stays within
+    ``_CELL_BUDGET`` rows.  Expected fan-out for cell c:
+    sum_i (dx_i/c + 1)(dy_i/c + 1) = A/c^2 + B/c + n with
+    A = sum dx*dy, B = sum (dx+dy); solve the quadratic for the
+    budget.  Degenerate stats (point-like geoms, or more geoms than
+    budget) fall back to the coarse largest-edge rule (<= 4 cells
+    each)."""
     a, b, n = row["a"] or 0.0, row["b"] or 0.0, row["n"] or 0
     slack = _CELL_BUDGET - n
     if slack <= 0 or (a <= 0.0 and b <= 0.0):
-        # degenerate: point-like geoms, or more geoms than budget ->
-        # fall back to the coarse largest-edge rule (<=4 cells each)
         biggest = max(row["dx"] or 0.0, row["dy"] or 0.0)
         return max(floor_deg, biggest * 1.001)
     if a > 0.0:
@@ -110,6 +141,73 @@ def _adaptive_cell(geoms: DataFrame, floor_deg: float) -> float:
     else:
         inv_c = slack / b
     return max(floor_deg, 1.0 / inv_c if inv_c > 0 else floor_deg)
+
+
+def _gridded(
+    points: DataFrame,
+    boxed: DataFrame,
+    point_col: str,
+    floor_deg: float,
+    cell_deg: float | None,
+    how: str,
+):
+    """Attach grid keys to both sides; returns (pts, geoms, key_cond).
+
+    Single-level: points carry ONE cell id, geometries explode to
+    their overlapped cells; join key is the cell.  Multi-level
+    (mixed-scale dimensions): each geometry registers at its OWN
+    level's resolution (<= 4 cells), and points explode to one row
+    per level PRESENT in the dimension (2-4 rows, a driver-known
+    literal list) with that level's cell id; join key is
+    (level, cell).  Candidate fan-out per point stays ~#layers
+    instead of every-coarse-geometry-in-a-fine-cell.
+
+    Multi-level requires ``how="inner"``: an outer join over the
+    exploded point side would keep one unmatched NULL row PER LEVEL.
+    Non-inner joins use the single budget-sized cell instead (every
+    engine call site is inner; outer spatial joins are an API
+    convenience for small dims)."""
+    lng = F.col(point_col)["lng"]
+    lat = F.col(point_col)["lat"]
+    if cell_deg is None and how == "inner":
+        shape, arg = _grid_plan(boxed, floor_deg)
+    elif cell_deg is None:
+        dx = F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"]
+        dy = F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"]
+        row = boxed.agg(
+            F.sum(dx * dy).alias("a"),
+            F.sum(dx + dy).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(dx).alias("dx"),
+            F.max(dy).alias("dy"),
+        ).first()
+        shape, arg = "single", _adaptive_cell_from_stats(row, floor_deg)
+    else:
+        shape, arg = "single", cell_deg
+    if shape == "single":
+        geoms = boxed.withColumn("__cell", F.explode(bbox_cells(F.col("__bbox"), arg)))
+        pts = points.withColumn("__cell", point_cell(lng, lat, arg))
+        return pts, geoms, (F.col("p.__cell") == F.col("g.__cell"))
+    levels: list[int] = arg
+    dx = F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"]
+    dy = F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"]
+    lvl = _geom_level(F.greatest(dx, dy), floor_deg)
+    gsize = F.lit(float(floor_deg)) * F.pow(F.lit(_LEVEL_BASE), lvl.cast("double"))
+    geoms = boxed.withColumn("__lvl", lvl).withColumn(
+        "__cell", F.explode(bbox_cells(F.col("__bbox"), gsize))
+    )
+    psize = F.lit(float(floor_deg)) * F.pow(
+        F.lit(_LEVEL_BASE), F.col("__lvl").cast("double")
+    )
+    pts = points.withColumn(
+        "__lvl", F.explode(F.array(*[F.lit(l).cast("int") for l in levels]))
+    ).withColumn("__cell", point_cell(lng, lat, psize))
+    return (
+        pts,
+        geoms,
+        (F.col("p.__lvl") == F.col("g.__lvl"))
+        & (F.col("p.__cell") == F.col("g.__cell")),
+    )
 
 
 def points_in_polygons(
@@ -150,20 +248,15 @@ def points_in_polygons(
             pt, F.col(f"g.{polygon_col}")
         )
         return points.alias("p").join(right, cond, how).drop("__bbox")
-    if cell_deg is None:
-        cell_deg = _adaptive_cell(boxed, 0.05)
-    geoms = boxed.withColumn("__cell", F.explode(bbox_cells(F.col("__bbox"), cell_deg)))
-    pts = points.withColumn("__cell", point_cell(
-        F.col(point_col)["lng"], F.col(point_col)["lat"], cell_deg
-    ))
+    pts, geoms, key_cond = _gridded(points, boxed, point_col, 0.05, cell_deg, how)
     right = F.broadcast(geoms.alias("g")) if broadcast_geoms else geoms.alias("g")
     cond = (
-        (F.col("p.__cell") == F.col("g.__cell"))
+        key_cond
         & bbox_contains(F.col("g.__bbox"), pt)
         & point_in_polygon(pt, F.col(f"g.{polygon_col}"))
     )
     out = pts.alias("p").join(right, cond, how)
-    return out.drop("__cell", "__bbox")
+    return out.drop("__cell", "__bbox", "__lvl")
 
 
 def points_in_circles(
@@ -201,18 +294,13 @@ def points_in_circles(
             pt, F.col(f"g.{center_col}"), F.col(f"g.{radius_col}")
         )
         return points.alias("p").join(right, cond, how).drop("__bbox")
-    if cell_deg is None:
-        cell_deg = _adaptive_cell(boxed, 0.01)
-    geoms = boxed.withColumn("__cell", F.explode(bbox_cells(F.col("__bbox"), cell_deg)))
-    pts = points.withColumn("__cell", point_cell(
-        F.col(point_col)["lng"], F.col(point_col)["lat"], cell_deg
-    ))
+    pts, geoms, key_cond = _gridded(points, boxed, point_col, 0.01, cell_deg, how)
     right = F.broadcast(geoms.alias("g")) if broadcast_geoms else geoms.alias("g")
     pt = F.col(f"p.{point_col}")
     cond = (
-        (F.col("p.__cell") == F.col("g.__cell"))
+        key_cond
         & bbox_contains(F.col("g.__bbox"), pt)
         & point_in_circle_m(pt, F.col(f"g.{center_col}"), F.col(f"g.{radius_col}"))
     )
     out = pts.alias("p").join(right, cond, how)
-    return out.drop("__cell", "__bbox")
+    return out.drop("__cell", "__bbox", "__lvl")

@@ -350,3 +350,36 @@ def test_macro_bench_nightly_e2e(spark):
     total = out.count()
     geo = out.where(F.col("the_geom").isNotNull()).count()
     assert total > geo > 0.9 * total * 0.95  # ~5% geo-less quirk rows
+
+
+def test_with_alerts_fires_on_failure(spark, feed):
+    """S12: a failing nightly run emits exactly one alert through the
+    injected sink and re-raises; a healthy run emits none."""
+    from nyc_crash_mapper_etl_script_spark.plans.alerts import with_alerts
+
+    seen = []
+
+    def fake_sink(subject, message):
+        seen.append((subject, message))
+
+    def boom(_feed):
+        raise ValueError("upstream API said no")
+
+    with pytest.raises(ValueError, match="upstream API said no"):
+        with_alerts(boom, feed, alert_sink=fake_sink, subject="nightly")
+    assert len(seen) == 1
+    assert seen[0][0] == "nightly"
+    assert "upstream API said no" in seen[0][1]
+
+    ok = with_alerts(
+        run_nightly,
+        feed,
+        _empty_crashes(spark),
+        _districts(spark),
+        _intersections(spark),
+        _crosswalk(spark),
+        alert_sink=fake_sink,
+        reference_date="2024-07-01",
+    )
+    assert seen[1:] == []
+    assert set(r["socrata_id"] for r in ok["crashes"].collect()) == {101, 102, 103, 104}

@@ -94,6 +94,68 @@ def test_grid_join_plan_is_hash_join(spark):
     assert "HashJoin" in plan2
 
 
+def _mixed_scale_polys(spark):
+    """One borough-scale polygon (~0.6 deg) layered over a grid of
+    precinct-scale polygons (~0.03 deg) -- the SURVEY §8 case."""
+
+    def ring(x0, y0, x1, y1):
+        return [Row(x=x0, y=y0), Row(x=x1, y=y0), Row(x=x1, y=y1), Row(x=x0, y=y1)]
+
+    rows = [Row(gid=0, kind="borough", poly=ring(-74.25, 40.45, -73.65, 40.95))]
+    gid = 1
+    for i in range(8):
+        for j in range(8):
+            x0 = -74.24 + i * 0.07
+            y0 = 40.46 + j * 0.055
+            rows.append(
+                Row(gid=gid, kind="precinct", poly=ring(x0, y0, x0 + 0.03, y0 + 0.03))
+            )
+            gid += 1
+    return spark.createDataFrame(rows)
+
+
+def test_multilevel_grid_matches_naive_on_mixed_scales(spark):
+    """>=16x scale mix triggers the level ladder; pairs identical to
+    the naive predicate join."""
+    pts = _random_points(spark, n=400, seed=23)
+    polys = _mixed_scale_polys(spark)
+    grid = points_in_polygons(pts, polys, polygon_col="poly").select(
+        F.col("p.pid").alias("pid"), F.col("g.gid").alias("gid")
+    )
+    naive = pts.alias("p").join(
+        polys.alias("g"),
+        point_in_polygon(F.col("p.the_geom"), F.col("g.poly")),
+    ).select(F.col("p.pid").alias("pid"), F.col("g.gid").alias("gid"))
+    assert {tuple(r) for r in grid.collect()} == {tuple(r) for r in naive.collect()}
+    assert grid.count() > 300  # borough matches most points
+
+
+def test_multilevel_candidate_fanout_stays_near_layers(spark):
+    """The scale argument: with the ladder, a point's candidate set is
+    ~one geometry per layer (borough level: 1 candidate; precinct
+    level: ~1 covering + boundary slack), nowhere near the 65-geometry
+    dimension.  Measured by stripping the exact predicate and counting
+    cell-key collisions per point."""
+    from nyc_crash_mapper_etl_script_spark.functions.geo import polygon_bbox
+    from nyc_crash_mapper_etl_script_spark.operators.spatial_join import _gridded
+
+    pts = _random_points(spark, n=400, seed=29)
+    polys = _mixed_scale_polys(spark)
+    boxed = polys.withColumn("__bbox", polygon_bbox(F.col("poly")))
+    p, g, key_cond = _gridded(pts, boxed, "the_geom", 0.05, None, "inner")
+    cand = (
+        p.alias("p")
+        .join(F.broadcast(g.alias("g")), key_cond)
+        .groupBy("p.pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.avg("n").alias("avg"), F.max("n").alias("mx"))
+        .first()
+    )
+    # 65 geometries, 2 layers: candidates must track layers, not geoms
+    assert cand["avg"] <= 8.0
+    assert cand["mx"] <= 16
+
+
 def test_left_join_keeps_unmatched(spark):
     pts = spark.createDataFrame(
         [(1, Row(lng=-74.1, lat=40.6)), (2, Row(lng=0.0, lat=0.0))],
