@@ -1168,6 +1168,127 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=5, threshold=0.5)
 
 
+@register(
+    "dedup_ngram_capped",
+    _SHINGLE_SQL
+    + """
+    , rare AS (SELECT sh FROM tok GROUP BY sh HAVING count(*) <= 50),
+    tokr AS (SELECT tok.doc_id, tok.sh FROM tok JOIN rare USING (sh)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tokr a JOIN tokr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS common
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.id_a
+      JOIN tok b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(common / CAST(x.n_sh + y.n_sh - common AS DOUBLE), 6) AS jaccard
+      FROM common
+      JOIN sizes x ON id_a = x.doc_id
+      JOIN sizes y ON id_b = y.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list-capped n-gram Jaccard (the 100 TB configuration):
+    shingles shared by > 50 docs drop from candidate generation only;
+    jaccard is verified on the FULL shingle sets.  The oracle replays
+    the cap (HAVING count <= 50 on the inverted index) and the
+    full-set verification, so values -- not just pairs -- match."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=5, threshold=0.5, max_posting=50)
+
+
+_CC_SQL = (
+    # recursive CTE needs the RECURSIVE keyword on the WITH list that
+    # also carries the shingle CTEs
+    _SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(common / CAST(x.n_sh + y.n_sh - common AS DOUBLE), 6) AS j
+        FROM common
+        JOIN sizes x ON id_a = x.doc_id
+        JOIN sizes y ON id_b = y.doc_id
+      ) WHERE j >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    """
+)
+
+
+@register("dedup_connected_components", _CC_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the near-dup graph: min-label
+    propagation to a fixpoint (every doc -> min reachable doc id).
+    The oracle computes the same reachability with a recursive CTE
+    over the identical n-gram edge set, so clusters match exactly --
+    an ORACLE-CHECKED iterative algorithm, not a rows-only one."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=5, threshold=0.5)
+    return duplicate_clusters(d, pairs)
+
+
+def _hash_split_sql(weights: dict[str, float], salt: str = "") -> str:
+    """Oracle twin of hash_split: the same md5-fraction and the same
+    Python-float boundary accumulation, inlined via repr for bit
+    parity."""
+    names = list(weights)
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN frac < {acc!r} THEN '{name}'")
+    case = " ".join(cases)
+    return f"""
+    SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS frac
+      FROM documents
+    )
+    """
+
+
+@register("sample_hash_split", _hash_split_sql({"train": 0.9, "val": 0.05, "test": 0.05}))
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key: stable
+    across runs, partitionings, and engines (randomSplit is neither).
+    Pure codegen projection, zero shuffle."""
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id")
+
+
 def _minhash_md5_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
     """Full-value DuckDB twin of the banded-LSH minhash dedup: the
     md5 hash family (``md5_number_upper`` == first 8 md5 bytes

@@ -337,6 +337,59 @@ def minhash_near_duplicates(
     )
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve pairwise near-dup edges into clusters: every doc gets
+    ``cluster`` = the minimum doc id reachable through the duplicate
+    graph (the keeper), singletons keep their own id.  This is the
+    step that turns any pairwise dedup (minhash/simhash/ngram/
+    embedding) into actual keep/drop decisions.
+
+    Implementation: iterative min-label propagation -- per round, each
+    node takes the min of its own label and its neighbors' labels
+    (one join + one groupBy per round), with ``localCheckpoint``
+    truncating lineage so round N's plan doesn't replay rounds
+    1..N-1.  Rounds needed = graph diameter; near-dup clusters are
+    shallow (boilerplate groups are cliques, diameter 1-2).  At
+    100 TB with adversarial chain-shaped graphs, switch to the
+    large-star/small-star contraction (O(log n) rounds, same
+    per-round plan shape); the loop below is the diameter-bounded
+    special case, converging early via a LIMIT-1 change probe."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster"))
+
+
 #: signed-long bit weights (bit 63 is the sign bit)
 _BIT_WEIGHTS = [1 << b for b in range(63)] + [-(1 << 63)]
 

@@ -1,0 +1,51 @@
+"""Deterministic dataset splitting (training-pipeline north star).
+
+A training corpus needs stable train/val/test assignment: the same
+document must land in the same split on every run, on every cluster,
+after every backfill -- so the split key is a HASH of the id, never a
+random() (Spark's ``randomSplit`` resamples per run and per partition
+layout).  The md5-derived fraction used here is reproducible in any
+engine (DuckDB: ``('0x' || substr(md5(x), 1, 8))::UBIGINT / 2^32``),
+which is also what makes the oracle twin exact.
+
+Pure Column arithmetic -- codegen, zero shuffle, scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_fraction(key: Column, salt: str = "") -> Column:
+    """Uniform [0, 1) fraction from md5(salt || key): first 8 hex
+    chars -> 32-bit int / 2^32.  Salt rotates assignments without
+    touching the data (a new epoch of splits = a new salt)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to a named split by hashed key.
+
+    ``weights`` maps split name -> fraction (must sum to ~1; the last
+    split absorbs rounding).  Assignment is a pure function of
+    (salt, key): re-runs, backfills, and other engines agree row by
+    row."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    frac = hash_fraction(F.col(key_col), salt)
+    names = list(weights)
+    bounds = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, acc))
+    expr = F.lit(names[-1])
+    for name, hi in reversed(bounds):
+        expr = F.when(frac < hi, name).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -305,6 +305,19 @@ def ivf_topk(
     md5/column configuration is reproducible 1:1 in ANSI SQL."""
     cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, impl=assign_impl)
+    probes = _probe_cells(queries, cents, n_probe, query_id_col, query_vec_col)
+    return _score_probed(assigned, probes, k, id_col, vec_col)
+
+
+def _probe_cells(
+    queries: DataFrame,
+    cents: DataFrame,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Each query's n_probe nearest centroid cells (query_id, qv,
+    cell_id)."""
     qcells = (
         queries.alias("q")
         .join(F.broadcast(cents))
@@ -320,11 +333,20 @@ def ivf_topk(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__csim").desc(), F.col("cell_id").asc()
     )
-    probes = (
+    return (
         qcells.withColumn("__pr", F.row_number().over(wq))
         .where(F.col("__pr") <= n_probe)
         .select("query_id", "qv", "cell_id")
     )
+
+
+def _score_probed(
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         "query_id",
         F.col(id_col).alias("vec_id"),
@@ -338,3 +360,53 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "sim")
     )
+
+
+def ivf_write(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+    assign_impl: str = "arrow",
+) -> None:
+    """Materialize an IVF index: corpus partitioned on disk by
+    cell_id (hive dirs -> partition-pruned probes), centroids stored
+    beside it under the scan-hidden ``_centroids`` dir.
+
+    This is the storage half of the 100 TB ANN story: the in-plan
+    :func:`ivf_topk` recomputes assignment per query batch, right for
+    exploratory use; a standing corpus instead pays assignment ONCE
+    at write and every probe afterwards reads only the n_probe/
+    n_cells slice of the files (verified against ``inputFiles`` in
+    tests)."""
+    cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, impl=assign_impl)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    cents.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Query a materialized IVF index with partition pruning: the
+    probed cell ids (n_queries x n_probe distinct values, collected
+    driver-side -- bounded by the query batch, never the corpus)
+    become an IN-filter on the partition column, so the scan touches
+    only those cells' files.  For query batches too large to collect,
+    fall back to the equi join of :func:`ivf_topk` -- same plan minus
+    the pruning."""
+    cents = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    probes = _probe_cells(queries, cents, n_probe, query_id_col, query_vec_col)
+    cells = [r["cell_id"] for r in probes.select("cell_id").distinct().collect()]
+    assigned = spark.read.parquet(path).where(F.col("cell_id").isin(cells))
+    return _score_probed(assigned, probes, k, id_col, vec_col)

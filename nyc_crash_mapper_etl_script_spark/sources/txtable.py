@@ -47,14 +47,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"
+_ARCHIVE_DIR = "_archive"
 
 
 class TxTable:
-    """A parquet table whose mutations are atomic log commits."""
+    """A parquet table whose mutations are atomic log commits.
 
-    def __init__(self, root: str, partition_by: list[str] | None = None) -> None:
+    ``retain_history=True`` moves superseded files into the hidden
+    ``_archive/`` dir instead of deleting them, enabling
+    ``read(version=N)`` time travel (reproducible backfills against
+    yesterday's table) at the cost of storage until :meth:`vacuum`.
+    The default keeps the eager-delete behavior, which also keeps a
+    quiescent table byte-identical to what a plain
+    ``spark.read.parquet(root)`` sees."""
+
+    def __init__(
+        self,
+        root: str,
+        partition_by: list[str] | None = None,
+        retain_history: bool = False,
+    ) -> None:
         self.root = root.rstrip("/")
         self.partition_by = list(partition_by or [])
+        self.retain_history = retain_history
 
     # -- log plumbing -----------------------------------------------------
 
@@ -78,9 +93,13 @@ class TxTable:
                     out.append(json.load(f))
         return out
 
-    def _live_files(self, entries: list[dict] | None = None) -> list[str]:
+    def _live_files(
+        self, entries: list[dict] | None = None, version: int | None = None
+    ) -> list[str]:
         live: dict[str, None] = {}
         for e in entries if entries is not None else self._entries():
+            if version is not None and e["version"] > version:
+                break
             for f in e.get("remove", []):
                 live.pop(f, None)
             for f in e.get("add", []):
@@ -130,7 +149,7 @@ class TxTable:
                 if staged_of.get(rel) and os.path.exists(src):
                     os.makedirs(os.path.dirname(final), exist_ok=True)
                     os.rename(src, final)
-        # 2. drop data files no committed version references
+        # 2. retire data files the current version no longer references
         for dirpath, dirnames, filenames in os.walk(self.root):
             rel_dir = os.path.relpath(dirpath, self.root)
             parts = [] if rel_dir == "." else rel_dir.split(os.sep)
@@ -142,21 +161,58 @@ class TxTable:
                     continue
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
                 if rel not in live:
-                    os.unlink(os.path.join(dirpath, name))
+                    self._retire(rel)
         # 3. drop staging dirs (every committed add was moved in step 1;
         # anything left belongs to an uncommitted, i.e. failed, txn)
         sdir = os.path.join(self.root, _STAGING_DIR)
         if os.path.isdir(sdir):
             shutil.rmtree(sdir)
 
+    def _retire(self, rel: str) -> None:
+        """Superseded file: archive (time travel) or delete."""
+        p = os.path.join(self.root, rel)
+        if self.retain_history:
+            dst = os.path.join(self.root, _ARCHIVE_DIR, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(p, dst)
+        else:
+            os.unlink(p)
+
+    def _resolve(self, rel: str) -> str:
+        """A logged file lives in the root while current, in _archive
+        once superseded (retain_history)."""
+        p = os.path.join(self.root, rel)
+        if os.path.exists(p):
+            return p
+        archived = os.path.join(self.root, _ARCHIVE_DIR, rel)
+        if os.path.exists(archived):
+            return archived
+        raise FileNotFoundError(
+            f"{rel}: not in table or archive (vacuumed history?)"
+        )
+
     # -- read -------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table, or -- with ``version`` and
+        ``retain_history=True`` -- the table exactly as of that
+        committed version (partition columns included via basePath)."""
         self._recover()
-        files = [os.path.join(self.root, f) for f in self._live_files()]
+        files = [self._resolve(f) for f in self._live_files(version=version)]
         if not files:
             raise FileNotFoundError(f"empty tx table at {self.root}")
         return spark.read.option("basePath", self.root).parquet(*files)
+
+    def vacuum(self) -> int:
+        """Drop archived history (time travel gone; current version
+        untouched).  Returns the number of files removed."""
+        adir = os.path.join(self.root, _ARCHIVE_DIR)
+        n = 0
+        if os.path.isdir(adir):
+            for dirpath, _, filenames in os.walk(adir):
+                n += len(filenames)
+            shutil.rmtree(adir)
+        return n
 
     # -- write paths ------------------------------------------------------
 
@@ -191,9 +247,8 @@ class TxTable:
             os.makedirs(os.path.dirname(final), exist_ok=True)
             os.rename(os.path.join(self.root, staged_rel), final)
         for rel in removes:
-            p = os.path.join(self.root, rel)
-            if os.path.exists(p):
-                os.unlink(p)
+            if os.path.exists(os.path.join(self.root, rel)):
+                self._retire(rel)
         sdir = os.path.join(self.root, _STAGING_DIR)
         if os.path.isdir(sdir):
             for txn in os.listdir(sdir):
@@ -268,6 +323,24 @@ class TxTable:
         merged = merged.localCheckpoint()
         _, mapping = self._stage(merged)
         return self._commit(mapping, removes, "merge")
+
+    def compact(self, spark: SparkSession, target_mb: int = 128) -> int:
+        """Transactional OPTIMIZE: rewrite the table's storage into
+        ~target_mb files, contents unchanged (the VACUUM FULL analog,
+        main.py:1105-1107 -- but as one atomic commit, readable
+        throughout, instead of the delete-then-rename window of a
+        directory swap).  Incremental merges bloat tables with many
+        small appended files; this is the periodic repair."""
+        self._recover()
+        removes = list(self._live_files())
+        current = self.read(spark)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in removes
+        )
+        n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+        compacted = current.repartition(n_files).localCheckpoint()
+        _, mapping = self._stage(compacted)
+        return self._commit(mapping, removes, "compact")
 
     def delete(self, keys: DataFrame, key: str) -> int:
         """DELETE-by-key (S10): rewrite only the partitions holding

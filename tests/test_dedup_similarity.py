@@ -288,3 +288,85 @@ def test_ivf_topk_partial_probe(embeddings):
     assigned = ivf_assign(embeddings, cents)
     assert assigned.count() == embeddings.count()
     assert assigned.select("cell_id").distinct().count() <= 4
+
+
+def test_ivf_materialized_probe_matches_inplan(embeddings, tmp_path):
+    """The storage path: ivf_write partitions the corpus by cell on
+    disk; ivf_probe answers from the index with partition pruning and
+    returns exactly what the in-plan ivf_topk returns for the same
+    configuration."""
+    from pyspark.sql import functions as F
+
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_probe,
+        ivf_topk,
+        ivf_write,
+    )
+
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=5, hash_fn="md5")
+    q = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from_index = ivf_probe(spark, path, q, k=4, n_probe=2)
+    in_plan = ivf_topk(embeddings, q, k=4, n_cells=5, n_probe=2, hash_fn="md5")
+    key = lambda df: {(r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+                      for r in df.collect()}
+    assert key(from_index) == key(in_plan)
+    # partition pruning is real: files actually READ (input_file_name
+    # at execution; inputFiles() lists pre-pruning) are a strict
+    # subset of the index
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import _probe_cells
+
+    probe_q = q.limit(1)
+    cents = spark.read.parquet(path + "/_centroids")
+    cells = [r["cell_id"] for r in
+             _probe_cells(probe_q, cents, 1).select("cell_id").collect()]
+    touched = (
+        spark.read.parquet(path)
+        .where(F.col("cell_id").isin(cells))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    total = (
+        spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    )
+    assert 0 < touched < total
+    assert ivf_probe(spark, path, probe_q, k=4, n_probe=1).count() > 0
+
+
+def test_duplicate_clusters_resolution(spark):
+    """Chains resolve transitively (a-b, b-c -> one cluster under the
+    min id); singletons keep their own id."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster"] for r in
+           duplicate_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 6: 2, 4: 4}
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import hash_split
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(df.repartition(13), "doc_id").collect()}
+    assert a == b  # partitioning-independent determinism
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 4000 - 0.9) < 0.03
+    assert abs(c["val"] / 4000 - 0.05) < 0.02
+    # a different salt reshuffles assignments
+    salted = {r["doc_id"]: r["split"] for r in
+              hash_split(df, "doc_id", salt="v2").collect()}
+    assert salted != a

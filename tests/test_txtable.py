@@ -139,3 +139,34 @@ def test_concurrent_publish_takes_distinct_versions(spark, table):
     v1 = table._publish({"op": "noop", "add": [], "remove": [], "staged": {}})
     v2 = table._publish({"op": "noop", "add": [], "remove": [], "staged": {}})
     assert v2 == v1 + 1
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    tx = TxTable(str(tmp_path / "h"), partition_by=["ym"], retain_history=True)
+    v1 = tx.init(_rows(spark, [(1, "a", "2024-05"), (2, "b", "2024-05")]))
+    tx.merge(_rows(spark, [(2, "B", "2024-05"), (3, "c", "2024-06")]), "k")
+    assert _as_dict(tx.read(spark)) == {
+        1: ("a", "2024-05"), 2: ("B", "2024-05"), 3: ("c", "2024-06")
+    }
+    # as-of the first commit: pre-merge values, no k=3
+    assert _as_dict(tx.read(spark, version=v1)) == {
+        1: ("a", "2024-05"), 2: ("b", "2024-05")
+    }
+    # plain readers of the root never see archived files
+    assert _as_dict(spark.read.parquet(tx.root)) == _as_dict(tx.read(spark))
+    n = tx.vacuum()
+    assert n > 0
+    with pytest.raises(FileNotFoundError):
+        tx.read(spark, version=v1)
+    assert _as_dict(tx.read(spark))[2] == ("B", "2024-05")
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, table):
+    for i in range(4):  # bloat with small appends
+        table.append(_rows(spark, [(10 + i, "x", "2024-05")]))
+    before_rows = _as_dict(table.read(spark))
+    before_files = len(table._live_files())
+    table.compact(spark)
+    assert _as_dict(table.read(spark)) == before_rows
+    assert len(table._live_files()) < before_files
+    assert _as_dict(spark.read.parquet(table.root)) == before_rows
