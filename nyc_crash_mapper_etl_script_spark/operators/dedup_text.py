@@ -349,16 +349,16 @@ def duplicate_clusters(
     step that turns any pairwise dedup (minhash/simhash/ngram/
     embedding) into actual keep/drop decisions.
 
-    Implementation: iterative min-label propagation -- per round, each
-    node takes the min of its own label and its neighbors' labels
-    (one join + one groupBy per round), with ``localCheckpoint``
-    truncating lineage so round N's plan doesn't replay rounds
-    1..N-1.  Rounds needed = graph diameter; near-dup clusters are
-    shallow (boilerplate groups are cliques, diameter 1-2).  At
-    100 TB with adversarial chain-shaped graphs, switch to the
-    large-star/small-star contraction (O(log n) rounds, same
-    per-round plan shape); the loop below is the diameter-bounded
-    special case, converging early via a LIMIT-1 change probe."""
+    Implementation: per round, (a) min-label propagation -- each node
+    takes the min of its own and its neighbors' labels (join +
+    groupBy) -- then (b) POINTER JUMPING: label := label's label (one
+    self-join), which halves chain depth every round, so convergence
+    is O(log diameter) instead of O(diameter) on adversarial
+    chain-shaped graphs (the same shortcutting idea as hash-to-min /
+    star contraction).  ``localCheckpoint`` truncates lineage so
+    round N's plan doesn't replay rounds 1..N-1; a LIMIT-1 change
+    probe exits early (near-dup clusters are usually cliques,
+    diameter 1-2 -> two rounds)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -374,8 +374,19 @@ def duplicate_clusters(
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "lbl")
-        new_labels = (
+        propagated = (
             labels.unionByName(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: follow one hop through the label table
+        # (labels are node ids, so the label's own label exists)
+        parent = propagated.select(
+            F.col("id").alias("__pid"), F.col("lbl").alias("__plbl")
+        )
+        new_labels = (
+            propagated.join(parent, propagated["lbl"] == parent["__pid"], "left")
+            .select(
+                "id", F.least(F.col("lbl"), F.col("__plbl")).alias("lbl")
+            )
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")

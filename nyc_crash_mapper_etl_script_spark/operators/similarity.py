@@ -197,6 +197,68 @@ def select_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """IVF coarse quantizer refined by spherical k-means: Lloyd
+    iterations over a DETERMINISTIC hash-ordered sample (never a
+    random() -- same centroids every run, every cluster layout),
+    initialized from :func:`select_centroids`' seeds.
+
+    This is the classical IVF training recipe at scale: the sample
+    (<= sample_size vectors) fits the driver, the refined centroids
+    broadcast back, and the corpus-side assignment stays the same
+    zero-shuffle Arrow matmul.  Cell ids keep the seed numbering, so
+    every downstream path (assign/probe/write) is oblivious to
+    whether centroids were refined.  Ties in the argmin break to the
+    lowest cell id; a cell that loses all members keeps its previous
+    centroid -- both rules keep the result platform-independent."""
+    import numpy as np
+
+    if hash_fn == "md5":
+        hcol = F.md5(F.col(id_col).cast("string"))
+    else:
+        hcol = F.xxhash64(F.col(id_col))
+    sample_rows = (
+        corpus.orderBy(hcol, F.col(id_col))
+        .limit(sample_size)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    X = np.array([list(r["v"]) for r in sample_rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    seed_rows = select_centroids(
+        corpus, n_cells, id_col, vec_col, hash_fn=hash_fn
+    ).orderBy("cell_id").collect()
+    C = np.array([list(r["cv"]) for r in seed_rows], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    for _ in range(iters):
+        sims = Xn @ C.T
+        assign = np.argmax(sims, axis=1)  # first max -> lowest cell id
+        newC = C.copy()
+        for c in range(C.shape[0]):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    newC[c] = m / n
+        if np.allclose(newC, C, atol=1e-12):
+            break
+        C = newC
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        f"cell_id int, cv {corpus.schema[vec_col].dataType.simpleString()}",
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -293,6 +355,7 @@ def ivf_topk(
     query_vec_col: str = "qv",
     hash_fn: str = "xxhash64",
     assign_impl: str = "arrow",
+    centroid_impl: str = "hash",
 ) -> DataFrame:
     """IVF approximate top-k: score only the corpus cells whose
     centroids are the query's n_probe nearest.
@@ -302,8 +365,14 @@ def ivf_topk(
     join.  ``n_probe == n_cells`` degrades gracefully to exact
     search (recall 1.0), which the tests pin.  All rankings compare
     cosines rounded at 6 with deterministic id tie-breaks, so the
-    md5/column configuration is reproducible 1:1 in ANSI SQL."""
-    cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+    md5/column configuration is reproducible 1:1 in ANSI SQL.
+    ``centroid_impl="kmeans"`` swaps in sample-trained spherical
+    k-means centroids (better recall per probe; still deterministic,
+    no longer SQL-twinnable)."""
+    if centroid_impl == "kmeans":
+        cents = kmeans_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+    else:
+        cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, impl=assign_impl)
     probes = _probe_cells(queries, cents, n_probe, query_id_col, query_vec_col)
     return _score_probed(assigned, probes, k, id_col, vec_col)
@@ -370,6 +439,7 @@ def ivf_write(
     vec_col: str = "embedding",
     hash_fn: str = "xxhash64",
     assign_impl: str = "arrow",
+    centroid_impl: str = "hash",
 ) -> None:
     """Materialize an IVF index: corpus partitioned on disk by
     cell_id (hive dirs -> partition-pruned probes), centroids stored
@@ -379,9 +449,13 @@ def ivf_write(
     :func:`ivf_topk` recomputes assignment per query batch, right for
     exploratory use; a standing corpus instead pays assignment ONCE
     at write and every probe afterwards reads only the n_probe/
-    n_cells slice of the files (verified against ``inputFiles`` in
-    tests)."""
-    cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+    n_cells slice of the files (verified against ``input_file_name``
+    in tests).  ``centroid_impl="kmeans"`` trains the quantizer on a
+    deterministic sample before writing."""
+    if centroid_impl == "kmeans":
+        cents = kmeans_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+    else:
+        cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, impl=assign_impl)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
     cents.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")

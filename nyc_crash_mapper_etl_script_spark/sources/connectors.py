@@ -102,10 +102,31 @@ class SodaClient:
         where: str | None = None,
         order: str | None = None,
         max_pages: int = 10_000,
+        use_cache: bool = False,
     ) -> int:
         """Page through the feed and land every page; returns the row
         count.  A dict response is the SODA error envelope
-        (main.py:102-104) -> raise, never land partial garbage."""
+        (main.py:102-104) -> raise, never land partial garbage.
+
+        ``use_cache=True``: a completed landing whose ``_manifest``
+        records the SAME (where, order, page_size) is reused without
+        any HTTP -- the repeated-nightly-window case (the reference
+        re-fetches its whole 2-month window every run).  The manifest
+        is written only after the last page lands, so an interrupted
+        fetch never masquerades as complete; param changes refetch
+        from scratch."""
+        key = {"where": where, "order": order, "page_size": self.page_size}
+        manifest = os.path.join(landing_dir, "_manifest.json")
+        if use_cache and os.path.exists(manifest):
+            with open(manifest) as f:
+                m = json.load(f)
+            if m.get("key") == key:
+                return m["rows"]
+        # stale params or incomplete fetch: clear non-hidden parts
+        if os.path.isdir(landing_dir):
+            for name in os.listdir(landing_dir):
+                if not name.startswith((".", "_")):
+                    os.unlink(os.path.join(landing_dir, name))
         total = 0
         for page in range(max_pages):
             body = self.transport(
@@ -118,6 +139,11 @@ class SodaClient:
                 _land_jsonl(landing_dir, rows, page)
                 total += len(rows)
             if len(rows) < self.page_size:
+                os.makedirs(landing_dir, exist_ok=True)
+                tmp = os.path.join(landing_dir, f".tmp-{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    json.dump({"key": key, "rows": total}, f)
+                os.rename(tmp, manifest)
                 return total
         raise RuntimeError(f"SODA paging did not terminate in {max_pages} pages")
 
@@ -183,16 +209,19 @@ def read_soda(
     app_token: str | None = None,
     transport: Transport = http_json_transport,
     page_size: int = 50_000,
+    use_cache: bool = False,
 ) -> DataFrame:
     """S1 live path: fetch the SODA feed (pushdown params on the
     request) to ``landing_dir``, then scan it with the typed feed
     schema.  Returns the same shape as
     :func:`~.readers.read_soda_snapshot`, so every downstream operator
-    is oblivious to snapshot-vs-live."""
+    is oblivious to snapshot-vs-live.  ``use_cache=True`` skips the
+    HTTP round-trip when the landing dir already holds a completed
+    fetch for the same params."""
     from nyc_crash_mapper_etl_script_spark.sources.readers import read_soda_snapshot
 
     client = SodaClient(base_url, app_token, page_size, transport)
-    client.fetch_to_landing(landing_dir, where=where, order=order)
+    client.fetch_to_landing(landing_dir, where=where, order=order, use_cache=use_cache)
     return read_soda_snapshot(spark, landing_dir)
 
 

@@ -65,7 +65,8 @@ def test_soda_paging_and_pushdown(tmp_path):
     assert first["$$app_token"] == "tok"
     assert first["$select"] == ":*,*"
     assert server.calls[2]["$offset"] == "20"
-    landed = sorted(p.name for p in (tmp_path / "landing").iterdir())
+    landed = sorted(p.name for p in (tmp_path / "landing").iterdir()
+                    if not p.name.startswith(("_", ".")))
     assert landed == ["part-00000.jsonl", "part-00001.jsonl", "part-00002.jsonl"]
 
 
@@ -140,3 +141,21 @@ def test_read_soda_feeds_run_nightly(spark, tmp_path):
     assert crashes[101]["borough"] == "Brooklyn"
     assert crashes[103]["the_geom"] is None  # outside extent, nulled
     assert crashes[103]["longitude"] == 99.0  # raw coords survive
+
+
+def test_soda_landing_cache(tmp_path):
+    """Same (where, order, page_size): second fetch serves from the
+    landing dir with zero HTTP calls; changed params refetch."""
+    rows = [{"collision_id": str(i)} for i in range(7)]
+    server = FakeSodaServer(rows)
+    client = SodaClient(SODA_URL, page_size=10, transport=server)
+    d = str(tmp_path / "landing")
+    assert client.fetch_to_landing(d, where="w1", use_cache=True) == 7
+    calls_after_first = len(server.calls)
+    assert client.fetch_to_landing(d, where="w1", use_cache=True) == 7
+    assert len(server.calls) == calls_after_first  # served from cache
+    assert client.fetch_to_landing(d, where="w2", use_cache=True) == 7
+    assert len(server.calls) > calls_after_first  # param change refetches
+    # cache off: always refetches
+    client.fetch_to_landing(d, where="w2", use_cache=False)
+    assert len(server.calls) > calls_after_first + 1

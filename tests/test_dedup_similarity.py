@@ -370,3 +370,60 @@ def test_hash_split_stable_and_proportional(spark):
     salted = {r["doc_id"]: r["split"] for r in
               hash_split(df, "doc_id", salt="v2").collect()}
     assert salted != a
+
+
+def test_duplicate_clusters_chain_converges_logarithmically(spark):
+    """A 40-node path graph (worst case for plain propagation: 39
+    rounds) must resolve within ~log2(40)+slack rounds thanks to
+    pointer jumping -- max_iter=9 would fail without it."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        duplicate_clusters,
+    )
+
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster"] for r in
+           duplicate_clusters(docs, pairs, max_iter=9).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_kmeans_centroids_perfect_recall_on_clustered_data(spark):
+    """Three tight direction-clusters: trained centroids align with
+    the clusters, so n_probe=1 IVF returns exactly the brute-force
+    top-k -- where hash-seeded centroids can split or merge clusters.
+    Also pins run-to-run determinism (no random state anywhere)."""
+    import math
+    import random
+
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(3)
+    anchors = [
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    ]
+    rows = []
+    for i in range(90):
+        a = anchors[i % 3]
+        v = [x + rng.uniform(-0.05, 0.05) for x in a]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    approx = ivf_topk(emb, q, k=5, n_cells=3, n_probe=1, centroid_impl="kmeans")
+    exact = brute_force_topk(emb, q, k=5)
+    key = lambda df: {(r["query_id"], r["rank"]): r["vec_id"] for r in df.collect()}
+    assert key(approx) == key(exact)
+    c1 = kmeans_centroids(emb, 3).collect()
+    c2 = kmeans_centroids(emb, 3).collect()
+    assert [(r["cell_id"], r["cv"]) for r in c1] == [
+        (r["cell_id"], r["cv"]) for r in c2
+    ]

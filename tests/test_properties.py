@@ -120,3 +120,82 @@ def test_cdc_classify_partitions_keys(spark, universe):
     }
     for k, cls in expect.items():
         assert got.get(k) == cls, (k, cls, got.get(k))
+
+
+# ---------------------------------------------------------------------------
+# TxTable: transactional semantics vs an in-memory model
+# ---------------------------------------------------------------------------
+
+_tx_key = st.integers(min_value=0, max_value=9)
+_tx_ym = st.sampled_from(["2024-05", "2024-06"])
+_tx_row = st.tuples(_tx_key, st.text("abcde", min_size=1, max_size=3), _tx_ym)
+
+
+def _tx_batch(min_size=1):
+    # distinct keys within one batch (merge/append sources are keyed)
+    return st.lists(
+        _tx_row, min_size=min_size, max_size=4, unique_by=lambda r: r[0]
+    )
+
+
+_tx_op = st.one_of(
+    st.tuples(st.just("append"), _tx_batch()),
+    st.tuples(st.just("merge"), _tx_batch()),
+    st.tuples(st.just("crashed_merge"), _tx_batch()),
+    st.tuples(st.just("delete"), st.lists(_tx_key, min_size=1, max_size=3)),
+    st.tuples(st.just("compact"), st.just(None)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(init=_tx_batch(), ops=st.lists(_tx_op, min_size=1, max_size=4))
+def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, ops):
+    """Any interleaving of append/merge/delete/compact -- including a
+    merge killed at the commit point -- leaves the table equal to the
+    obvious in-memory model, for both TxTable.read and a plain
+    parquet read of the root."""
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    root = str(tmp_path_factory.mktemp("txprop") / "t")
+    tx = TxTable(root, partition_by=["ym"])
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v string, ym string")
+
+    tx.init(df_of(init))
+    model = list(init)  # blind-append multiset semantics
+    for op, arg in ops:
+        if op == "append":
+            tx.append(df_of(arg))
+            model += arg
+        elif op == "merge":
+            tx.merge(df_of(arg), "k")
+            keys = {r[0] for r in arg}
+            model = [r for r in model if r[0] not in keys] + arg
+        elif op == "crashed_merge":
+            orig = TxTable._publish
+            try:
+                TxTable._publish = lambda self, e: (_ for _ in ()).throw(
+                    RuntimeError("crash")
+                )
+                try:
+                    tx.merge(df_of(arg), "k")
+                except RuntimeError:
+                    pass
+            finally:
+                TxTable._publish = orig
+            # model unchanged: the commit never happened
+        elif op == "delete":
+            tx.delete(spark.createDataFrame([(k,) for k in arg], "k long"), "k")
+            model = [r for r in model if r[0] not in set(arg)]
+        elif op == "compact":
+            tx.compact(spark)
+
+    got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
+    assert got == sorted(model)
+    plain = sorted(
+        (r["k"], r["v"], r["ym"])
+        for r in spark.read.parquet(root).select("k", "v", "ym").collect()
+    )
+    assert plain == sorted(model)
