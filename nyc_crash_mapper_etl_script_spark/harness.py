@@ -1438,11 +1438,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(e, dim=64, threshold=0.4, num_planes=6, seed=42)
 
 
-def _lsh_topk_sql(k: int = 5, num_planes: int = 8) -> str:
+def _lsh_topk_sql(k: int = 5, num_planes: int = 8, probe_hamming: int = 0) -> str:
     """DuckDB twin of the hyperplane-LSH ANN probe: the deterministic
     planes are inlined as literals (like ``_embedding_neardup_sql``),
     and ranking happens on cosine rounded at 6 with a vec_id
-    tie-break on both engines."""
+    tie-break on both engines.  ``probe_hamming=1`` replays the
+    multi-probe expansion (the query's bucket plus every one-bit-flip
+    neighbor)."""
     from nyc_crash_mapper_etl_script_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(64, num_planes, seed=42)
@@ -1450,16 +1452,27 @@ def _lsh_topk_sql(k: int = 5, num_planes: int = 8) -> str:
         f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+    if probe_hamming >= 1:
+        flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(num_planes))
+        probe_cte = f"""
+    probes AS (
+      SELECT query_id, qv, unnest([CAST(bucket AS BIGINT), {flips}]) AS bucket
+      FROM q
+    ),"""
+    else:
+        probe_cte = """
+    probes AS (SELECT query_id, qv, CAST(bucket AS BIGINT) AS bucket FROM q),"""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+    {probe_cte}
     scored AS (
-      SELECT q.query_id, c.vec_id,
-             round(list_dot_product(c.v, q.qv)
+      SELECT p.query_id, c.vec_id,
+             round(list_dot_product(c.v, p.qv)
                    / nullif(sqrt(list_dot_product(c.v, c.v))
-                            * sqrt(list_dot_product(q.qv, q.qv)), 0.0), 6) AS sim
-      FROM b c JOIN q ON c.bucket = q.bucket
+                            * sqrt(list_dot_product(p.qv, p.qv)), 0.0), 6) AS sim
+      FROM b c JOIN probes p ON CAST(c.bucket AS BIGINT) = p.bucket
     )
     SELECT query_id, vec_id, rank, sim FROM (
       SELECT query_id, vec_id, sim,
@@ -1482,6 +1495,21 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return lsh_topk(e, q, dim=64, k=5, num_planes=8)
+
+
+@register("sim_lsh_multiprobe", _lsh_topk_sql(probe_hamming=1))
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query also probes the num_planes
+    one-bit-flip buckets -- (planes+1)x probes, much higher recall,
+    corpus side untouched.  Oracle replays the same probe expansion
+    bucket by bucket."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_topk(e, q, dim=64, k=5, num_planes=8, probe_hamming=1)
 
 
 def _ivf_topk_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:

@@ -95,13 +95,32 @@ def lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the
     query's hyperplane bucket.  Recall < 1.0 by construction; scale
-    path for corpora where brute force is a full scan per query."""
+    path for corpora where brute force is a full scan per query.
+
+    ``probe_hamming=1`` is MULTI-PROBE LSH: each query also probes
+    the num_planes buckets one sign-bit away (a near neighbor that
+    straddles exactly one hyperplane lands there), trading
+    (num_planes+1)x more bucket probes for a big recall jump --
+    strictly cheaper than adding tables, because the corpus side is
+    untouched and the probe list is a tiny query-side explode.  A
+    corpus vector lives in exactly one bucket, so the probe fan-out
+    introduces no duplicate (query, vec) pairs."""
     planes = _hyperplanes(dim, num_planes, seed)
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     q = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), planes))
+    if probe_hamming >= 1:
+        probe_list = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.withColumn("__bucket", F.explode(probe_list))
     scored = c.alias("c").join(
         F.broadcast(q.alias("q")), F.col("c.__bucket") == F.col("q.__bucket")
     ).select(
@@ -459,6 +478,25 @@ def ivf_write(
     assigned = ivf_assign(corpus, cents, id_col, vec_col, impl=assign_impl)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
     cents.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "arrow",
+) -> None:
+    """Incrementally grow a materialized IVF index: assign only the
+    NEW vectors against the STORED centroids and append them into
+    their cells' partitions -- no retraining, no rewrite of existing
+    cells.  This is how a standing 100 TB index absorbs a daily
+    increment: O(increment) work, quantizer unchanged (retrain with
+    :func:`ivf_write` when drift accumulates)."""
+    cents = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    assigned = ivf_assign(new_vectors, cents, id_col, vec_col, impl=assign_impl)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(path)
 
 
 def ivf_probe(

@@ -203,6 +203,24 @@ class TxTable:
             raise FileNotFoundError(f"empty tx table at {self.root}")
         return spark.read.option("basePath", self.root).parquet(*files)
 
+    def history(self) -> list[dict]:
+        """Commit audit trail, newest first: version, operation, and
+        file-churn counts per commit (Delta's DESCRIBE HISTORY
+        analog).  Pure log read -- no Spark job, no file IO beyond
+        the entry list."""
+        return [
+            {
+                "version": e["version"],
+                "op": e.get("op", "?"),
+                "files_added": len(e.get("add", [])),
+                "files_removed": len(e.get("remove", [])),
+                "partitions": sorted(
+                    {os.path.dirname(f) for f in e.get("add", []) if os.sep in f}
+                ),
+            }
+            for e in reversed(self._entries())
+        ]
+
     def vacuum(self) -> int:
         """Drop archived history (time travel gone; current version
         untouched).  Returns the number of files removed."""

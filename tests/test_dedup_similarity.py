@@ -427,3 +427,55 @@ def test_kmeans_centroids_perfect_recall_on_clustered_data(spark):
     assert [(r["cell_id"], r["cv"]) for r in c1] == [
         (r["cell_id"], r["cv"]) for r in c2
     ]
+
+
+def test_ivf_append_grows_index_without_rewrite(embeddings, tmp_path):
+    """Appending new vectors assigns them with the STORED centroids
+    and leaves existing cell files untouched; probes see old and new
+    vectors together."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_append,
+        ivf_probe,
+        ivf_write,
+    )
+
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "ivf")
+    old = embeddings.where(F.col("vec_id") < 20)
+    ivf_write(old, path, n_cells=4, hash_fn="md5")
+    before_files = set(spark.read.parquet(path).inputFiles())
+    new = embeddings.where(F.col("vec_id") >= 20)
+    ivf_append(spark, path, new)
+    after_files = set(spark.read.parquet(path).inputFiles())
+    assert before_files <= after_files  # strictly additive
+    assert len(after_files) > len(before_files)
+    got = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert got == {r["vec_id"] for r in embeddings.collect()}
+    # full probe over the grown index finds an appended vector
+    q = embeddings.where(F.col("vec_id") == 25).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_probe(spark, path, q, k=1, n_probe=4)
+    assert out.collect()[0]["vec_id"] == 25  # self is its own top-1
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(embeddings):
+    """Probing the one-bit-flip buckets can only ADD candidates, so
+    multi-probe recall vs brute force is >= single-probe recall."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import lsh_topk
+
+    q = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).where(F.col("query_id") < 5)
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             brute_force_topk(embeddings, q, k=3).collect()}
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    single = recall(lsh_topk(embeddings, q, dim=16, k=3, num_planes=6))
+    multi = recall(lsh_topk(embeddings, q, dim=16, k=3, num_planes=6,
+                            probe_hamming=1))
+    assert multi >= single
+    assert multi > 0.5

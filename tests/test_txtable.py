@@ -170,3 +170,12 @@ def test_compact_preserves_rows_and_reduces_files(spark, table):
     assert _as_dict(table.read(spark)) == before_rows
     assert len(table._live_files()) < before_files
     assert _as_dict(spark.read.parquet(table.root)) == before_rows
+
+
+def test_history_audit_trail(spark, table):
+    table.merge(_rows(spark, [(2, "B", "2024-05")]), "k")
+    h = table.history()
+    assert [e["op"] for e in h] == ["merge", "init"]
+    assert h[0]["version"] == 2
+    assert h[0]["files_removed"] > 0
+    assert all("ym=2024-05" in p for p in h[0]["partitions"])
