@@ -1512,6 +1512,69 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=5, num_planes=8, probe_hamming=1)
 
 
+def _quantized_topk_sql(k: int = 5, overscan: int = 4) -> str:
+    """Twin of the int8-quantize -> candidate -> exact-refine ANN:
+    round() is half-away-from-zero in both engines, quantized dot
+    products are exact integers accumulated in double, and both
+    ranking stages compare round-6 values with id tie-breaks."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qz AS (
+      SELECT vec_id, v,
+             CASE WHEN am > 0
+                  THEN list_transform(v, x -> round(x / (am / 127.0)))
+                  ELSE list_transform(v, x -> 0.0) END AS q
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS am FROM e)
+    ),
+    qn AS (SELECT vec_id, v, q, sqrt(list_dot_product(q, q)) AS qnorm FROM qz),
+    qs AS (SELECT vec_id AS query_id, v AS qv, q AS sq, qnorm AS sqnorm
+           FROM qn WHERE vec_id < 3),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY round(list_dot_product(c.q, s.sq)
+                                / nullif(CASE WHEN c.qnorm > 0 AND s.sqnorm > 0
+                                              THEN c.qnorm * s.sqnorm END, 0.0), 6)
+                          DESC NULLS LAST,
+                          c.vec_id ASC) AS r
+        FROM qn c CROSS JOIN qs s
+      ) WHERE r <= {k * overscan}
+    )
+    SELECT query_id, vec_id, rank, sim FROM (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_dot_product(e.v, s.qv)
+                   / nullif(sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(s.qv, s.qv)), 0.0), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY round(list_dot_product(e.v, s.qv)
+                              / nullif(sqrt(list_dot_product(e.v, e.v))
+                                       * sqrt(list_dot_product(s.qv, s.qv)), 0.0), 6)
+                        DESC, cand.vec_id ASC) AS rank
+      FROM cand
+      JOIN e ON cand.vec_id = e.vec_id
+      JOIN qs s ON cand.query_id = s.query_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_quantized_topk", _quantized_topk_sql())
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN: candidates scored on 4x-smaller quantized
+    vectors, exact cosine refine on the k*overscan survivors.  The
+    oracle replays quantization, both rankings, and the refine."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import quantized_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return quantized_topk(e, q, k=5, overscan=4)
+
+
 def _ivf_topk_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
     """DuckDB twin of the md5/column IVF configuration: centroids by
     md5-hex order, assignment and probe by round-6 cosine with

@@ -479,3 +479,26 @@ def test_multiprobe_lsh_recall_dominates_single_probe(embeddings):
                             probe_hamming=1))
     assert multi >= single
     assert multi > 0.5
+
+
+def test_quantized_topk_matches_bruteforce_with_overscan(embeddings):
+    """int8 candidates + exact refine: with a healthy overscan the
+    final top-k equals brute force on this corpus, and the quantized
+    column really is tinyint (the 4x memory claim)."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    qz = quantize_embeddings(embeddings)
+    assert qz.schema["q"].dataType.simpleString() == "array<tinyint>"
+    assert qz.where(F.abs(F.element_at("q", 1)) > 127).count() == 0
+
+    q = embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    key = lambda df: {(r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+                      for r in df.collect()}
+    assert key(quantized_topk(embeddings, q, k=3, overscan=5)) == key(
+        brute_force_topk(embeddings, q, k=3)
+    )

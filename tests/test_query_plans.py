@@ -26,6 +26,10 @@ NLJ_OK = {
     "sim_ivf_topk",               # centroid assignment is corpus x
                                   # broadcast(n_cells) by definition;
                                   # the probe itself is an equi join
+    "sim_quantized_topk",         # candidate stage scores corpus x
+                                  # broadcast(query set) on int8
+                                  # vectors by design; refine is an
+                                  # equi join on the survivors
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
