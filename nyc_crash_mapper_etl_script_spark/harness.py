@@ -1877,3 +1877,165 @@ def o1_ordered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1000)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN + gap sessionization (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def _pq_topk_sql(
+    dim: int = 64, m: int = 4, ksub: int = 8, k: int = 5, overscan: int = 4
+) -> str:
+    """DuckDB twin of the PQ-ADC ANN: the LCG codebooks are inlined as
+    literals (like the LSH hyperplanes), encode replays argmin of
+    round-6 scores with list_position's first-index tie-break, the
+    ADC sum is written left-associated in the same term order as the
+    Spark chained ``+``, and both rankings are round-6 + vec_id."""
+    from nyc_crash_mapper_etl_script_spark.operators.pq import pq_codebooks
+
+    books = pq_codebooks(dim, m, ksub, seed=42)
+    dsub = dim // m
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    def seg(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{(j + 1) * dsub}]"
+
+    score_lists = ",\n               ".join(
+        "["
+        + ", ".join(
+            f"round(-2.0 * list_dot_product({seg('v', j)}, {lit(c)})"
+            f" + {sum(x * x for x in c)!r}, 6)"
+            for c in book
+        )
+        + f"] AS s{j}"
+        for j, book in enumerate(books)
+    )
+    code_cols = ",\n             ".join(
+        f"list_position(s{j}, list_min(s{j})) AS c{j}" for j in range(m)
+    )
+    lut_lists = ",\n             ".join(
+        "["
+        + ", ".join(
+            f"round(list_dot_product({seg('v', j)}, {lit(c)}), 6)" for c in book
+        )
+        + f"] AS lut{j}"
+        for j, book in enumerate(books)
+    )
+    cc_lists = {
+        j: "[" + ", ".join(repr(float(sum(x * x for x in c))) for c in book) + "]"
+        for j, book in enumerate(books)
+    }
+    adc = "0.0" + "".join(
+        f" + list_extract(q.lut{j}, enc.c{j})" for j in range(m)
+    )
+    rnorm2 = "0.0" + "".join(
+        f" + list_extract({cc_lists[j]}, enc.c{j})" for j in range(m)
+    )
+    cos = (
+        "round(list_dot_product(e.v, q2.qv)"
+        " / nullif(sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(q2.qv, q2.qv)), 0.0), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    enc AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM (SELECT vec_id,
+               {score_lists}
+            FROM e)
+    ),
+    q AS (SELECT vec_id AS query_id,
+             sqrt(list_dot_product(v, v)) AS qnorm,
+             {lut_lists}
+          FROM e WHERE vec_id < 3),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, enc.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(({adc})
+                          / nullif(CASE WHEN ({rnorm2}) > 0 AND q.qnorm > 0
+                                        THEN sqrt({rnorm2}) * q.qnorm END, 0.0), 6)
+                          DESC NULLS LAST,
+                          enc.vec_id ASC) AS r
+        FROM enc CROSS JOIN q
+      ) WHERE r <= {k * overscan}
+    )
+    SELECT query_id, vec_id, rank, sim FROM (
+      SELECT cand.query_id, cand.vec_id, {cos} AS sim,
+             row_number() OVER (PARTITION BY cand.query_id
+                                ORDER BY {cos} DESC, cand.vec_id ASC) AS rank
+      FROM cand
+      JOIN e ON cand.vec_id = e.vec_id
+      JOIN (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3) q2
+        ON cand.query_id = q2.query_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_pq_topk", _pq_topk_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (m=4 segments, ksub=8): candidates are
+    scored from m-byte PQ codes via per-query ADC lookup tables (the
+    64x compression rung past int8), exact-cosine refine on the
+    k*overscan survivors.  The oracle twin replays codebooks, encode
+    argmin, ADC term order, and both rankings."""
+    from nyc_crash_mapper_etl_script_spark.operators.pq import pq_codebooks, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    books = pq_codebooks(64, 4, 8, seed=42)
+    return pq_topk(e, q, books, k=5, overscan=4)
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts)
+                          - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+                          > 3600000000
+                  THEN 1 ELSE 0 END AS opens
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization of the events table (1 h gap): lag + running
+    sum assigns per-key session ordinals, then one aggregate per
+    session.  Batch twin of streaming.sessions.sessionize_stream;
+    the gap compare is integer microseconds on both engines."""
+    from nyc_crash_mapper_etl_script_spark.operators.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=3600,
+        tiebreak_col="event_id",
+        value_col="value",
+    )

@@ -30,6 +30,9 @@ NLJ_OK = {
                                   # broadcast(query set) on int8
                                   # vectors by design; refine is an
                                   # equi join on the survivors
+    "sim_pq_topk",                # candidate stage scores PQ codes x
+                                  # broadcast(query LUTs) by design;
+                                  # refine is an equi join
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
