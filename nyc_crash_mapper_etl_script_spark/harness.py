@@ -2039,3 +2039,149 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         value_col="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep surface: stratified sampling, vocabulary, e2e pipeline
+# ---------------------------------------------------------------------------
+
+_STRATA_FRACTIONS = {"en": 0.1, "de": 1.0, "fr": 1.0, "es": 0.5}
+
+
+def _stratified_sql(fractions: dict[str, float], salt: str = "") -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {p!r}" for s, p in sorted(fractions.items())
+    )
+    return f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS frac,
+             CASE lang {whens} ELSE 0.0 END AS rate
+      FROM documents
+    ) WHERE frac < rate
+    """
+
+
+@register("sample_stratified", _stratified_sql(_STRATA_FRACTIONS))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (rebalance the corpus:
+    keep all low-resource languages, 10% of English, drop unlisted).
+    Same md5-fraction contract as sample_hash_split -- re-runs and
+    engines agree row by row; zero shuffle."""
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, key_col="doc_id", strata_col="lang", fractions=_STRATA_FRACTIONS
+    )
+
+
+@register(
+    "text_vocab_topk",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+               x -> x <> '')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+    SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 vocabulary: explode is a codegen'd generate,
+    the count is one partial-agg shuffle (Zipf skew collapses
+    map-side), top-k is TakeOrderedAndProject with a token tie-break
+    so the boundary of the set is engine-independent."""
+    from nyc_crash_mapper_etl_script_spark.operators.vocab import vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_topk(d, "text", k=100)
+
+
+@register(
+    "pipeline_corpus_prep",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, coalesce(text, '') AS txt,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS words,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, fp,
+             CASE WHEN trim(txt) = '' THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(txt), '\s+')) AS BIGINT)
+             END AS ntok,
+             CASE WHEN length(txt) >= 50 AND length(txt) <= 20000 THEN 1.0
+                  WHEN length(txt) > 0 THEN 0.3 ELSE 0.0 END AS len_ok,
+             1.0 - least(1.0,
+               (CASE WHEN length(txt) > 0
+                     THEN (length(txt) - length(regexp_replace(txt, '[^\w\s]', '', 'g')))
+                          / CAST(length(txt) AS DOUBLE)
+                     ELSE 0.0 END) * 4) AS punct_ok,
+             least(1.0,
+               (CASE WHEN len(words) > 0
+                     THEN len(list_filter(words,
+                          x -> list_contains(['the','and','of','to','is'], x)))
+                          / CAST(len(words) AS DOUBLE)
+                     ELSE 0.0 END) * 10) AS stop_ok
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, source, fp, ntok,
+             floor(((len_ok + punct_ok + stop_ok) / 3) * 10000) / 10000.0 AS q
+      FROM m
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.4),
+    dedup AS (
+      SELECT * FROM kept
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(ntok) AS n_tokens,
+           CAST(floor(sum(CAST(round(q * 10000) AS BIGINT)) / count(*)) AS BIGINT)
+             AS avg_q_e4
+    FROM dedup
+    GROUP BY source
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end to end as ONE declarative plan:
+    quality-score -> filter -> exact-dedup (min doc_id per
+    fingerprint) -> per-source corpus stats.  Catalyst pipelines the
+    scoring into the scan; the only shuffles are the dedup
+    (hash(fp)) and the final per-source aggregate.  The average
+    quality is reported in exact 1e-4 grid units (sum of scaled
+    integers, floor-divided) so both engines agree bit for bit."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        whitespace_token_count(F.col("text")).cast("long").alias("ntok"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    kept = scored.where(F.col("q") >= 0.4)
+    dd = (
+        kept.withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("fp").orderBy(F.col("doc_id").asc())),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return dd.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.floor(
+            F.sum(F.round(F.col("q") * 10000).cast("long")) / F.count("*")
+        )
+        .cast("long")
+        .alias("avg_q_e4"),
+    )

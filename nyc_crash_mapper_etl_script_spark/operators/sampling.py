@@ -49,3 +49,27 @@ def hash_split(
     for name, hi in reversed(bounds):
         expr = F.when(frac < hi, name).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    md5-fraction is below its stratum's rate.  The classic
+    rebalance-the-corpus move (e.g. keep 100% of low-resource
+    languages, 10% of English) with the same guarantees as
+    :func:`hash_split`: pure function of (salt, key), so re-runs,
+    backfills, and the DuckDB oracle agree row by row -- unlike
+    ``DataFrame.sampleBy``, which draws per-run randoms.  Strata
+    absent from ``fractions`` get ``default_fraction`` (drop, by
+    default).  Zero shuffle: one codegen'd filter over the scan."""
+    frac = hash_fraction(F.col(key_col), salt)
+    rate = F.lit(float(default_fraction))
+    for stratum, p in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(p))).otherwise(rate)
+    return df.where(frac < rate)

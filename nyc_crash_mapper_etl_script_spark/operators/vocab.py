@@ -1,0 +1,64 @@
+"""Corpus vocabulary statistics (training-pipeline north star).
+
+Token-level aggregates over a document corpus: global vocabulary with
+frequencies, top-k heavy hitters, and per-token document frequency
+(the DF half of TF-IDF).  All built from the same whitespace
+tokenization as ``functions.text`` so token counts, vocab, and
+quality filters agree on what a token is.
+
+Plan shape at 100 TB: tokenize-and-explode is a codegen'd generate
+over the scan (no Python), the count is ONE hash aggregate with
+map-side partial combine (the shuffle carries one row per distinct
+token per task, not per occurrence), and top-k is
+TakeOrderedAndProject -- per-partition heaps, no global sort.  Token
+frequency is Zipfian by nature; partial aggregation absorbs the skew
+(the hot token collapses to one row per task before the exchange), so
+no salting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.operators.topk import top_k
+
+__all__ = ["tokens", "vocab_counts", "vocab_topk", "doc_frequency"]
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empties removed (NULL-safe).
+    Matches ``functions.text.whitespace_token_count``'s notion of a
+    token so counts and vocab agree."""
+    t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def vocab_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n) global term frequencies: explode + one partial-agg
+    count."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Top-k vocabulary by frequency, token-asc tie-break (so the
+    boundary of the top-k set is engine-independent)."""
+    return top_k(vocab_counts(df, text_col), "n", k, "token")
+
+
+def doc_frequency(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(token, df) document frequencies: distinct tokens per doc via
+    ``array_distinct`` BEFORE the explode (deduping inside the row is
+    free; deduping after the explode would shuffle every occurrence),
+    then the same one-shuffle count."""
+    return (
+        df.select(
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
