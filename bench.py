@@ -36,8 +36,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "text_quality",
     "multimodal_features",
+    "sessionize_events",
+    "pipeline_corpus_prep",
 ]
 
 

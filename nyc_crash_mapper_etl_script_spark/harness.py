@@ -2185,3 +2185,89 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_q_e4"),
     )
+
+
+@register(
+    "text_tfidf_topterms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+               x -> x <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT doc_id, token, tf, score, rank FROM (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * (ln((n.nd + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * (ln((n.nd + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+                        DESC, tf.token ASC) AS rank
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF:
+    one explode feeds both the tf and df aggregates (df counts rows
+    of the tf relation -- no second explode, no count-distinct), N is
+    a broadcast 1-row aggregate, ranking is round-6 with token
+    tie-breaks on both engines."""
+    from nyc_crash_mapper_etl_script_spark.operators.vocab import top_terms_per_doc
+
+    d = _t(spark, sf_dir, "documents")
+    return top_terms_per_doc(d, n=3)
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """Twin of the Morton z-value: identical quantization arithmetic
+    (double rank, floor, clamp) and an unrolled bit-interleave that
+    DuckDB evaluates with the same integer shifts."""
+    top = (1 << bits) - 1
+    scale = float(1 << bits)
+    terms = " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i + 1}) + (((qy >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH ext AS (
+      SELECT min(value) AS xmin, max(value) AS xmax,
+             min(user_id) AS ymin, max(user_id) AS ymax
+      FROM events
+    ),
+    q AS (
+      SELECT event_id, value, user_id,
+             CASE WHEN (xmax - xmin) > 0
+                  THEN least(CAST(floor((CAST(value AS DOUBLE) - xmin)
+                                        / (xmax - xmin) * {scale!r}) AS BIGINT),
+                             {top})
+                  ELSE 0 END AS qx,
+             CASE WHEN (ymax - ymin) > 0
+                  THEN least(CAST(floor((CAST(user_id AS DOUBLE) - ymin)
+                                        / (ymax - ymin) * {scale!r}) AS BIGINT),
+                             {top})
+                  ELSE 0 END AS qy
+      FROM events CROSS JOIN ext
+    )
+    SELECT event_id,
+           CASE WHEN value IS NULL OR user_id IS NULL THEN -1
+                ELSE {terms} END AS zv
+    FROM q
+    """
+
+
+@register("zorder_values", _zorder_sql())
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (value, user_id): the clustering key
+    behind operators.zorder.cluster_write's multi-column data
+    skipping.  Pure codegen'd integer bit math after a broadcast
+    1-row extent aggregate; the oracle replays quantization and the
+    unrolled interleave bit by bit."""
+    from nyc_crash_mapper_etl_script_spark.operators.zorder import zorder_value
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    return zorder_value(ev, "value", "user_id", bits=8).select("event_id", "zv")

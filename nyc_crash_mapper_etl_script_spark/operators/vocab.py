@@ -62,3 +62,60 @@ def doc_frequency(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, token, tf, score): smoothed TF-IDF over the corpus,
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` rounded at 6.
+
+    Plan: ONE explode feeds both aggregates -- term frequencies are a
+    (doc, token) hash aggregate; document frequencies reuse the tf
+    relation (count per token over it == distinct-docs-per-token,
+    since tf rows are already per (doc, token)), so no second explode
+    and no count-distinct.  The doc count N joins in as a broadcast
+    1-row aggregate, and df joins back on the token key.  Zipf skew
+    on hot tokens collapses in the partial aggregates."""
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("__n"))
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("score"),
+        )
+    )
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-n characteristic terms per document by TF-IDF (score desc,
+    token asc tie-break): one window over the tf-idf relation,
+    partitioned by doc -- bounded output, deterministic boundary."""
+    from pyspark.sql import Window
+
+    scored = tf_idf(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(id_col, "token", "tf", "score", "rank")
+    )

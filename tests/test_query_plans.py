@@ -33,6 +33,8 @@ NLJ_OK = {
     "sim_pq_topk",                # candidate stage scores PQ codes x
                                   # broadcast(query LUTs) by design;
                                   # refine is an equi join
+    "text_tfidf_topterms",        # 1-row broadcast doc-count N
+    "zorder_values",              # 1-row broadcast extent aggregate
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
