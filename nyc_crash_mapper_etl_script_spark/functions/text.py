@@ -115,3 +115,39 @@ def shingles(text: Column, k: int = 5) -> Column:
         idx,
         lambda i: F.concat_ws(" ", F.slice(words, i, k)),
     )
+
+
+#: PII patterns shared with the DuckDB oracle -- restricted to syntax
+#: Java regex and RE2 interpret identically (no backrefs, no
+#: lookaround, explicit classes).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails / phone numbers / SSN-shaped strings.
+
+    Pure codegen regexp_replace cascade; the SSN pass runs before the
+    phone pass because the phone pattern would half-match an SSN.
+    Replacement tokens are distinct so downstream audits can count
+    redaction kinds from the scrubbed text alone.
+    """
+    t = F.coalesce(text, F.lit(""))
+    t = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, PII_SSN_RE, "<SSN>")
+    t = F.regexp_replace(t, PII_PHONE_RE, "<PHONE>")
+    return t
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ssns, n_phones) found in the raw text.  The phone
+    count excludes SSN matches the same way the scrub cascade does:
+    it counts on the SSN-scrubbed text."""
+    t = F.coalesce(text, F.lit(""))
+    no_ssn = F.regexp_replace(t, PII_SSN_RE, "<SSN>")
+    return (
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(t, F.lit(PII_SSN_RE)),
+        F.regexp_count(no_ssn, F.lit(PII_PHONE_RE)),
+    )

@@ -2271,3 +2271,369 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_id", "value", "user_id")
     return zorder_value(ev, "value", "user_id", bits=8).select("event_id", "zv")
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of and interval (operators/temporal_join.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT r.ts FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = p.user_id
+               AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_ts,
+           (SELECT r.value FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = p.user_id
+               AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest preceding click's
+    (ts, value) for the same user -- union-and-fill, ONE shuffle on
+    user_id.  The oracle is an independent correlated LIMIT-1
+    formulation, so the window trick is genuinely cross-checked."""
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    return asof_join(
+        probe=ev.where(F.col("event_type") == "purchase"),
+        ref=ev.where(F.col("event_type") == "click"),
+        key_col="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        ref_value_cols=["value"],
+        probe_cols=["event_id"],
+        inclusive=True,
+        ref_tiebreak="event_id",
+    )
+
+
+@register(
+    "interval_join_window_agg",
+    """
+    SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+           round(coalesce(sum(c.value), 0), 2) AS click_value
+    FROM events e LEFT JOIN events c
+      ON c.event_type = 'click' AND c.ts >= e.ts
+         AND c.ts < e.ts + INTERVAL 600 SECONDS
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def interval_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key: clicks landing in each error's
+    10-minute aftermath, via the 1-D time grid (600 s cells: every
+    interval covers <= 2 cells, every point exactly 1).  The oracle
+    is the naive theta join.  Zero-click errors survive through the
+    final broadcast-able join-back onto the error set."""
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import (
+        interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.make_dt_interval(secs=F.lit(600))).alias("hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    pairs = interval_join(
+        points=clicks,
+        intervals=errors,
+        point_ts="c_ts",
+        lo_col="lo",
+        hi_col="hi",
+        cell_seconds=600,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks_m"),
+        F.round(F.sum("c_value"), 2).alias("click_value_m"),
+    )
+    return errors.select("event_id").join(agg, on="event_id", how="left").select(
+        "event_id",
+        F.coalesce(F.col("n_clicks_m"), F.lit(0)).cast("long").alias("n_clicks"),
+        F.round(F.coalesce(F.col("click_value_m"), F.lit(0.0)), 2).alias(
+            "click_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE event_type IN ('signup', 'error')
+    ),
+    collapsed AS (
+      SELECT * FROM (
+        SELECT user_id, ts, event_type, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM log)
+      WHERE prev_state IS NULL OR event_type <> prev_state
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS version_seq,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM collapsed
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity history of each user's signup/error state
+    stream with consecutive-duplicate collapse -- one shuffle on
+    user_id shared by the lag filter and the lead/row_number pass."""
+    from nyc_crash_mapper_etl_script_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "error")
+    )
+    return scd2_history(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        state_cols=["event_type"],
+        tiebreak_col="event_id",
+        collapse_runs=True,
+    ).select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "version_seq",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV cardinality sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS hv
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    topk AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+    SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+           max(hv) AS kth_min,
+           round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 255 / max(hv) END, 4) AS est_distinct
+    FROM topk
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over an md5 hash
+    family -- a deterministic, engine-portable alternative to HLL
+    whose estimate the oracle reproduces bit for bit.  TakeOrdered
+    top-k merge, O(k) memory per partition."""
+    from nyc_crash_mapper_etl_script_spark.operators.sketches import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_partkey", k=256)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination / repetition quality / PII scrub / packing
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_contamination",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CASE WHEN len(words) >= 5
+                    THEN [array_to_string(words[i:i+4], ' ')
+                          FOR i IN range(1, len(words) - 3)]
+                  WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+                  ELSE [] END AS shs
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT unnest(shs) AS sh FROM s
+              WHERE source IN ('src0', 'src1')),
+    corpus AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+               WHERE source NOT IN ('src0', 'src1')),
+    agg AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched
+      FROM corpus c LEFT JOIN bench b USING (sh) GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_shingles, n_matched,
+           round(n_matched / CAST(n_shingles AS DOUBLE), 4) AS contamination,
+           round(n_matched / CAST(n_shingles AS DOUBLE), 4) > 0.2 AS flagged
+    FROM agg
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap of every corpus doc
+    (sources != src0/src1) against the benchmark shingle set
+    (src0+src1).  One equi-join on the shingle, no doc x doc pass;
+    AQE broadcasts the benchmark side when small."""
+    from nyc_crash_mapper_etl_script_spark.operators.contamination import (
+        contamination_check,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench_src = F.col("source").isin("src0", "src1")
+    return contamination_check(
+        corpus=d.where(~bench_src),
+        benchmark=d.where(bench_src),
+        id_col="doc_id",
+        text_col="text",
+        k=5,
+        flag_threshold=0.2,
+    )
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(words) AS wd FROM w),
+    ucnt AS (SELECT doc_id, wd, count(*) AS c FROM uni GROUP BY doc_id, wd),
+    ustat AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_types, max(c) AS top_uni
+      FROM ucnt GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 2
+                  THEN [array_to_string(words[i:i+1], ' ')
+                        FOR i IN range(1, len(words))]
+                  ELSE [] END AS bgs
+      FROM w
+    ),
+    bcnt AS (SELECT doc_id, unnest(bgs) AS bg FROM big),
+    bagg AS (SELECT doc_id, bg, count(*) AS c FROM bcnt GROUP BY doc_id, bg),
+    bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     max(c) AS top_big
+              FROM bagg GROUP BY doc_id)
+    SELECT u.doc_id, u.n_words, u.n_types,
+           round(u.n_types / CAST(u.n_words AS DOUBLE), 4) AS type_token_ratio,
+           round(u.top_uni / CAST(u.n_words AS DOUBLE), 4) AS top_unigram_frac,
+           round(coalesce(b.top_big / CAST(b.n_bigrams AS DOUBLE), 0), 4)
+             AS top_bigram_frac
+    FROM ustat u LEFT JOIN bstat b USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality profile (type/token ratio,
+    top-unigram and top-bigram shares) computed relationally --
+    explode + two keyed aggregates, no per-row quadratic HOF."""
+    from nyc_crash_mapper_etl_script_spark.operators.repetition import (
+        repetition_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_profile(d, "doc_id", "text")
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')
+             AS scrubbed,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, SSNs, phones) as a codegen
+    regexp_replace cascade, patterns restricted to the Java/RE2
+    common dialect so the oracle applies the identical automaton."""
+    from nyc_crash_mapper_etl_script_spark.functions.text import (
+        pii_counts,
+        pii_scrub,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_emails, _, _ = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        pii_scrub(F.col("text")).alias("scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT source, doc_id, n_chars, rn,
+             CAST(1 AS BIGINT) AS pack_id, n_chars AS pack_fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_chars, d.rn,
+             CASE WHEN p.pack_fill + d.n_chars > 1000
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.pack_fill + d.n_chars > 1000
+                  THEN d.n_chars ELSE p.pack_fill + d.n_chars END
+      FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_chars, pack_id, pack_fill FROM p
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of each source's docs into 1000-char
+    budgets -- applyInPandas per group (the assignment is sequential
+    within a group, perfectly parallel across groups); the oracle
+    replays the greedy rule with a recursive CTE."""
+    from nyc_crash_mapper_etl_script_spark.operators.packing import pack_greedy
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_greedy(
+        d,
+        group_col="source",
+        order_col="doc_id",
+        size_col="n_chars",
+        budget=1000,
+    )

@@ -14,9 +14,12 @@ aggregate keys are a refinement of the window partitioning, so the
 second exchange is hash(key, session_id) over already-key-clustered
 data -- skew-free as long as no single key holds a meaningful share
 of all events (at 100 TB the hot-key guard is ``operators.skew``).
-Gap comparison is integer microseconds (``unix_micros``) -- no
-float-second truncation at the boundary, and ANSI-replayable
-(``epoch_us`` in DuckDB).
+Gap comparison is a direct timestamp-vs-interval test
+(``ts > lag + INTERVAL gap``) -- exact at microsecond resolution,
+ANSI-replayable in DuckDB, and type-agnostic: it works identically
+for TIMESTAMP and TIMESTAMP_NTZ columns (parquet writers disagree on
+which they produce), where an epoch-micros conversion would either
+fail to resolve on NTZ or shift across DST in a non-UTC session.
 """
 
 from __future__ import annotations
@@ -53,12 +56,11 @@ def sessionize_batch(
     if tiebreak_col:
         order.append(F.col("__tb").asc())
     w = Window.partitionBy(key_col).orderBy(*order)
-    gap_us = int(gap_seconds) * 1_000_000
     lag_ts = F.lag(F.col("__ts")).over(w)
+    gap_iv = F.make_dt_interval(secs=F.lit(int(gap_seconds)))
     opens = (
         F.when(
-            lag_ts.isNull()
-            | (F.unix_micros(F.col("__ts")) - F.unix_micros(lag_ts) > F.lit(gap_us)),
+            lag_ts.isNull() | (F.col("__ts") > lag_ts + gap_iv),
             1,
         )
         .otherwise(0)

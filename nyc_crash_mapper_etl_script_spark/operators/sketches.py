@@ -1,0 +1,65 @@
+"""Deterministic cardinality sketch: KMV (k minimum values).
+
+``approx_count_distinct`` (HLL++) is the right tool inside one
+engine, but its estimate depends on Spark's private hash and register
+layout -- unverifiable against any other system.  KMV with an md5
+hash family is the portable alternative: hash every distinct value to
+a uniform [0,1) fraction, keep the k smallest, and estimate
+``(k-1) / h_(k)`` (Bar-Yossef et al. 2002).  md5 is identical
+everywhere, so Spark and DuckDB produce the SAME estimate bit for
+bit -- an *oracle-checkable* approximate aggregate.
+
+Scale shape: the hash is a codegen projection; per-partition top-k
+then global top-k is Spark's TakeOrdered path -- no full sort, no
+single-task global window; the merge traffic is k rows per partition.
+Memory is O(k) everywhere.  The same mergeability means sketches of
+partitions/days can be unioned then re-minned -- the incremental
+rollup a 100 TB corpus needs (sketch per partition once, merge
+cheaply forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_fraction(col: Column, salt: str = "") -> Column:
+    """Uniform [0,1) from md5: first 8 hex chars as uint32 / 2^32.
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 8))::BIGINT / 2^32``."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """One-row sketch summary: the KMV cardinality estimate for
+    ``col`` plus the exact inputs it derives from (k and the k-th
+    minimum hash), so consumers can merge or audit it.
+
+    Columns: ``n_hashes`` (min(k, distinct count) actually kept),
+    ``kth_min`` (largest kept hash), ``est_distinct`` (double;
+    exactly n_hashes when the domain is smaller than k).
+    """
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(md5_fraction(F.col(col), salt).alias("__h"))
+        .distinct()
+        .orderBy(F.col("__h").asc())
+        .limit(k)
+    )
+    return hashes.agg(
+        F.count("*").alias("n_hashes"),
+        F.max("__h").alias("kth_min"),
+        F.round(
+            F.when(
+                F.count("*") < F.lit(k),
+                F.count("*").cast("double"),
+            ).otherwise((F.lit(k) - 1) / F.max("__h")),
+            4,
+        ).alias("est_distinct"),
+    )

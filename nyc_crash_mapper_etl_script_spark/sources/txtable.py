@@ -24,12 +24,15 @@ on a bare filesystem:
    next open: logged adds still sitting in staging are renamed into
    place, unreferenced files are dropped.  Readers that go through
    :meth:`read` therefore always see exactly one committed version.
- - ``merge`` rewrites ONLY the partitions the update set touches
-   (collected from the source's partition values -- bounded by the
-   partition count, not the table), which is the 100 TB property the
-   reference's full-table UPDATE lacks and the judge of this design
-   actually cares about: an update touching yesterday's partition
-   costs O(partition), never O(table).
+ - ``merge`` rewrites ONLY the partitions the update set touches:
+   the source's own partition values plus any partition currently
+   holding a matched key (found by one semi-join, the analog of
+   Delta's find-touched-files phase -- this second set is what makes
+   a row that MOVES partitions merge correctly).  Bounded by the
+   touched-partition count, not the table, which is the 100 TB
+   property the reference's full-table UPDATE lacks: an update
+   touching yesterday's partition costs O(partition), never
+   O(table).
 
 Single-writer-per-table is assumed (the streaming foreachBatch
 serializes batches; a multi-writer deployment would retry on commit
@@ -200,6 +203,22 @@ class TxTable:
         self._recover()
         files = [self._resolve(f) for f in self._live_files(version=version)]
         if not files:
+            # A fully-deleted table is still a table: its schema rides
+            # in the commit log (newest entry that recorded one), so
+            # readers get a typed empty DataFrame, not an error --
+            # parquet alone cannot express "zero files, known schema".
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            entries = self._entries()
+            if version is not None:
+                entries = [e for e in entries if e["version"] <= version]
+            for e in reversed(entries):
+                if "schema" in e:
+                    return spark.createDataFrame(
+                        [], StructType.fromJson(_json.loads(e["schema"]))
+                    )
             raise FileNotFoundError(f"empty tx table at {self.root}")
         return spark.read.option("basePath", self.root).parquet(*files)
 
@@ -243,6 +262,7 @@ class TxTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
+        self._staged_schema = df.schema.json()
         mapping: dict[str, str] = {}
         for dirpath, _, filenames in os.walk(staging):
             for name in filenames:
@@ -275,14 +295,16 @@ class TxTable:
                     os.rmdir(d)
 
     def _commit(self, mapping: dict[str, str], removes: list[str], op: str) -> int:
-        version = self._publish(
-            {
-                "op": op,
-                "add": sorted(mapping),
-                "remove": sorted(removes),
-                "staged": mapping,
-            }
-        )
+        entry = {
+            "op": op,
+            "add": sorted(mapping),
+            "remove": sorted(removes),
+            "staged": mapping,
+        }
+        schema = getattr(self, "_staged_schema", None)
+        if schema is not None:
+            entry["schema"] = schema
+        version = self._publish(entry)
         self._finalize(mapping, removes)
         return version
 
@@ -315,11 +337,28 @@ class TxTable:
         self._recover()
         spark = source.sparkSession
         current = self.read(spark)
+        src_keys = source.select(key).where(source[key].isNotNull()).distinct()
         if self.partition_by:
-            touched = [
+            # Touched = source partitions UNION partitions currently
+            # holding a matched key.  The second set is what Delta's
+            # find-touched-files join computes; without it a source
+            # row whose partition value CHANGED would insert into the
+            # new partition while the stale row survives in the old
+            # one (caught by the hypothesis model test).  Cost is one
+            # semi-join keyed scan -- O(matches), not O(table
+            # rewrite) -- and the rewrite stays partition-scoped.
+            touched = {
                 self._partition_rel(r)
                 for r in source.select(*self.partition_by).distinct().collect()
-            ]
+            }
+            touched |= {
+                self._partition_rel(r)
+                for r in current.join(src_keys, on=key, how="left_semi")
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            }
+            touched = sorted(touched)
             prefixes = tuple(t + os.sep for t in touched)
             removes = [f for f in self._live_files() if f.startswith(prefixes)]
             base_files = [os.path.join(self.root, f) for f in removes]
@@ -331,11 +370,7 @@ class TxTable:
         else:
             removes = list(self._live_files())
             base = current
-        merged = base.join(
-            source.select(key).where(source[key].isNotNull()).distinct(),
-            on=key,
-            how="left_anti",
-        ).unionByName(source)
+        merged = base.join(src_keys, on=key, how="left_anti").unionByName(source)
         # pin the merged rows before any file mutation: the plan reads
         # the very files the finalize step will delete
         merged = merged.localCheckpoint()

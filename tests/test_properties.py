@@ -194,8 +194,11 @@ def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, o
 
     got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
-    plain = sorted(
-        (r["k"], r["v"], r["ym"])
-        for r in spark.read.parquet(root).select("k", "v", "ym").collect()
-    )
-    assert plain == sorted(model)
+    if model:
+        plain = sorted(
+            (r["k"], r["v"], r["ym"])
+            for r in spark.read.parquet(root).select("k", "v", "ym").collect()
+        )
+        assert plain == sorted(model)
+    # (an empty table has zero parquet files -- only TxTable.read,
+    # which carries the schema in its log, can type it)

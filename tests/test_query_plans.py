@@ -46,6 +46,9 @@ ARROW_OK = {
     "dedup_simhash",      # numpy simhash, same rationale
     "sim_ivf_topk",       # numpy matmul centroid argmax (replaces a
                           # full-corpus groupBy-argmax shuffle)
+    "pack_sequences",     # greedy packing is sequential within a
+                          # group by definition; applyInPandas over
+                          # bounded groups is the distributed shape
 }
 
 
@@ -61,3 +64,6 @@ def test_plan_shape(name, spark):
     if name not in ARROW_OK:
         assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python stage"
         assert "MapInPandas" not in plan, f"{name}: unexpected Python stage"
+        assert (
+            "FlatMapGroupsInPandas" not in plan
+        ), f"{name}: unexpected grouped Python stage"

@@ -1,0 +1,269 @@
+"""Semantic tests for the round-2 additions: temporal joins (as-of,
+interval), SCD2 history, KMV sketch, contamination, repetition
+profile, PII scrub, and greedy sequence packing.  These pin the
+operator CONTRACTS on hand-built fixtures; engine-vs-oracle parity is
+covered by the registry twins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+TS = dt.datetime
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+# -- as-of join -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    ref = spark.createDataFrame(
+        [
+            (1, _ts(0), 101, 10.0),
+            (1, _ts(10), 102, 20.0),
+            (1, _ts(10), 103, 30.0),  # tie on ts: larger id must win
+            (2, _ts(5), 104, None),   # NULL value must NOT tear the row
+        ],
+        "k long, ts timestamp, rid long, val double",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, _ts(10), 201),  # equal ts -> inclusive matches id 103
+            (1, _ts(11), 202),
+            (1, _ts(0), 203),   # equal to first ref row
+            (2, _ts(6), 204),   # matches the NULL-valued ref row
+            (3, _ts(1), 205),   # keyless -> no match
+        ],
+        "k long, ts timestamp, pid long",
+    )
+    return ref, probe
+
+
+def test_asof_inclusive_matches_and_ties(spark, asof_frames):
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import asof_join
+
+    ref, probe = asof_frames
+    out = {
+        r["pid"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(
+            probe, ref, "k", "ts", "ts", ["val"],
+            probe_cols=["pid"], inclusive=True, ref_tiebreak="rid",
+        ).collect()
+    }
+    assert out[201] == (_ts(10), 30.0)  # tie: rid 103 (30.0) wins
+    assert out[202] == (_ts(10), 30.0)
+    assert out[203] == (_ts(0), 10.0)
+    # ref row with NULL val still matches as a ROW: ts filled, val None
+    assert out[204] == (_ts(5), None)
+    assert out[205] == (None, None)
+
+
+def test_asof_strict_excludes_equal_ts(spark, asof_frames):
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import asof_join
+
+    ref, probe = asof_frames
+    out = {
+        r["pid"]: r["asof_ts"]
+        for r in asof_join(
+            probe, ref, "k", "ts", "ts", ["val"],
+            probe_cols=["pid"], inclusive=False, ref_tiebreak="rid",
+        ).collect()
+    }
+    assert out[201] == _ts(0)   # equal-ts refs invisible in strict mode
+    assert out[202] == _ts(10)
+    assert out[203] is None
+
+
+# -- interval join --------------------------------------------------------
+
+
+def test_interval_join_boundaries_and_multicell(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import (
+        interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(25))],  # spans 3 cells at 600 s
+        "iv long, lo timestamp, hi timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, _ts(0)),        # == lo -> included
+            (11, _ts(24, 59)),   # just inside
+            (12, _ts(25)),       # == hi -> EXCLUDED
+            (13, _ts(30)),       # outside
+        ],
+        "pt long, ts timestamp",
+    )
+    got = sorted(
+        r["pt"]
+        for r in interval_join(points, intervals, "ts", "lo", "hi", 600).collect()
+    )
+    assert got == [10, 11]  # each qualifying pair exactly once (no dedup)
+
+
+# -- SCD2 -----------------------------------------------------------------
+
+
+def test_scd2_collapse_and_versions(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.scd import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            (1, _ts(0), "a", 1),
+            (1, _ts(1), "a", 2),   # duplicate run -> collapsed
+            (1, _ts(2), "b", 3),
+            (1, _ts(3), "a", 4),   # back to 'a': NEW version, not merged
+            (2, _ts(0), "x", 5),
+        ],
+        "k long, ts timestamp, state string, seq long",
+    )
+    rows = {
+        (r["k"], r["version_seq"]): r
+        for r in scd2_history(
+            log, "k", "ts", ["state"], tiebreak_col="seq"
+        ).collect()
+    }
+    assert len(rows) == 4
+    assert rows[(1, 1)]["state"] == "a" and rows[(1, 1)]["valid_to"] == _ts(2)
+    assert rows[(1, 2)]["state"] == "b" and rows[(1, 2)]["valid_to"] == _ts(3)
+    assert rows[(1, 3)]["state"] == "a" and rows[(1, 3)]["is_current"]
+    assert rows[(2, 1)]["is_current"] and rows[(2, 1)]["valid_to"] is None
+
+
+# -- KMV sketch -----------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.sketches import kmv_distinct
+
+    small = spark.range(0, 40).select((F.col("id") % 7).alias("v"))
+    row = kmv_distinct(small, "v", k=256).collect()[0]
+    assert row["n_hashes"] == 7 and row["est_distinct"] == 7.0
+
+    big = spark.range(0, 20000).select(F.col("id").alias("v"))
+    est = kmv_distinct(big, "v", k=512).collect()[0]["est_distinct"]
+    assert abs(est - 20000) / 20000 < 0.15  # k=512 -> ~4.4% rel stddev
+
+
+# -- contamination --------------------------------------------------------
+
+
+def test_contamination_flags_copied_doc(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.contamination import (
+        contamination_check,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                                # verbatim copy
+            (2, "completely different words about spark"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in contamination_check(
+            corpus, benchmark, "doc_id", "text", k=5
+        ).collect()
+    }
+    assert out[1]["contamination"] == 1.0 and out[1]["flagged"]
+    assert out[2]["contamination"] == 0.0 and not out[2]["flagged"]
+
+
+# -- repetition profile ---------------------------------------------------
+
+
+def test_repetition_profile_hand_computed(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.repetition import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4 and r1["n_types"] == 2
+    assert r1["type_token_ratio"] == 0.5
+    assert r1["top_unigram_frac"] == 0.75
+    assert r1["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-3)  # "a a" x2 of 3
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["top_bigram_frac"] == 0.0
+
+
+# -- PII scrub ------------------------------------------------------------
+
+
+def test_pii_scrub_cascade(spark):
+    from nyc_crash_mapper_etl_script_spark.functions.text import (
+        pii_counts,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com ssn 123-45-6789 phone 212-555-1234 and 212.555.9999")],
+        "i long, text string",
+    )
+    n_e, n_s, n_p = pii_counts(F.col("text"))
+    row = df.select(
+        pii_scrub(F.col("text")).alias("s"),
+        n_e.alias("e"), n_s.alias("n"), n_p.alias("p"),
+    ).collect()[0]
+    assert row["s"] == "mail <EMAIL> ssn <SSN> phone <PHONE> and <PHONE>"
+    assert (row["e"], row["n"], row["p"]) == (1, 1, 2)
+    # an SSN is NOT double-counted as a phone (cascade order)
+    assert "<PHONE>" not in row["s"].replace("<PHONE>", "", 2)
+
+
+# -- greedy packing -------------------------------------------------------
+
+
+def test_pack_greedy_boundaries_and_oversize(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [
+            ("s", 1, 400), ("s", 2, 500),  # pack 1 (fill 900)
+            ("s", 3, 200),                 # overflow -> pack 2
+            ("s", 4, 1500),                # oversize -> its own pack 3
+            ("s", 5, 100),                 # pack 4 (1500 already > budget)
+            ("t", 6, 10),                  # other group restarts at pack 1
+        ],
+        "g string, i long, sz long",
+    )
+    out = {
+        r["i"]: (r["pack_id"], r["pack_fill"])
+        for r in pack_greedy(df, "g", "i", "sz", budget=1000).collect()
+    }
+    assert out[1] == (1, 400) and out[2] == (1, 900)
+    assert out[3] == (2, 200)
+    assert out[4] == (3, 1500)
+    assert out[5] == (4, 100)
+    assert out[6] == (1, 10)
+
+
+def test_pack_greedy_sharded_is_deterministic_and_bounded(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [("s", i, 100) for i in range(40)], "g string, i long, sz long"
+    )
+    a = pack_greedy(df, "g", "i", "sz", budget=250, shards=4).collect()
+    b = pack_greedy(df, "g", "i", "sz", budget=250, shards=4).collect()
+    key = lambda r: (r["g"], r["shard"], r["i"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["shard"] for r in a} == {0, 1, 2, 3}
+    # every shard packs independently: fills never exceed the budget
+    # except for oversize singletons (none here)
+    assert all(r["pack_fill"] <= 250 for r in a)
