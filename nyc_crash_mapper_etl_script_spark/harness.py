@@ -2637,3 +2637,177 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_col="n_chars",
         budget=1000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time windows, pack materialization, incremental MV,
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_1h_user_value",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour activity features per event: rangeBetween on an
+    epoch-micros ordering column == ANSI RANGE INTERVAL PRECEDING.
+    One shuffle on user_id; the frame slides incrementally."""
+    from nyc_crash_mapper_etl_script_spark.operators.rolling import (
+        rolling_time_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_time_agg(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        window_seconds=3600,
+        aggs={
+            "n_1h": F.count(F.lit(1)),
+            "sum_1h": F.sum("value"),
+        },
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "n_1h",
+        F.round(F.col("sum_1h"), 2).alias("sum_1h"),
+    )
+
+
+@register(
+    "pack_concat_text",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT source, doc_id, n_chars, rn,
+             CAST(1 AS BIGINT) AS pack_id, n_chars AS pack_fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_chars, d.rn,
+             CASE WHEN p.pack_fill + d.n_chars > 1000
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.pack_fill + d.n_chars > 1000
+                  THEN d.n_chars ELSE p.pack_fill + d.n_chars END
+      FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT p.source, p.pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(t.text, chr(10) || chr(10) ORDER BY p.doc_id)) AS fp
+    FROM p JOIN documents t USING (doc_id)
+    GROUP BY p.source, p.pack_id
+    """,
+)
+def pack_concat_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training rows: greedy pack assignment
+    joined back to text, ordered JVM-side concat per pack
+    (collect_list struct + sort_array + transform -- no Python, no
+    window), fingerprinted so the hash stays row-sized."""
+    from nyc_crash_mapper_etl_script_spark.operators.packing import (
+        pack_concat,
+        pack_greedy,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_greedy(
+        d, group_col="source", order_col="doc_id", size_col="n_chars",
+        budget=1000,
+    )
+    return pack_concat(
+        packed,
+        d,
+        group_cols=["source", "pack_id"],
+        order_col="doc_id",
+        text_col="text",
+        sep="\n\n",
+    ).join(
+        packed.groupBy("source", "pack_id").agg(
+            F.sum("n_chars").alias("total_chars")
+        ),
+        on=["source", "pack_id"],
+    ).select(
+        "source",
+        "pack_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.md5(F.col("packed_text")).alias("fp"),
+    )
+
+
+@register(
+    "mv_incremental_refresh",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance: the MV built from even doc_ids is
+    delta-refreshed with the odd half; the oracle is the FULL
+    recompute -- incremental == rebuild is the correctness property.
+    Delta agg is O(batch); the combine join is dimension-sized."""
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_additive_mv,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    delta = d.where(F.col("doc_id") % 2 == 1)
+    return refresh_additive_mv(
+        base,
+        delta,
+        group_cols=["lang", "source"],
+        count_col="n",
+        sum_cols={"sum_chars": "n_chars"},
+    ).select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "sample_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    ss AS (SELECT sum(sqrt(n)) AS s FROM c),
+    p AS (SELECT source, round(least(1.0, 250.0 / (sqrt(n) * s)), 12) AS p
+          FROM c CROSS JOIN ss)
+    SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < p.p
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source re-balancing targeting ~250
+    docs: per-source keep-rates from sqrt-scaled counts, membership
+    by md5 hash fraction -- deterministic across engines and runs."""
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        d, group_col="source", key_col="doc_id", target_total=250
+    ).select("doc_id", "source")

@@ -74,3 +74,38 @@ def pack_greedy(
         return pdf
 
     return sel.groupBy(*group_keys).applyInPandas(pack, schema=schema)
+
+
+def pack_concat(
+    packed: DataFrame,
+    docs: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize packed training rows: join the pack assignment
+    back to the document text and concatenate each pack's docs in
+    ``order_col`` order.
+
+    The ordered concat is collect_list of (order, text) structs +
+    sort_array + transform -- all JVM-side; no per-group Python, no
+    window.  One shuffle on the pack key; the struct sort is
+    per-group in memory, bounded because a pack holds at most
+    budget/min_doc_size documents by construction.
+
+    Output: group_cols + ``n_docs`` + ``packed_text``.
+    """
+    joined = packed.join(docs.select(order_col, text_col), on=order_col)
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(order_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ),
+        ).alias("packed_text"),
+    )

@@ -73,3 +73,47 @@ def stratified_sample(
     for stratum, p in sorted(fractions.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(float(p))).otherwise(rate)
     return df.where(frac < rate)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_total: Column | int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source re-balancing (alpha = 0.5): sample
+    source s with probability ``min(1, T / (sqrt(n_s) * SUM_t
+    sqrt(n_t)))``, the keep-rate that draws ~T docs total with
+    per-source mass proportional to sqrt(n_s) -- the standard
+    up-weighting of rare sources in multi-corpus training mixes
+    (alpha fixed at 0.5 because sqrt is IEEE-correctly-rounded
+    everywhere, so any engine derives the identical threshold;
+    a general pow() would not be bit-portable).
+
+    Membership is hash_fraction(key) < p_s -- deterministic per row,
+    stable across runs/engines/backfills like hash_split.  The
+    per-source counts are one map-combined aggregate; thresholds
+    broadcast back onto the fact table (dimension-sized join).
+    Thresholds are rounded to 12 decimals so last-ulp summation
+    differences between engines cannot flip a membership test.
+    """
+    t = F.lit(target_total).cast("double") if isinstance(target_total, int) else target_total
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    sqrt_sum = counts.agg(
+        F.sum(F.sqrt(F.col("__n"))).alias("__ss")
+    )
+    probs = counts.crossJoin(F.broadcast(sqrt_sum)).select(
+        F.col(group_col),
+        F.round(
+            F.least(
+                F.lit(1.0), t / (F.sqrt(F.col("__n")) * F.col("__ss"))
+            ),
+            12,
+        ).alias("__p"),
+    )
+    return (
+        df.join(F.broadcast(probs), on=group_col)
+        .where(hash_fraction(F.col(key_col), salt) < F.col("__p"))
+        .drop("__p")
+    )

@@ -35,6 +35,7 @@ NLJ_OK = {
                                   # refine is an equi join
     "text_tfidf_topterms",        # 1-row broadcast doc-count N
     "zorder_values",              # 1-row broadcast extent aggregate
+    "sample_temperature",         # 1-row broadcast sqrt-sum scalar
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
@@ -49,6 +50,7 @@ ARROW_OK = {
     "pack_sequences",     # greedy packing is sequential within a
                           # group by definition; applyInPandas over
                           # bounded groups is the distributed shape
+    "pack_concat_text",   # composes pack_sequences' grouped stage
 }
 
 

@@ -267,3 +267,130 @@ def test_pack_greedy_sharded_is_deterministic_and_bounded(spark):
     # every shard packs independently: fills never exceed the budget
     # except for oversize singletons (none here)
     assert all(r["pack_fill"] <= 250 for r in a)
+
+
+# -- rolling time window --------------------------------------------------
+
+
+def test_rolling_time_agg_trailing_window(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.rolling import (
+        rolling_time_agg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), 1.0),
+            (1, _ts(30), 2.0),
+            (1, _ts(59), 4.0),   # within 1 h of minute 0
+            (2, _ts(0), 8.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["n"], r["s"])
+        for r in rolling_time_agg(
+            df, "k", "ts", 3600, {"n": F.count(F.lit(1)), "s": F.sum("v")}
+        ).collect()
+    }
+    assert out[(1, _ts(0))] == (1, 1.0)
+    assert out[(1, _ts(30))] == (2, 3.0)
+    assert out[(1, _ts(59))] == (3, 7.0)
+    assert out[(2, _ts(0))] == (1, 8.0)
+
+
+def test_rolling_window_is_inclusive_both_ends(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.rolling import (
+        rolling_time_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, dt.datetime(2024, 1, 1, 1, 0), 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["ts"]: r["n"]
+        for r in rolling_time_agg(
+            df, "k", "ts", 3600, {"n": F.count(F.lit(1))}
+        ).collect()
+    }
+    # row exactly window_seconds earlier is still in the frame
+    assert out[dt.datetime(2024, 1, 1, 1, 0)] == 2
+
+
+# -- pack concat ----------------------------------------------------------
+
+
+def test_pack_concat_orders_within_pack(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.packing import pack_concat
+
+    packed = spark.createDataFrame(
+        [("s", 2, 1), ("s", 1, 1), ("s", 3, 2)],
+        "g string, i long, pack_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "i long, text string"
+    )
+    out = {
+        (r["g"], r["pack_id"]): (r["n_docs"], r["packed_text"])
+        for r in pack_concat(
+            packed, docs, ["g", "pack_id"], "i", "text", sep="|"
+        ).collect()
+    }
+    assert out[("s", 1)] == (2, "one|two")  # ordered by i, not input order
+    assert out[("s", 2)] == (1, "three")
+
+
+# -- incremental MV -------------------------------------------------------
+
+
+def test_refresh_additive_mv_matches_full_rebuild(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_additive_mv,
+    )
+
+    full = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("c", 4, 40)],
+        "g string, i long, x long",
+    )
+    base = full.where(F.col("i") <= 2).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    delta = full.where(F.col("i") > 2)  # includes brand-new group 'c'
+    got = sorted(
+        (r["g"], r["n"], r["sx"])
+        for r in refresh_additive_mv(
+            base, delta, ["g"], count_col="n", sum_cols={"sx": "x"}
+        ).collect()
+    )
+    want = sorted(
+        (r["g"], r["n"], r["sx"])
+        for r in full.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+        .collect()
+    )
+    assert got == want
+
+
+# -- temperature sampling -------------------------------------------------
+
+
+def test_temperature_sample_upweights_rare_sources(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [("big", i) for i in range(900)] + [("small", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "src string, k long")
+    out = temperature_sample(df, "src", "k", target_total=300).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["src"]] = by_src.get(r["src"], 0) + 1
+    # alpha=0.5 keep-rates: sqrt(900)=30, sqrt(100)=10, ss=40 ->
+    # p_big = 300/(30*40) = .25, p_small = 300/(10*40) = .75
+    assert 0.18 < by_src["big"] / 900 < 0.32
+    assert 0.6 < by_src["small"] / 100 < 0.9
+    # deterministic: second run identical
+    again = temperature_sample(df, "src", "k", target_total=300).collect()
+    assert sorted((r["src"], r["k"]) for r in out) == sorted(
+        (r["src"], r["k"]) for r in again
+    )
