@@ -2811,3 +2811,131 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         d, group_col="source", key_col="doc_id", target_total=250
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Hopping windows, set ops, percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hopping_window_counts",
+    """
+    WITH hops AS (
+      SELECT event_type,
+             unnest([b, b - 600, b - 1200]) AS w_start
+      FROM (SELECT event_type,
+                   CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS b
+            FROM events)
+    )
+    SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM hops GROUP BY w_start, event_type
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows, batch form: Spark's
+    native TimeWindow operator (30 min width / 10 min hop = 3 window
+    instances per event) -- the same windowing Structured Streaming
+    uses, so batch backfill and the live stream share semantics.
+    Output keys are epoch seconds (integer on both engines; no
+    timezone representation in the hash).  One explode (x3 fan-out)
+    + one map-combined aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "30 minutes", "10 minutes")
+    return (
+        ev.select("event_type", win.alias("w"))
+        .groupBy(
+            F.unix_seconds(F.col("w.start").cast("timestamp")).alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "set_intersect_except",
+    """
+    WITH e AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+    o AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 1)
+    SELECT 'both' AS which, fp FROM (SELECT fp FROM e INTERSECT SELECT fp FROM o)
+    UNION ALL
+    SELECT 'even_only' AS which, fp
+    FROM (SELECT fp FROM e EXCEPT SELECT fp FROM o)
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY 2.7 beyond union): content
+    fingerprints present in BOTH halves of the corpus vs only the
+    even half -- INTERSECT / EXCEPT as hash-partitioned distinct
+    joins (Catalyst plans both as aggregates + joins on the hash)."""
+    d = _t(spark, sf_dir, "documents")
+    even = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
+    odd = d.where(F.col("doc_id") % 2 == 1).select(F.md5("text").alias("fp"))
+    both = even.intersect(odd).select(F.lit("both").alias("which"), "fp")
+    only = even.distinct().exceptAll(odd.distinct()).select(
+        F.lit("even_only").alias("which"), "fp"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "a8_group_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark ``percentile``
+    == ANSI percentile_cont semantics (linear interpolation).  Both
+    engines lerp adjacent order statistics; round(4) absorbs the
+    sub-ulp difference between the two lerp formulas.  Exact
+    percentile is a sort-based aggregate; the approx_percentile
+    sketch is the 100 TB path when one pass must suffice."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "asof_join_salted_events",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT r.ts FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = p.user_id
+               AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_ts,
+           (SELECT r.value FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = p.user_id
+               AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-bounded segmented-scan as-of (window on key x
+    day-chunk + summary carry) against the SAME independent oracle as
+    the plain form -- the hot-key path is correctness-checked, not
+    just equivalence-tested."""
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import (
+        asof_join_salted,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return asof_join_salted(
+        probe=ev.where(F.col("event_type") == "purchase"),
+        ref=ev.where(F.col("event_type") == "click"),
+        key_col="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        ref_value_cols=["value"],
+        probe_cols=["event_id"],
+        ref_tiebreak="event_id",
+        chunk_seconds=86400,
+    )

@@ -394,3 +394,53 @@ def test_temperature_sample_upweights_rare_sources(spark):
     assert sorted((r["src"], r["k"]) for r in out) == sorted(
         (r["src"], r["k"]) for r in again
     )
+
+
+# -- salted as-of ---------------------------------------------------------
+
+
+def test_asof_salted_equals_plain_on_random_hotkey_data(spark):
+    import random
+
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    # hot key 1 holds half of all rows; chunks of 1 h.  Refs stop at
+    # hour 6 while probes span 24 h, so many probe chunks contain NO
+    # reference at all and must inherit across empty chunks.
+    def rows(n, id0, span_hours):
+        out = []
+        for i in range(n):
+            k = 1 if rng.random() < 0.5 else rng.randint(2, 5)
+            ts = base + dt.timedelta(seconds=rng.randint(0, span_hours * 3600))
+            out.append((k, ts, id0 + i, float(rng.randint(0, 100))))
+        return out
+
+    ref = spark.createDataFrame(
+        rows(150, 1000, 6), "k long, ts timestamp, rid long, val double"
+    )
+    probe = spark.createDataFrame(
+        [(k, ts, rid) for k, ts, rid, _ in rows(300, 5000, 24)],
+        "k long, ts timestamp, pid long",
+    )
+    plain = asof_join(
+        probe, ref, "k", "ts", "ts", ["val"],
+        probe_cols=["pid"], inclusive=True, ref_tiebreak="rid",
+    )
+    salted = asof_join_salted(
+        probe, ref, "k", "ts", "ts", ["val"],
+        probe_cols=["pid"], ref_tiebreak="rid", chunk_seconds=3600,
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # and with a chunk larger than the whole span (degenerates to plain)
+    salted_one = asof_join_salted(
+        probe, ref, "k", "ts", "ts", ["val"],
+        probe_cols=["pid"], ref_tiebreak="rid", chunk_seconds=10**6,
+    )
+    assert sorted(map(tuple, salted_one.collect())) == a
