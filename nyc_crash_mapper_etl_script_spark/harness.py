@@ -2939,3 +2939,105 @@ def asof_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_tiebreak="event_id",
         chunk_seconds=86400,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup, per-group median filter, embedding
+# centroids, histogram profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_incremental",
+    _minhash_md5_sql(threshold=0.5)
+    + " AND (id_a % 2 = 1 OR id_b % 2 = 1)",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup: odd doc_ids are the NEW batch, dedup'd
+    against the stored even-id band index + themselves -- signatures
+    computed only for the batch, candidates via a streaming equi-join
+    on the band key (no posting arrays, no degenerate-bucket hazard).
+    The oracle is the full md5 LSH pair set restricted to pairs
+    involving a new doc -- incremental == full minus old x old."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        minhash_banded_rows,
+        minhash_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    index = minhash_banded_rows(
+        d.where(F.col("doc_id") % 2 == 0), base_hash="md5"
+    )
+    new = minhash_banded_rows(
+        d.where(F.col("doc_id") % 2 == 1), base_hash="md5"
+    )
+    return minhash_dedup_incremental(new, index, num_perm=64, threshold=0.5)
+
+
+@register(
+    "filter_above_median_quality",
+    """
+    WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+               FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang FROM documents d JOIN m USING (lang)
+    WHERE d.n_chars > m.med
+    """,
+)
+def filter_above_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated filtering: keep docs above their language's
+    median length -- the composable per-group-threshold pattern
+    (aggregate -> broadcast threshold join -> filter) used for
+    quality gating at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    return (
+        d.join(F.broadcast(med), on="lang")
+        .where(F.col("n_chars") > F.col("med"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH u AS (
+      SELECT label, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN LATERAL unnest(generate_series(1, 64)) AS t(i)
+    )
+    SELECT label, i AS dim, round(avg(x), 6) AS c
+    FROM u GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, relational form: posexplode + one
+    map-combined aggregate on (label, dim) -- the centroid update
+    step of distributed k-means, shuffling (labels x dims) partials
+    rather than whole vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    u = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "x"),
+    )
+    return u.groupBy("label", (F.col("p") + 1).alias("dim")).agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+
+
+@register(
+    "a9_value_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a9_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profiling: integer bin key + count --
+    the single-pass distribution profile (data-quality monitoring
+    analog of A7's rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -678,3 +678,75 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_banded_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    impl: str = "arrow",
+    base_hash: str = "blake2b",
+    seed: int = 42,
+) -> DataFrame:
+    """The LSH *index rows* for a batch of docs: (id, sig, bk) with
+    one row per (doc, band).  This is the unit of incremental dedup:
+    an index table stores these rows (partition/bucket by ``bk``);
+    a new batch computes its own rows ONCE and equi-joins.
+    """
+    rows_per_band = num_perm // bands
+    if impl == "arrow":
+        sig_col = minhash_signature_arrow(num_perm, k, seed, base_hash)(
+            F.col(text_col)
+        )
+    else:
+        sig_col = minhash_signature(F.col(text_col), num_perm, k)
+    sigs = (
+        docs.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+        .localCheckpoint(eager=False)
+        .where(F.element_at("sig", 1).isNotNull())
+    )
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    )
+
+
+def minhash_dedup_incremental(
+    new_banded: DataFrame,
+    index_banded: DataFrame,
+    num_perm: int = 64,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch: new x (index + new),
+    without touching any old-x-old pair and without recomputing one
+    old signature.
+
+    The candidate stage is a plain equi-join on the band key -- it
+    streams and spills (no posting-list arrays), AQE splits skewed
+    band buckets -- so the incremental path has no degenerate-bucket
+    hazard at all.  Cost scales with |batch| x bucket density, not
+    with the corpus: the nightly-append regime the reference's
+    dedup (SURVEY J1) runs in, generalized to NEAR duplicates.
+
+    Output: (id_a, id_b, est_jaccard), id_a < id_b, distinct.
+    """
+    pool = index_banded.unionByName(new_banded)
+    j = new_banded.alias("n").join(
+        pool.alias("p"),
+        (F.col("n.bk") == F.col("p.bk")) & (F.col("n.id") != F.col("p.id")),
+    )
+    pairs = j.select(
+        F.least(F.col("n.id"), F.col("p.id")).alias("id_a"),
+        F.greatest(F.col("n.id"), F.col("p.id")).alias("id_b"),
+        _sig_agreement(F.col("n.sig"), F.col("p.sig"), num_perm).alias(
+            "est_jaccard"
+        ),
+    )
+    return (
+        pairs.where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

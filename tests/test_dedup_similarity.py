@@ -502,3 +502,48 @@ def test_quantized_topk_matches_bruteforce_with_overscan(embeddings):
     assert key(quantized_topk(embeddings, q, k=3, overscan=5)) == key(
         brute_force_topk(embeddings, q, k=3)
     )
+
+
+def test_minhash_incremental_matches_full_and_reads_stored_index(
+    spark, docs, tmp_path_factory
+):
+    """Incremental dedup of a new batch against a STORED band index
+    equals the full-corpus pair set restricted to pairs involving the
+    batch -- and works from parquet, i.e. old signatures are read,
+    never recomputed."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        minhash_banded_rows,
+        minhash_dedup_incremental,
+        minhash_near_duplicates,
+    )
+
+    old = docs.where("doc_id <= 2")     # contains the dup cluster 0/1/2
+    new = docs.where("doc_id > 2").union(
+        spark.createDataFrame([(6, BASE)], "doc_id long, text string")
+    )  # doc 6 is a new exact dup of stored docs 0/1
+
+    idx_path = str(tmp_path_factory.mktemp("lshidx") / "bands")
+    minhash_banded_rows(old).write.parquet(idx_path)
+
+    stored = spark.read.parquet(idx_path)
+    new_banded = minhash_banded_rows(new)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_incremental(
+            new_banded, stored, threshold=0.5
+        ).collect()
+    }
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs.union(
+                spark.createDataFrame([(6, BASE)], "doc_id long, text string")
+            ),
+            threshold=0.5,
+        ).collect()
+    }
+    new_ids = {3, 4, 5, 6}
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    assert (6, 0) in {(b, a) for a, b in inc} or (0, 6) in inc  # new-x-old found

@@ -44,6 +44,7 @@ ARROW_OK = {
     "multimodal_frame_sample",
     "multimodal_ingest_check",
     "dedup_minhash_lsh",  # numpy minhash (HOF Column form measured ~13x slower)
+    "dedup_minhash_incremental",  # same numpy signature pass (batch side)
     "dedup_simhash",      # numpy simhash, same rationale
     "sim_ivf_topk",       # numpy matmul centroid argmax (replaces a
                           # full-corpus groupBy-argmax shuffle)
