@@ -41,6 +41,12 @@ HEADLINE = [
     "multimodal_features",
     "sessionize_events",
     "pipeline_corpus_prep",
+    "asof_join_events",
+    "interval_join_window_agg",
+    "rolling_1h_user_value",
+    "text_contamination",
+    "pack_sequences",
+    "dedup_minhash_incremental",
 ]
 
 

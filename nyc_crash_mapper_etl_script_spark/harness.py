@@ -3041,3 +3041,27 @@ def a9_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(
         F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("bin")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "p12_json_props_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def p12_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON
+    ``props`` payload (get_json_object -- JVM JSON path, codegen'd)
+    and aggregate on it.  The schema-on-read pattern for event
+    payloads the warehouse never typed (SODA's raw JSON rows, S1,
+    carried one step further)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

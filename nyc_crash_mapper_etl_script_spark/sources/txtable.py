@@ -34,9 +34,15 @@ on a bare filesystem:
    touching yesterday's partition costs O(partition), never
    O(table).
 
-Single-writer-per-table is assumed (the streaming foreachBatch
-serializes batches; a multi-writer deployment would retry on commit
-collision, which the O_EXCL publish already detects).
+Concurrency: blind appends are multi-writer-safe (the O_EXCL publish
+auto-bumps to the next free version -- no read dependency to
+invalidate).  Read-modify-write ops (merge/delete/compact) use
+optimistic concurrency: they record the snapshot version their file
+removals were computed against and raise :class:`ConcurrentWriteError`
+-- table untouched -- if any other commit landed first; callers retry
+against fresh state (Delta's ConcurrentModificationException
+contract).  The streaming foreachBatch serializes its own batches, so
+it never hits the conflict path.
 """
 
 from __future__ import annotations
@@ -51,6 +57,16 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"
 _ARCHIVE_DIR = "_archive"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A read-modify-write commit (merge/delete/compact) lost the
+    version race: another writer committed after this transaction's
+    snapshot was taken, so its computed file removals may be stale.
+    The table is untouched; re-run the operation against the new
+    state (Delta's ConcurrentModificationException analog).  Blind
+    appends never raise this -- they carry no read dependency and
+    auto-bump to the next free version."""
 
 
 class TxTable:
@@ -109,25 +125,46 @@ class TxTable:
                 live[f] = None
         return list(live)
 
-    def _publish(self, entry: dict) -> int:
+    def _publish(self, entry: dict, base_version: int | None = None) -> int:
         """Atomically claim the next version number: write the entry
         aside, then hard-link it into place (link(2) fails with EEXIST
-        if another writer got there first -- a filesystem CAS)."""
+        if another writer got there first -- a filesystem CAS).
+
+        ``base_version`` is the snapshot version a read-modify-write
+        op computed its removals against: if any other commit landed
+        since, the claim is abandoned with ConcurrentWriteError
+        instead of silently bumping past it (the removals would be
+        stale).  ``None`` (append/init) bumps freely."""
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
         entries = self._entries()
         version = (entries[-1]["version"] + 1) if entries else 1
+        if base_version is not None and version != base_version + 1:
+            raise ConcurrentWriteError(
+                f"snapshot v{base_version} is stale: log is at v{version - 1}"
+            )
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump({**entry, "version": version}, f)
-        while True:
-            final = os.path.join(d, f"v{version:06d}.json")
-            try:
-                os.link(tmp, final)
-                break
-            except FileExistsError:  # concurrent commit won this version
-                version += 1
-        os.unlink(tmp)
+        try:
+            with open(tmp, "w") as f:
+                json.dump({**entry, "version": version}, f)
+            while True:
+                final = os.path.join(d, f"v{version:06d}.json")
+                try:
+                    os.link(tmp, final)
+                    break
+                except FileExistsError:  # concurrent commit won this version
+                    if base_version is not None:
+                        raise ConcurrentWriteError(
+                            f"lost commit race for v{version} "
+                            f"(snapshot was v{base_version})"
+                        ) from None
+                    version += 1
+                # re-serialize under the bumped version number
+                with open(tmp, "w") as f:
+                    json.dump({**entry, "version": version}, f)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return version
 
     # -- crash recovery ---------------------------------------------------
@@ -294,7 +331,13 @@ class TxTable:
                 if os.path.isdir(d) and not os.listdir(d):
                     os.rmdir(d)
 
-    def _commit(self, mapping: dict[str, str], removes: list[str], op: str) -> int:
+    def _commit(
+        self,
+        mapping: dict[str, str],
+        removes: list[str],
+        op: str,
+        base_version: int | None = None,
+    ) -> int:
         entry = {
             "op": op,
             "add": sorted(mapping),
@@ -304,9 +347,13 @@ class TxTable:
         schema = getattr(self, "_staged_schema", None)
         if schema is not None:
             entry["schema"] = schema
-        version = self._publish(entry)
+        version = self._publish(entry, base_version=base_version)
         self._finalize(mapping, removes)
         return version
+
+    def _snapshot_version(self) -> int:
+        entries = self._entries()
+        return entries[-1]["version"] if entries else 0
 
     def init(self, df: DataFrame) -> int:
         """Create the table from df (version 1)."""
@@ -335,6 +382,7 @@ class TxTable:
         present in the source are rewritten; every other partition's
         files carry over untouched."""
         self._recover()
+        base_version = self._snapshot_version()
         spark = source.sparkSession
         current = self.read(spark)
         src_keys = source.select(key).where(source[key].isNotNull()).distinct()
@@ -375,7 +423,7 @@ class TxTable:
         # the very files the finalize step will delete
         merged = merged.localCheckpoint()
         _, mapping = self._stage(merged)
-        return self._commit(mapping, removes, "merge")
+        return self._commit(mapping, removes, "merge", base_version=base_version)
 
     def compact(self, spark: SparkSession, target_mb: int = 128) -> int:
         """Transactional OPTIMIZE: rewrite the table's storage into
@@ -385,6 +433,7 @@ class TxTable:
         directory swap).  Incremental merges bloat tables with many
         small appended files; this is the periodic repair."""
         self._recover()
+        base_version = self._snapshot_version()
         removes = list(self._live_files())
         current = self.read(spark)
         total_bytes = sum(
@@ -393,12 +442,13 @@ class TxTable:
         n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
         compacted = current.repartition(n_files).localCheckpoint()
         _, mapping = self._stage(compacted)
-        return self._commit(mapping, removes, "compact")
+        return self._commit(mapping, removes, "compact", base_version=base_version)
 
     def delete(self, keys: DataFrame, key: str) -> int:
         """DELETE-by-key (S10): rewrite only the partitions holding
         doomed rows."""
         self._recover()
+        base_version = self._snapshot_version()
         spark = keys.sparkSession
         current = self.read(spark)
         doomed = current.join(keys.select(key).distinct(), key, "left_semi")
@@ -420,4 +470,4 @@ class TxTable:
         kept = base.join(keys.select(key).distinct(), key, "left_anti")
         kept = kept.localCheckpoint()
         _, mapping = self._stage(kept)
-        return self._commit(mapping, removes, "delete")
+        return self._commit(mapping, removes, "delete", base_version=base_version)

@@ -176,7 +176,7 @@ def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, o
         elif op == "crashed_merge":
             orig = TxTable._publish
             try:
-                TxTable._publish = lambda self, e: (_ for _ in ()).throw(
+                TxTable._publish = lambda self, e, base_version=None: (_ for _ in ()).throw(
                     RuntimeError("crash")
                 )
                 try:

@@ -89,7 +89,7 @@ def test_crash_before_commit_leaves_old_version(spark, table):
     src = _rows(spark, [(2, "B", "2024-05")])
     orig_publish = TxTable._publish
     try:
-        TxTable._publish = lambda self, entry: (_ for _ in ()).throw(
+        TxTable._publish = lambda self, entry, base_version=None: (_ for _ in ()).throw(
             RuntimeError("killed before commit")
         )
         with pytest.raises(RuntimeError, match="killed before commit"):
@@ -179,3 +179,55 @@ def test_history_audit_trail(spark, table):
     assert h[0]["version"] == 2
     assert h[0]["files_removed"] > 0
     assert all("ym=2024-05" in p for p in h[0]["partitions"])
+
+
+def test_concurrent_append_bumps_but_rmw_conflict_raises(spark, tmp_path_factory):
+    """Blind appends interleave freely; a merge whose snapshot went
+    stale raises ConcurrentWriteError and leaves the table untouched."""
+    import pytest as _pytest
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        ConcurrentWriteError,
+        TxTable,
+    )
+
+    root = str(tmp_path_factory.mktemp("txcc") / "t")
+    tx = TxTable(root, partition_by=["ym"])
+    df = lambda rows: spark.createDataFrame(rows, "k long, v string, ym string")
+    tx.init(df([(1, "a", "2024-01")]))
+
+    # append from a second handle between snapshot and publish:
+    # simulate by hijacking _commit to inject a concurrent append
+    orig_commit = TxTable._commit
+
+    def racing_commit(self, mapping, removes, op, base_version=None):
+        if op == "merge" and not getattr(self, "_raced", False):
+            self._raced = True
+            TxTable(root, partition_by=["ym"]).append(df([(9, "z", "2024-02")]))
+        return orig_commit(self, mapping, removes, op, base_version)
+
+    TxTable._commit = racing_commit
+    try:
+        with _pytest.raises(ConcurrentWriteError):
+            tx.merge(df([(1, "b", "2024-01")]), "k")
+    finally:
+        TxTable._commit = orig_commit
+
+    # table state: original row plus the racing append, merge absent
+    got = sorted(
+        (r["k"], r["v"]) for r in tx.read(spark).select("k", "v").collect()
+    )
+    assert got == [(1, "a"), (9, "z")]
+
+    # retry against fresh state succeeds
+    tx._raced = True
+    tx.merge(df([(1, "b", "2024-01")]), "k")
+    got = sorted(
+        (r["k"], r["v"]) for r in tx.read(spark).select("k", "v").collect()
+    )
+    assert got == [(1, "b"), (9, "z")]
+
+    # two sequential appends from separate handles both land
+    TxTable(root, partition_by=["ym"]).append(df([(2, "c", "2024-01")]))
+    TxTable(root, partition_by=["ym"]).append(df([(3, "d", "2024-01")]))
+    assert tx.read(spark).count() == 4
