@@ -3065,3 +3065,128 @@ def p12_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot, outliers, inter-arrival deltas, grouped sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+    FROM events GROUP BY user_id
+    """,
+)
+def w2_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide per-user feature columns via Spark's native
+    pivot (explicit value list -- no extra distinct-discovery job);
+    one map-combined aggregate, missing combos coalesced to 0."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    p = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in kinds
+        ],
+    )
+
+
+@register(
+    "a10_zscore_outliers",
+    """
+    WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(e.value - s.mu) > 2 * s.sd
+    """,
+)
+def a10_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: dimension-sized stats
+    aggregate broadcast back onto the fact table -- the single-pass
+    anomaly screen (data-quality analog of C2's tally reconcile)."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), on="event_type")
+        .where(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "w3_event_interarrival",
+    """
+    SELECT event_id, user_id,
+           CAST(date_diff('microsecond',
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                          ts) AS BIGINT) AS gap_us
+    FROM events
+    """,
+)
+def w3_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gaps per user (lag + timestamp diff in integer
+    microseconds; NULL for each user's first event) -- the feature
+    underlying sessionization, exposed directly."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - prev).cast("long").alias("gap_us"),
+    )
+
+
+@register(
+    "sketch_kmv_grouped",
+    """
+    WITH h AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(CAST(n_chars AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS hv
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM h
+    ),
+    topk AS (SELECT * FROM ranked WHERE rn <= 32)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_hashes,
+           round(CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 31 / max(hv) END, 4) AS est_distinct
+    FROM topk GROUP BY source
+    """,
+)
+def sketch_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV cardinality sketches (distinct n_chars values
+    per source) -- the grouped, mergeable profile a corpus inventory
+    runs per shard; identical estimates on both engines."""
+    from nyc_crash_mapper_etl_script_spark.operators.sketches import (
+        kmv_distinct_grouped,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kmv_distinct_grouped(d, "source", "n_chars", k=32)

@@ -63,3 +63,40 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     )
+
+
+def kmv_distinct_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group KMV sketches: one (n_hashes, est_distinct) row per
+    group.  Distinct hashes first (map-combined), then a per-group
+    top-k window over the DISTINCT hash rows -- the window input is
+    already deduplicated, so its volume is min(group distinct, |domain|)
+    per group, and the frame never materializes more than a sort run.
+    Sketches of shards union + re-min into the same estimate, which
+    is how a 100 TB corpus profiles per-source cardinalities in one
+    pass per shard."""
+    from pyspark.sql import Window
+
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group_col), md5_fraction(F.col(col), salt).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__h").asc())
+    topk = hashes.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(group_col).agg(
+        F.count("*").alias("n_hashes"),
+        F.round(
+            F.when(F.count("*") < F.lit(k), F.count("*").cast("double")).otherwise(
+                (F.lit(k) - 1) / F.max("__h")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
