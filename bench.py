@@ -47,6 +47,7 @@ HEADLINE = [
     "text_contamination",
     "pack_sequences",
     "dedup_minhash_incremental",
+    "pipeline_training_mix",
 ]
 
 

@@ -101,20 +101,28 @@ def doc_fingerprint(text: Column) -> Column:
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles of normalized text (for MinHash / Jaccard).
 
-    Built with sequence+transform (JVM-side), not a UDF.
+    Built with sequence+transform (JVM-side), not a UDF.  The words
+    array is bound as the lambda VARIABLE of an outer single-element
+    transform, so the normalize+split+filter pipeline evaluates once
+    per document: higher-order functions are CodegenFallback (no
+    common-subexpression elimination), so naively referencing the
+    words expression inside the per-shingle lambda re-runs the
+    regexes for every shingle -- measured ~7x slower on real docs
+    (O(words) regex passes instead of 1).
     """
     norm = F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
-    words = F.filter(F.split(norm, " "), lambda w: w != "")
-    n = F.size(words)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
-        F.when(n > 0, F.sequence(F.lit(1), F.lit(1))).otherwise(
-            F.array().cast("array<int>")
+    words_expr = F.filter(F.split(norm, " "), lambda w: w != "")
+
+    def via(words):
+        n = F.size(words)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+            F.when(n > 0, F.sequence(F.lit(1), F.lit(1))).otherwise(
+                F.array().cast("array<int>")
+            )
         )
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-    )
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+
+    return F.flatten(F.transform(F.array(words_expr), via))
 
 
 #: PII patterns shared with the DuckDB oracle -- restricted to syntax

@@ -3190,3 +3190,144 @@ def sketch_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return kmv_distinct_grouped(d, "source", "n_chars", k=32)
+
+
+@register(
+    "pipeline_training_mix",
+    r"""
+    WITH RECURSIVE gated AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE n_chars >= 100 AND lang IN ('en', 'de', 'fr', 'es')
+            AND source NOT IN ('src0', 'src1')
+    ),
+    deduped AS (
+      SELECT * FROM gated
+      WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text))
+    ),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM deduped
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 5
+                    THEN [array_to_string(words[i:i+4], ' ')
+                          FOR i IN range(1, len(words) - 3)]
+                  WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+                  ELSE [] END AS shs
+      FROM w
+    ),
+    wb AS (
+      SELECT list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(words) >= 5
+               THEN [array_to_string(words[i:i+4], ' ')
+                     FOR i IN range(1, len(words) - 3)]
+             WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+             ELSE [] END) AS sh
+      FROM wb
+    ),
+    corpus_sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s),
+    contam AS (
+      SELECT c.doc_id,
+             round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 4) AS ratio
+      FROM corpus_sh c LEFT JOIN bench b USING (sh) GROUP BY c.doc_id
+    ),
+    clean AS (
+      SELECT d.* FROM deduped d JOIN contam USING (doc_id)
+      WHERE contam.ratio <= 0.2
+    ),
+    cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY source),
+    ss AS (SELECT sum(sqrt(n)) AS s FROM cnt),
+    probs AS (SELECT source, round(least(1.0, 200.0 / (sqrt(n) * s)), 12) AS p
+              FROM cnt CROSS JOIN ss),
+    sampled AS (
+      SELECT c.* FROM clean c JOIN probs USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 < probs.p
+    ),
+    d AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM sampled
+    ),
+    p AS (
+      SELECT source, doc_id, n_chars, rn,
+             CAST(1 AS BIGINT) AS pack_id, n_chars AS pack_fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_chars, d.rn,
+             CASE WHEN p.pack_fill + d.n_chars > 2000
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.pack_fill + d.n_chars > 2000
+                  THEN d.n_chars ELSE p.pack_fill + d.n_chars END
+      FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM p GROUP BY source, pack_id
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep chain as ONE composed plan:
+    quality gate -> exact dedup (keep min id per content hash) ->
+    benchmark decontamination (5-gram overlap <= 0.2) -> temperature
+    re-balancing (~200 docs) -> greedy packing into 2000-char packs.
+    Every stage is the already-oracled operator; the composite's
+    oracle replays the whole chain in one recursive-CTE SQL -- the
+    "could a user run their entire prep pipeline on this engine"
+    answer, end to end."""
+    from nyc_crash_mapper_etl_script_spark.operators.contamination import (
+        contamination_check,
+    )
+    from nyc_crash_mapper_etl_script_spark.operators.packing import pack_greedy
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench_src = F.col("source").isin("src0", "src1")
+    gated = d.where(
+        (F.col("n_chars") >= 100)
+        & F.col("lang").isin("en", "de", "fr", "es")
+        & ~bench_src
+    )
+    keepers = gated.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = gated.join(keepers.select("doc_id"), on="doc_id", how="left_semi")
+    contam = contamination_check(
+        corpus=deduped,
+        benchmark=d.where(bench_src),
+        id_col="doc_id",
+        text_col="text",
+        k=5,
+    )
+    clean = deduped.join(
+        contam.where(F.col("contamination") <= 0.2).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
+    sampled = temperature_sample(
+        clean, group_col="source", key_col="doc_id", target_total=200
+    )
+    packed = pack_greedy(
+        sampled,
+        group_col="source",
+        order_col="doc_id",
+        size_col="n_chars",
+        budget=2000,
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -36,6 +36,7 @@ NLJ_OK = {
     "text_tfidf_topterms",        # 1-row broadcast doc-count N
     "zorder_values",              # 1-row broadcast extent aggregate
     "sample_temperature",         # 1-row broadcast sqrt-sum scalar
+    "pipeline_training_mix",      # same 1-row scalar via its sample stage
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
@@ -52,6 +53,7 @@ ARROW_OK = {
                           # group by definition; applyInPandas over
                           # bounded groups is the distributed shape
     "pack_concat_text",   # composes pack_sequences' grouped stage
+    "pipeline_training_mix",  # ends in the same grouped pack stage
 }
 
 

@@ -111,3 +111,51 @@ def test_enrich_stream_static_left_join(spark, tmp_path_factory):
     q.stop()
     rows = {r["k"]: r["label"] for r in spark.read.parquet(str(out)).collect()}
     assert rows == {1: "alpha", 2: None}  # left join keeps unmatched events
+
+
+def test_near_dedup_stream_maintains_band_index(spark, tmp_path_factory):
+    """Two micro-batches through the streaming near-dedup: within-batch
+    near-dups drop (first id wins), a later batch's near-dup of a
+    STORED doc drops, unique docs pass and extend the index."""
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+    from nyc_crash_mapper_etl_script_spark.streaming.dedup import (
+        near_dedup_stream,
+    )
+
+    base = tmp_path_factory.mktemp("neardedup")
+    feed = base / "feed"
+    feed.mkdir()
+    index = TxTable(str(base / "bandindex"))
+    kept_ids: list[int] = []
+
+    BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+    NEAR = BASE.replace("quick", "swift")
+    OTHER = "completely different prose concerning maritime navigation and charts"
+
+    def sink(df, batch_id):
+        kept_ids.extend(r["doc_id"] for r in df.collect())
+
+    _write_feed(str(feed), "b1.json", [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": OTHER},
+        {"doc_id": 3, "text": NEAR},   # within-batch near-dup of 1
+    ])
+    stream = spark.readStream.schema("doc_id long, text string").json(str(feed))
+    q = near_dedup_stream(
+        stream, index, "doc_id", "text",
+        sink=sink, checkpoint_dir=str(base / "ckpt"), threshold=0.5,
+    )
+    q.processAllAvailable()
+    assert sorted(kept_ids) == [1, 2]
+
+    kept_ids.clear()
+    _write_feed(str(feed), "b2.json", [
+        {"doc_id": 4, "text": BASE},   # near-dup of STORED doc 1
+        {"doc_id": 5, "text": "a genuinely novel document about spark plans"},
+    ])
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(kept_ids) == [5]
+    # index holds band rows for exactly the surviving docs
+    ids = {r["id"] for r in index.read(spark).select("id").distinct().collect()}
+    assert ids == {1, 2, 5}
