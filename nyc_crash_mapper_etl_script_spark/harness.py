@@ -3331,3 +3331,100 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical multi-join analytics shapes (join-depth coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1996-01-01'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join -> grouped revenue ->
+    deterministic top-10.  Catalyst pushes both date filters into
+    the scans and broadcasts the filtered orders side under AQE; the
+    top-10 is a TakeOrdered, never a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way snowflake join with a correlated
+    supplier-nation predicate -- the join-reordering stress case.
+    region/nation/supplier broadcast; the orders date range reaches
+    the scan as a pushed filter."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == n["n_nationkey"]),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
