@@ -45,13 +45,23 @@ def scd2_history(
     df = log
     if collapse_runs:
         state = F.struct(*[F.col(c) for c in state_cols])
+        # eqNullSafe, not "!=": with a NULL state column, plain struct
+        # inequality evaluates to NULL and the row would be dropped as
+        # a "duplicate" -- i.e. a tracked change TO NULL would vanish
+        # from the history.  The lag() itself is NULL only for each
+        # key's first row, which eqNullSafe handles without a separate
+        # isNull branch (first row never equals a NULL lag unless the
+        # state itself is all-NULL -- and an all-NULL first state is
+        # still a version, so guard it explicitly).
+        prev = F.lag(state).over(w)
         df = (
-            df.withColumn("__prev_state", F.lag(state).over(w))
+            df.withColumn("__prev_state", prev)
+            .withColumn("__rn_first", F.row_number().over(w))
             .where(
-                F.col("__prev_state").isNull()
-                | (state != F.col("__prev_state"))
+                (F.col("__rn_first") == 1)
+                | ~state.eqNullSafe(F.col("__prev_state"))
             )
-            .drop("__prev_state")
+            .drop("__prev_state", "__rn_first")
         )
 
     return (

@@ -444,3 +444,29 @@ def test_asof_salted_equals_plain_on_random_hotkey_data(spark):
         probe_cols=["pid"], ref_tiebreak="rid", chunk_seconds=10**6,
     )
     assert sorted(map(tuple, salted_one.collect())) == a
+
+
+def test_scd2_tracks_changes_to_and_from_null_state(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.scd import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            (1, _ts(0), "a", 1),
+            (1, _ts(1), None, 2),  # change TO NULL is a new version
+            (1, _ts(2), None, 3),  # NULL run collapses
+            (1, _ts(3), "a", 4),   # change FROM NULL is a new version
+            (2, _ts(0), None, 5),  # all-NULL first state is version 1
+        ],
+        "k long, ts timestamp, state string, seq long",
+    )
+    rows = {
+        (r["k"], r["version_seq"]): r
+        for r in scd2_history(
+            log, "k", "ts", ["state"], tiebreak_col="seq"
+        ).collect()
+    }
+    assert len(rows) == 4
+    assert rows[(1, 1)]["state"] == "a"
+    assert rows[(1, 2)]["state"] is None and rows[(1, 2)]["valid_from"] == _ts(1)
+    assert rows[(1, 3)]["state"] == "a" and rows[(1, 3)]["is_current"]
+    assert rows[(2, 1)]["state"] is None and rows[(2, 1)]["is_current"]
