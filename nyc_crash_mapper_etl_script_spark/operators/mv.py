@@ -41,12 +41,22 @@ def refresh_additive_mv(
         F.count(F.lit(1)).alias(count_col),
         *[F.sum(src).alias(dst) for dst, src in sum_cols.items()],
     )
-    merged = mv.alias("m").join(
-        delta_agg.alias("d"), on=group_cols, how="full_outer"
-    )
+    m, d = mv.alias("m"), delta_agg.alias("d")
+    # eqNullSafe join keys: groupBy treats NULL as a group, but a
+    # plain equi full-outer never matches NULL==NULL, so a NULL group
+    # present on both sides would come out as TWO rows where a full
+    # rebuild makes one.
+    cond = None
+    for c in group_cols:
+        term = F.col(f"m.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = term if cond is None else (cond & term)
+    merged = m.join(d, on=cond, how="full_outer")
     metric_cols = [count_col, *sum_cols]
     return merged.select(
-        *[F.col(c) for c in group_cols],
+        *[
+            F.coalesce(F.col(f"m.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in group_cols
+        ],
         *[
             (
                 F.coalesce(F.col(f"m.{c}"), F.lit(0))

@@ -470,3 +470,32 @@ def test_scd2_tracks_changes_to_and_from_null_state(spark):
     assert rows[(1, 2)]["state"] is None and rows[(1, 2)]["valid_from"] == _ts(1)
     assert rows[(1, 3)]["state"] == "a" and rows[(1, 3)]["is_current"]
     assert rows[(2, 1)]["state"] is None and rows[(2, 1)]["is_current"]
+
+
+def test_refresh_additive_mv_null_group_merges_not_duplicates(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_additive_mv,
+    )
+
+    full = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), ("a", 3, 30)],
+        "g string, i long, x long",
+    )
+    base = full.where(F.col("i") <= 1).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    delta = full.where(F.col("i") > 1)
+    key = lambda t: (t[0] is None, t)
+    got = sorted(
+        ((r["g"] or "", r["n"], r["sx"])
+         for r in refresh_additive_mv(
+             base, delta, ["g"], count_col="n", sum_cols={"sx": "x"}
+         ).collect()),
+    )
+    want = sorted(
+        ((r["g"] or "", r["n"], r["sx"])
+         for r in full.groupBy("g")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+         .collect()),
+    )
+    assert got == want  # NULL group merges into ONE row, same as rebuild
