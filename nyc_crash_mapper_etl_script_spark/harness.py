@@ -2488,11 +2488,19 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_matched
       FROM corpus c LEFT JOIN bench b USING (sh) GROUP BY c.doc_id
-    )
-    SELECT doc_id, n_shingles, n_matched,
-           round(n_matched / CAST(n_shingles AS DOUBLE), 4) AS contamination,
-           round(n_matched / CAST(n_shingles AS DOUBLE), 4) > 0.2 AS flagged
-    FROM agg
+    ),
+    ids AS (SELECT DISTINCT doc_id FROM documents
+            WHERE source NOT IN ('src0', 'src1'))
+    SELECT i.doc_id,
+           coalesce(n_shingles, 0) AS n_shingles,
+           coalesce(n_matched, 0) AS n_matched,
+           round(coalesce(n_matched, 0)
+                 / CAST(nullif(coalesce(n_shingles, 0), 0) AS DOUBLE), 4)
+             AS contamination,
+           coalesce(round(coalesce(n_matched, 0)
+                          / CAST(nullif(coalesce(n_shingles, 0), 0) AS DOUBLE), 4)
+                    > 0.2, false) AS flagged
+    FROM ids i LEFT JOIN agg a ON i.doc_id = a.doc_id
     """,
 )
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3243,8 +3251,8 @@ def sketch_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus_sh c LEFT JOIN bench b USING (sh) GROUP BY c.doc_id
     ),
     clean AS (
-      SELECT d.* FROM deduped d JOIN contam USING (doc_id)
-      WHERE contam.ratio <= 0.2
+      SELECT d.* FROM deduped d LEFT JOIN contam USING (doc_id)
+      WHERE coalesce(contam.ratio <= 0.2, true)
     ),
     cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY source),
     ss AS (SELECT sum(sqrt(n)) AS s FROM cnt),
@@ -3312,8 +3320,10 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         k=5,
     )
+    # gate on NOT flagged: keeps zero-shingle docs (contamination
+    # NULL -> flagged false) instead of silently dropping them
     clean = deduped.join(
-        contam.where(F.col("contamination") <= 0.2).select("doc_id"),
+        contam.where(~F.col("flagged")).select("doc_id"),
         on="doc_id",
         how="left_semi",
     )

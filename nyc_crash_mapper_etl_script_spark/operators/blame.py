@@ -134,12 +134,18 @@ def allocate_blame(df: DataFrame, only_null: bool = True) -> DataFrame:
         + F.col("number_of_cyclist_killed")
         + F.col("number_of_motorist_killed")
     )
-    out = out.withColumns(
-        {k: (F.when(g2, v).otherwise(F.col(k)) if only_null and k in out.columns else v)
-         for k, v in alloc.items()}
-    )
+    alloc_final = {
+        k: (F.when(g2, v).otherwise(F.col(k)) if only_null and k in out.columns else v)
+        for k, v in alloc.items()
+    }
 
-    # stage 3: WHERE cyclist_injured_bycar IS NULL
+    # stage 3: WHERE cyclist_injured_bycar IS NULL.  Folded into the
+    # SAME projection as stage 2 by inlining each allocated expression
+    # into its spread columns (stage-3 guards and fallbacks only touch
+    # by* columns, which stage 2 never writes, so the merge is
+    # semantics-preserving) -- one fewer Catalyst analysis pass over
+    # the wide composed tree, and codegen's subexpression elimination
+    # evaluates each allocated value once at runtime.
     g3 = (
         F.col("cyclist_injured_bycar").isNull()
         if "cyclist_injured_bycar" in out.columns and only_null
@@ -152,12 +158,13 @@ def allocate_blame(df: DataFrame, only_null: bool = True) -> DataFrame:
             gate = (F.col("bike_blame") == F.lit(True)) & gate
         for mode in ["cyclist", "motorist", "pedestrian", "persons"]:
             for outcome in ["injured", "killed"]:
-                src = F.col(f"{mode}_{outcome}_allocated")
+                src = alloc_final[f"{mode}_{outcome}_allocated"]
                 spread[f"{mode}_{outcome}_by{veh}"] = F.when(gate, src).otherwise(
                     F.lit(0.0)
                 )
-    out = out.withColumns(
+    merged_cols = dict(alloc_final)
+    merged_cols.update(
         {k: (F.when(g3, v).otherwise(F.col(k)) if only_null and k in out.columns else v)
          for k, v in spread.items()}
     )
-    return out
+    return out.withColumns(merged_cols)

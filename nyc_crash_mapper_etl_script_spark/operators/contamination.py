@@ -16,7 +16,8 @@ comparison ever happens -- cost is O(corpus shingles + benchmark
 shingles) shuffle, and AQE broadcasts the benchmark side outright
 when it is small (the common case: benchmarks are MBs, corpora TBs).
 Zero-overlap docs are preserved by aggregating matches with a LEFT
-join from the per-doc shingle census.
+join from the per-doc shingle census, and zero-SHINGLE docs (empty
+text) by joining the census back onto the full corpus id set.
 """
 
 from __future__ import annotations
@@ -58,13 +59,22 @@ def contamination_check(
             F.count("__hit").alias("n_matched"),
         )
     )
-    contamination = F.round(
-        F.col("n_matched") / F.col("n_shingles").cast("double"), 4
-    )
-    return per_doc.select(
+    # join the census back onto the full corpus id set: a doc whose
+    # text yields zero shingles (NULL/empty/whitespace-only) has no
+    # exploded rows and would otherwise vanish from the output -- it
+    # surfaces as n_shingles=0, contamination NULL, flagged false, so
+    # a downstream decontamination gate keeps rather than drops it
+    ids = corpus.select(F.col(id_col)).distinct()
+    full = ids.join(per_doc, on=id_col, how="left")
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("long"))
+    n_m = F.coalesce(F.col("n_matched"), F.lit(0).cast("long"))
+    contamination = F.round(n_m / F.nullif(n_sh, F.lit(0)).cast("double"), 4)
+    return full.select(
         F.col(id_col),
-        "n_shingles",
-        "n_matched",
+        n_sh.alias("n_shingles"),
+        n_m.alias("n_matched"),
         contamination.alias("contamination"),
-        (contamination > F.lit(flag_threshold)).alias("flagged"),
+        F.coalesce(contamination > F.lit(flag_threshold), F.lit(False)).alias(
+            "flagged"
+        ),
     )

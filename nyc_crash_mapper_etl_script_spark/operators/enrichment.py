@@ -88,9 +88,10 @@ def link_districts(
         ]
     )
     out = crashes.join(matches, key, "left")
-    # one atomic withColumns: a chained per-family withColumn re-runs
-    # Catalyst analysis over the whole upstream plan 8 times (measured
-    # ~1.5s of driver time on the composed nightly DAG)
+    # ONE select builds the final projection (replace-or-append per
+    # family + drop the __hit columns): chained withColumn re-ran
+    # Catalyst analysis over the whole upstream plan per family, and
+    # even withColumns + drop paid two passes on the composed DAG
     cols: dict[str, F.Column] = {}
     for kind in DISTRICT_KINDS:
         hit = F.col(f"__hit_{kind}")
@@ -104,7 +105,10 @@ def link_districts(
             cols[kind] = F.when(unset, hit).otherwise(cur)
         else:
             cols[kind] = hit
-    return out.withColumns(cols).drop(*[f"__hit_{k}" for k in DISTRICT_KINDS])
+    final = [
+        (cols[c].alias(c) if c in cols else F.col(c)) for c in crashes.columns
+    ] + [cols[k].alias(k) for k in DISTRICT_KINDS if k not in crashes.columns]
+    return out.select(*final)
 
 
 def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = True) -> DataFrame:
@@ -116,18 +120,26 @@ def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = Tr
     subquery) and inlined as literal arrays -> the fact-table pass is
     pure codegen, no join, no shuffle.
     """
+    from nyc_crash_mapper_etl_script_spark.plancache import memo
+
     # every canonical kind always gets its flag column (the fact-table
     # schema has all 8 regardless of crosswalk contents); kinds with
-    # no aliases are simply never TRUE
-    alias_map: dict[str, list[str]] = {
-        kind: [] for kind in CROSSWALK_CODE_TO_KIND.values()
-    }
-    for row in crosswalk.groupBy("crashmapper_vehicletype").agg(
-        F.collect_set("nyc_vehicletype").alias("aliases")
-    ).collect():
-        kind = CROSSWALK_CODE_TO_KIND.get(row["crashmapper_vehicletype"])
-        if kind:
-            alias_map[kind] = sorted(row["aliases"])
+    # no aliases are simply never TRUE.  The dimension collect is
+    # memoized on the crosswalk plan (plancache) so repeated DAG
+    # declarations over an unchanged crosswalk skip the driver job.
+    def _alias_map() -> dict[str, list[str]]:
+        amap: dict[str, list[str]] = {
+            kind: [] for kind in CROSSWALK_CODE_TO_KIND.values()
+        }
+        for row in crosswalk.groupBy("crashmapper_vehicletype").agg(
+            F.collect_set("nyc_vehicletype").alias("aliases")
+        ).collect():
+            kind = CROSSWALK_CODE_TO_KIND.get(row["crashmapper_vehicletype"])
+            if kind:
+                amap[kind] = sorted(row["aliases"])
+        return amap
+
+    alias_map = memo(crosswalk, "crosswalk_aliases", (), _alias_map)
     # single atomic withColumns (chained withColumn = one full
     # analysis pass per flag; see link_districts)
     cols: dict[str, F.Column] = {}
@@ -221,11 +233,14 @@ def filter_to_extent(crashes: DataFrame, districts: DataFrame,
     (main.py:378-405 computes ST_Extent of nyc_borough then NULLs
     non-intersecting geoms)."""
     from nyc_crash_mapper_etl_script_spark.functions.geo import extent_agg
+    from nyc_crash_mapper_etl_script_spark.plancache import memo
 
     polys = districts.where(F.col("kind") == kind).select(
         F.explode("the_geom").alias("v")
     ).select(F.col("v.x").alias("x"), F.col("v.y").alias("y"))
-    box = extent_agg(polys, "x", "y").first()
+    # dimension-stat job memoized on the districts plan: re-declaring
+    # the DAG over unchanged dimensions skips the extent probe
+    box = memo(districts, "extent", (kind,), lambda: extent_agg(polys, "x", "y").first())
     pt = F.col("the_geom")
     inside = (
         (pt["lng"] >= F.lit(box["xmin"])) & (pt["lng"] <= F.lit(box["xmax"]))

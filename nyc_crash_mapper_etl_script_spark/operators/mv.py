@@ -58,10 +58,20 @@ def refresh_additive_mv(
             for c in group_cols
         ],
         *[
-            (
+            # NULL-sum preservation: a group whose sum inputs are all
+            # NULL must stay NULL (what a fresh groupBy produces), so
+            # only coalesce-to-0 when at least one side contributed a
+            # non-NULL value -- keeps the incremental==rebuild
+            # contract exact
+            F.when(
+                F.col(f"m.{c}").isNull() & F.col(f"d.{c}").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
                 F.coalesce(F.col(f"m.{c}"), F.lit(0))
                 + F.coalesce(F.col(f"d.{c}"), F.lit(0))
-            ).alias(c)
+            )
+            .alias(c)
             for c in metric_cols
         ],
     )

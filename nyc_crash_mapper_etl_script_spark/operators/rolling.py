@@ -36,6 +36,9 @@ def rolling_time_agg(
     frame (e.g. ``{"n_1h": F.count(F.lit(1)), "sum_1h":
     F.sum("value")}``).
     """
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(df, "__us")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     df = df.withColumn("__us", us)
     w = (

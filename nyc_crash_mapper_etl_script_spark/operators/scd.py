@@ -37,6 +37,9 @@ def scd2_history(
     """Versioned history: one row per (key, state version) with
     ``valid_from`` / ``valid_to`` (NULL = still current),
     ``version_seq`` (1-based per key) and ``is_current``."""
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(log, "__prev_state", "__rn_first")
     order = [F.col(ts_col).asc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())

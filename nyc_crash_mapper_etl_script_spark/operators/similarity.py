@@ -109,6 +109,10 @@ def lsh_topk(
     untouched and the probe list is a tiny query-side explode.  A
     corpus vector lives in exactly one bucket, so the probe fan-out
     introduces no duplicate (query, vec) pairs."""
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(corpus, "__bucket")
+    reserve(queries, "__bucket")
     planes = _hyperplanes(dim, num_planes, seed)
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     q = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), planes))
@@ -278,6 +282,35 @@ def kmeans_centroids(
     )
 
 
+def _centroid_rows(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    hash_fn: str = "xxhash64",
+    centroid_impl: str = "hash",
+):
+    """Collected quantizer rows, memoized on the corpus plan
+    (plancache): training runs once per distinct (corpus, params),
+    not once per derived plan declaration — the quantizer is
+    driver-bounded (n_cells rows) by design."""
+    from nyc_crash_mapper_etl_script_spark.plancache import memo
+
+    def compute():
+        if centroid_impl == "kmeans":
+            cents = kmeans_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+        else:
+            cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+        return cents.orderBy("cell_id").collect()
+
+    return memo(
+        corpus,
+        "ivf_centroids",
+        (n_cells, id_col, vec_col, hash_fn, centroid_impl),
+        compute,
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -411,11 +444,9 @@ def ivf_topk(
     centroid-selection subtree -- corpus scan + TakeOrdered +
     collect_list -- was recomputed inside the probe branch of every
     execution, which is exactly the r2 bench regression.)"""
-    if centroid_impl == "kmeans":
-        cents = kmeans_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
-    else:
-        cents = select_centroids(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
-    rows = cents.orderBy("cell_id").collect()
+    rows = _centroid_rows(
+        corpus, n_cells, id_col, vec_col, hash_fn=hash_fn, centroid_impl=centroid_impl
+    )
     assigned = _assign_from_rows(corpus, rows, id_col, vec_col, impl=assign_impl)
     probes = _probe_cells_from_rows(
         queries, rows, n_probe, query_id_col, query_vec_col
@@ -435,7 +466,11 @@ def _probe_cells(
     is driver-sized by design -- :func:`ivf_assign` already collects
     it), so it is collected once here too and the ranking becomes a
     shuffle-free expression over the query batch."""
-    rows = cents.orderBy("cell_id").collect()
+    from nyc_crash_mapper_etl_script_spark.plancache import memo
+
+    rows = memo(
+        cents, "ivf_cent_probe", (), lambda: cents.orderBy("cell_id").collect()
+    )
     return _probe_cells_from_rows(queries, rows, n_probe, query_id_col, query_vec_col)
 
 

@@ -34,6 +34,10 @@ def salted_join(
     a hot key's rows spread evenly regardless of value distribution
     (and re-runs are reproducible).  Columns come out as in
     ``skewed.join(other, key, how)``."""
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(skewed, "__salt")
+    reserve(other, "__salt")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     s = skewed.withColumn("__salt", salt)
     o = other.withColumn(

@@ -106,16 +106,25 @@ def _grid_plan(boxed: DataFrame, floor_deg: float):
     ``("multi", levels)`` when the dimension mixes geometry scales by
     >= 16x (borough polygons layered with precinct polygons -- SURVEY
     §8's case), else ``("single", cell_deg)`` via the budget rule."""
+    from nyc_crash_mapper_etl_script_spark.plancache import memo
+
     dx = F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"]
     dy = F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"]
-    row = boxed.agg(
-        F.collect_set(_geom_level(F.greatest(dx, dy), floor_deg)).alias("lvls"),
-        F.sum(dx * dy).alias("a"),
-        F.sum(dx + dy).alias("b"),
-        F.count(F.lit(1)).alias("n"),
-        F.max(dx).alias("dx"),
-        F.max(dy).alias("dy"),
-    ).first()
+    # dimension-side stat probe memoized on the geometry plan: one
+    # driver job per distinct dimension, not per DAG declaration
+    row = memo(
+        boxed,
+        "grid_plan",
+        (floor_deg,),
+        lambda: boxed.agg(
+            F.collect_set(_geom_level(F.greatest(dx, dy), floor_deg)).alias("lvls"),
+            F.sum(dx * dy).alias("a"),
+            F.sum(dx + dy).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(dx).alias("dx"),
+            F.max(dy).alias("dy"),
+        ).first(),
+    )
     levels = sorted(row["lvls"] or [0])
     if len(levels) > 1 and levels[-1] - levels[0] >= _LEVEL_SPAN_MIN:
         return "multi", levels
@@ -172,15 +181,22 @@ def _gridded(
     if cell_deg is None and how == "inner":
         shape, arg = _grid_plan(boxed, floor_deg)
     elif cell_deg is None:
+        from nyc_crash_mapper_etl_script_spark.plancache import memo
+
         dx = F.col("__bbox")["xmax"] - F.col("__bbox")["xmin"]
         dy = F.col("__bbox")["ymax"] - F.col("__bbox")["ymin"]
-        row = boxed.agg(
-            F.sum(dx * dy).alias("a"),
-            F.sum(dx + dy).alias("b"),
-            F.count(F.lit(1)).alias("n"),
-            F.max(dx).alias("dx"),
-            F.max(dy).alias("dy"),
-        ).first()
+        row = memo(
+            boxed,
+            "grid_stats",
+            (floor_deg,),
+            lambda: boxed.agg(
+                F.sum(dx * dy).alias("a"),
+                F.sum(dx + dy).alias("b"),
+                F.count(F.lit(1)).alias("n"),
+                F.max(dx).alias("dx"),
+                F.max(dy).alias("dy"),
+            ).first(),
+        )
         shape, arg = "single", _adaptive_cell_from_stats(row, floor_deg)
     else:
         shape, arg = "single", cell_deg
@@ -240,6 +256,10 @@ def points_in_polygons(
     dwarfing the interpreted-HOF cost it saves) — see
     tests/test_spatial_join.py for the parity suite.
     """
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(polygons, "__bbox", "__cell", "__lvl")
+    reserve(points, "__cell", "__lvl")
     pt = F.col(f"p.{point_col}")
     boxed = polygons.withColumn("__bbox", polygon_bbox(F.col(polygon_col)))
     if strategy == "nlj":
@@ -286,6 +306,10 @@ def points_in_circles(
         (F.col(center_col)["lat"] - deg_lat).alias("ymin"),
         (F.col(center_col)["lat"] + deg_lat).alias("ymax"),
     )
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(circles, "__bbox", "__cell", "__lvl")
+    reserve(points, "__cell", "__lvl")
     boxed = circles.withColumn("__bbox", box)
     if strategy == "nlj":
         pt = F.col(f"p.{point_col}")

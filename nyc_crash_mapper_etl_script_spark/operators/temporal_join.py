@@ -140,12 +140,17 @@ def interval_join(
     each, bounded as long as interval length is bounded -- and points
     map to exactly one cell, so every qualifying pair meets exactly
     once and no dedup is needed.  ``how='left_intervals'`` keeps
-    intervals with no matching point (point columns NULL), done as a
-    join-back on the interval's own columns being distinct-keyed by
-    the caller.
+    intervals with no matching point (point columns NULL) via a
+    null-safe anti-join of the interval rows against the matched
+    pairs; an interval row duplicated in the input yields one NULL
+    row per duplicate.
 
     Returns all interval columns plus all point columns.
     """
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(intervals, "__cell")
+    reserve(points, "__cell")
     lo = F.col(lo_col)
     hi = F.col(hi_col)
     iv = intervals.withColumn(
@@ -159,6 +164,26 @@ def interval_join(
     out = joined.drop("__cell")
     if how == "inner":
         return out
+    if how == "left_intervals":
+        # keep intervals with no qualifying point: null-safe anti-join
+        # of the interval rows against the matched pairs' interval
+        # columns (distinct treats NULLs equal, and eqNullSafe keeps
+        # intervals with NULL value columns from false-surviving the
+        # anti).  The anti side is matched-interval-distinct sized --
+        # at most the interval dimension, never the point fan-out.
+        icols = list(intervals.columns)
+        pcols = [c for c in points.columns]
+        m = out.select(*icols).distinct().alias("m")
+        i = intervals.alias("i")
+        cond = None
+        for c in icols:
+            e = F.col(f"i.{c}").eqNullSafe(F.col(f"m.{c}"))
+            cond = e if cond is None else (cond & e)
+        unmatched = i.join(m, cond, "left_anti").select(
+            *[F.col(f"i.{c}").alias(c) for c in icols],
+            *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in pcols],
+        )
+        return out.unionByName(unmatched)
     raise ValueError(f"unsupported how={how!r}")
 
 

@@ -72,6 +72,9 @@ def per_group_top_n_pivot(
                 for i in range(1, n + 1)
             ],
         )
+    from nyc_crash_mapper_etl_script_spark.functions.scratch import reserve
+
+    reserve(df, "__rn")
     w = Window.partitionBy(group_col).orderBy(*[F.col(c).asc() for c in order_cols])
     ranked = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n)
     aggs = [

@@ -65,8 +65,14 @@ def with_alerts(
     except Exception as e:  # noqa: BLE001 -- the alert IS the handler
         try:
             alert_sink(subject, f"{type(e).__name__}: {e}")
-        except Exception:  # alert transport down: the job error wins
-            pass
+        except Exception as sink_err:  # alert transport down: the job error wins
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "alert sink failed (%s: %s); original error propagates",
+                type(sink_err).__name__,
+                sink_err,
+            )
         if reraise:
             raise
         return None

@@ -56,9 +56,29 @@ def assign_serial_ids(fresh: DataFrame, existing: DataFrame, key: str = "cartodb
     IS the global rank no matter where the sampled range boundaries
     fall, so the ids are deterministic while every task holds only its
     own slice of the batch."""
-    start = (existing.agg(F.coalesce(F.max(key), F.lit(0)).alias("mx"))).first()["mx"]
-    ranged = fresh.repartitionByRange("socrata_id").withColumn(
-        "__pid", F.spark_partition_id()
+    from nyc_crash_mapper_etl_script_spark.plancache import memo
+
+    # parquet-stat-cheap max over the key column, memoized on the
+    # existing table's plan: re-declaring against an unchanged table
+    # version skips the driver job (plancache)
+    start = memo(
+        existing,
+        "max_key",
+        (key,),
+        lambda: existing.agg(F.coalesce(F.max(key), F.lit(0)).alias("mx")).first()["mx"],
+    )
+    # rank a NARROW branch (socrata_id only) and join the ids back:
+    # repartitionByRange's boundary-sampling pass evaluates its whole
+    # child once before the shuffle, so ranking the wide rows directly
+    # paid the full upstream (feed normalization) twice.  The narrow
+    # branch column-prunes that sampling scan down to the key column;
+    # the join-back is socrata_id-unique, and AQE broadcasts the id
+    # map when the increment is small (a nightly delta) while
+    # degrading to a plain hash join for bulk backfills.
+    ranged = (
+        fresh.select("socrata_id")
+        .repartitionByRange("socrata_id")
+        .withColumn("__pid", F.spark_partition_id())
     )
     w = Window.partitionBy("__pid").orderBy("socrata_id")
     local = ranged.withColumn("__rn", F.row_number().over(w))
@@ -86,11 +106,12 @@ def assign_serial_ids(fresh: DataFrame, existing: DataFrame, key: str = "cartodb
             )
         ).alias("o")
     ).select("o.__pid", "o.__off")
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(key, (F.col("__rn") + F.col("__off") + F.lit(start)).cast("long"))
-        .drop("__pid", "__rn", "__off")
+    ids = local.join(F.broadcast(offsets), "__pid").select(
+        "socrata_id",
+        (F.col("__rn") + F.col("__off") + F.lit(start)).cast("long").alias(key),
     )
+    base = fresh.drop(key) if key in fresh.columns else fresh
+    return base.join(ids, "socrata_id")
 
 
 def run_nightly(
@@ -120,6 +141,16 @@ def run_nightly(
 
     # stage 2: borough-extent sanity filter
     merged = filter_to_extent(merged, districts)
+
+    # the merged fact table feeds THREE independent consumers (the
+    # district-linkage matches branch, the wide enrichment path, and
+    # the intersection-tally branch) -- without a materialization
+    # barrier each one re-evaluates the ingest/dedup/serial-id
+    # upstream from scratch (column-pruned, but still a full pass).
+    # A lazy localCheckpoint computes it once on first action and
+    # serves all branches; at cluster scale this is the standard
+    # persist-the-staged-increment pattern.
+    merged = merged.localCheckpoint(eager=False)
 
     # stages 3-4: late-data reconciliation
     if updates_feed is not None:

@@ -499,3 +499,97 @@ def test_refresh_additive_mv_null_group_merges_not_duplicates(spark):
          .collect()),
     )
     assert got == want  # NULL group merges into ONE row, same as rebuild
+
+
+def test_interval_join_left_intervals_keeps_unmatched(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import (
+        interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(10)), (2, _ts(40), _ts(50)), (3, None, _ts(5), )],
+        "iv long, lo timestamp, hi timestamp",
+    )
+    points = spark.createDataFrame(
+        [(10, _ts(1))], "pt long, ts timestamp"
+    )
+    out = interval_join(
+        points, intervals, "ts", "lo", "hi", 600, how="left_intervals"
+    ).collect()
+    by_iv = {}
+    for r in out:
+        by_iv.setdefault(r["iv"], []).append(r)
+    assert [r["pt"] for r in by_iv[1]] == [10]          # matched
+    assert [r["pt"] for r in by_iv[2]] == [None]        # no point in range
+    # NULL lo: explode(sequence(NULL,..)) yields no cells -> never
+    # matched; the null-safe anti keeps it as an unmatched interval
+    assert [r["pt"] for r in by_iv[3]] == [None]
+
+
+def test_contamination_preserves_zero_shingle_docs(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.contamination import (
+        contamination_check,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(9, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_check(
+            corpus, benchmark, "doc_id", "text", k=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # empty-text docs surface, not vanish
+    for d in (2, 3, 4):
+        assert out[d]["n_shingles"] == 0
+        assert out[d]["n_matched"] == 0
+        assert out[d]["contamination"] is None
+        assert out[d]["flagged"] is False
+    assert out[1]["flagged"] is True
+
+
+def test_refresh_additive_mv_keeps_all_null_sum_null(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_additive_mv,
+    )
+
+    full = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, None), ("b", 1, None), ("b", 2, 5)],
+        "g string, i long, x long",
+    )
+    base = full.where(F.col("i") == 1).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    delta = full.where(F.col("i") == 2)
+    got = sorted(
+        (r["g"], r["n"], r["sx"])
+        for r in refresh_additive_mv(
+            base, delta, ["g"], count_col="n", sum_cols={"sx": "x"}
+        ).collect()
+    )
+    want = sorted(
+        (r["g"], r["n"], r["sx"])
+        for r in full.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+        .collect()
+    )
+    assert got == want  # ('a', 2, None) stays NULL, not 0
+
+
+def test_scratch_collision_guard_raises(spark):
+    import pytest
+
+    from nyc_crash_mapper_etl_script_spark.operators.rolling import (
+        rolling_time_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("k", _ts(0), 1)], "k string, ts timestamp, __us long"
+    )
+    with pytest.raises(ValueError, match="__us"):
+        rolling_time_agg(df, "k", "ts", 3600, {"n": F.count(F.lit(1))})
