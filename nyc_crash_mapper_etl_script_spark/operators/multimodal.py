@@ -2,12 +2,16 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct.  The Spark-side plumbing -- schema, partition-sized
-Arrow batches, ``mapInPandas`` signatures -- is real and tested; the
-actual codec work is stubbed (the decode libraries are not in this
-container) behind ``decode_stub``: a deterministic fake that derives
-"features" from the bytes, or raises ``NotImplementedError`` when
-``strict=True`` so a production deployment fails loudly instead of
-silently shipping fake features.
+Arrow batches, ``mapInPandas`` signatures -- is real and tested.  The
+codec layer is OPTIONAL: when Pillow is installed on the executors
+(``pil_image_module``), ``decode_media``/``resize_media`` decode and
+resample real images; otherwise they fall back to ``decode_stub`` /
+``resize_stub`` -- a deterministic fake deriving "features" from the
+bytes, which raises ``NotImplementedError`` when ``strict=True`` so a
+production deployment fails loudly instead of silently shipping fake
+features.  The registered/oracled queries pin ``codec="stub"`` so
+results are bit-reproducible regardless of installed libraries;
+``codec="auto"`` opts into real decoding.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch``) so a 100 TB binary
@@ -19,11 +23,25 @@ by content hash, not source file, to even out skewed media sizes.
 from __future__ import annotations
 
 import hashlib
+import importlib.util
+import io
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def pil_image_module():
+    """``PIL.Image`` when Pillow is installed in this interpreter,
+    else ``None``.  The codec path is OPTIONAL by design: the engine's
+    plumbing (schemas, Arrow batching, UDF signatures) never depends
+    on the codec library being present."""
+    if importlib.util.find_spec("PIL") is None:
+        return None
+    from PIL import Image
+
+    return Image
 
 #: media payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -95,17 +113,58 @@ def decode_stub(payload: bytes, n_features: int = 8, strict: bool = False) -> li
     ]
 
 
-def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+def decode_media(
+    payload: bytes,
+    n_features: int = 8,
+    strict: bool = False,
+    image_module=None,
+) -> list[float]:
+    """Feature-extract one payload: REAL decode when an image codec
+    backend is available (grayscale-downsample to n_features pixel
+    intensities in [0, 1] -- a deterministic, library-stable
+    embedding), the sha256 stub otherwise.
+
+    ``image_module`` injects the backend (tests pass a fake; callers
+    leave it None to auto-discover Pillow).  A payload the backend
+    cannot decode (audio bytes, truncated file) raises when
+    ``strict=True`` and falls back to the stub otherwise, so a mixed
+    media table still yields one feature row per input."""
+    mod = image_module if image_module is not None else pil_image_module()
+    if mod is not None:
+        try:
+            img = mod.open(io.BytesIO(payload or b""))
+            gray = img.convert("L").resize((n_features, 1))
+            return [v / 255.0 for v in list(gray.getdata())[:n_features]]
+        except NotImplementedError:
+            raise
+        except Exception:
+            if strict:
+                raise
+    return decode_stub(payload, n_features, strict=strict and mod is None)
+
+
+def extract_features(
+    media: DataFrame, n_features: int = 8, codec: str = "stub"
+) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches.
 
     Vectorized at the batch level: one Python call per Arrow batch,
-    not per row (the 10-100x difference vs a row UDF at scale)."""
+    not per row (the 10-100x difference vs a row UDF at scale).
+
+    ``codec="stub"`` (default) pins the deterministic sha-derived
+    features regardless of installed libraries -- the reproducible,
+    oracle-replayable mode.  ``codec="auto"`` decodes for real when
+    Pillow is installed on the executors and stubs otherwise."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        if codec == "auto":
+            fe = lambda p: decode_media(p, n_features)  # noqa: E731
+        else:
+            fe = lambda p: decode_stub(p, n_features)  # noqa: E731
         for pdf in batches:
-            feats = [decode_stub(p, n_features) for p in pdf["payload"]]
+            feats = [fe(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -152,19 +211,52 @@ def resize_stub(payload: bytes, w: int, h: int, strict: bool = False) -> bytes:
     return (payload or b"") + f"|resized:{w}x{h}".encode()
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(
+    payload: bytes,
+    w: int,
+    h: int,
+    strict: bool = False,
+    image_module=None,
+) -> bytes:
+    """Resize one image payload: REAL resample-to-PNG when a codec
+    backend exists (injected or auto-discovered Pillow), the
+    tag-the-bytes stub otherwise; undecodable payloads raise in
+    strict mode and fall back to the stub otherwise."""
+    mod = image_module if image_module is not None else pil_image_module()
+    if mod is not None:
+        try:
+            img = mod.open(io.BytesIO(payload or b""))
+            buf = io.BytesIO()
+            img.resize((w, h)).save(buf, format="PNG")
+            return buf.getvalue()
+        except NotImplementedError:
+            raise
+        except Exception:
+            if strict:
+                raise
+    return resize_stub(payload, w, h, strict=strict and mod is None)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: str = "stub"
+) -> DataFrame:
     """Resize every image payload to width x height via mapInPandas
     (one Python call per Arrow batch).  Non-image rows pass through
     untouched.  Metadata struct is rewritten to the new box so the
-    schema contract holds end-to-end."""
+    schema contract holds end-to-end.  ``codec`` as in
+    :func:`extract_features`."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        if codec == "auto":
+            rs = lambda p: resize_media(p, width, height)  # noqa: E731
+        else:
+            rs = lambda p: resize_stub(p, width, height)  # noqa: E731
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             payloads = [
-                resize_stub(p, width, height) if img else p
+                rs(p) if img else p
                 for p, img in zip(pdf["payload"], is_img)
             ]
             metas = [

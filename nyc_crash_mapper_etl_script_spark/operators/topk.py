@@ -55,10 +55,22 @@ def per_group_top_n_pivot(
     column assignment is arbitrary."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if bounded_groups:
-        skey = F.struct(
-            *[F.col(c).alias(f"__o{j}") for j, c in enumerate(order_cols)],
-            F.col(value_col).alias("__v"),
-        )
+        # when the value is itself one of the ordering columns, read
+        # it back from that struct field instead of shipping a
+        # duplicate __v field through the shuffle (w1 orders by
+        # (linenumber, partkey, suppkey) and emits partkey -- the
+        # dedup trims a quarter of the per-row shuffle payload)
+        if value_col in order_cols:
+            vfield = f"__o{order_cols.index(value_col)}"
+            skey = F.struct(
+                *[F.col(c).alias(f"__o{j}") for j, c in enumerate(order_cols)]
+            )
+        else:
+            vfield = "__v"
+            skey = F.struct(
+                *[F.col(c).alias(f"__o{j}") for j, c in enumerate(order_cols)],
+                F.col(value_col).alias("__v"),
+            )
         agged = df.groupBy(group_col).agg(
             F.slice(F.sort_array(F.collect_list(skey)), 1, n).alias("__top")
         )
@@ -66,7 +78,7 @@ def per_group_top_n_pivot(
             group_col,
             *[
                 # try_: NULL past the end of a short group (ANSI mode)
-                F.try_element_at(F.col("__top"), F.lit(i))["__v"].alias(
+                F.try_element_at(F.col("__top"), F.lit(i))[vfield].alias(
                     f"{out_prefix}{i}"
                 )
                 for i in range(1, n + 1)
