@@ -1289,9 +1289,10 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d, "doc_id")
 
 
-def _minhash_md5_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
-    """Full-value DuckDB twin of the banded-LSH minhash dedup: the
-    md5 hash family (``md5_number_upper`` == first 8 md5 bytes
+def _minhash_md5_block(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """CTE chain (no final SELECT) ending in ``lshpairs``: the
+    full-value DuckDB twin of the banded-LSH minhash dedup.  The md5
+    hash family (``md5_number_upper`` == first 8 md5 bytes
     little-endian) with 32-bit affine multipliers keeps every
     permutation inside HUGEINT, so the oracle reproduces signatures,
     band buckets, candidate pairs, AND estimated jaccards exactly."""
@@ -1321,16 +1322,25 @@ def _minhash_md5_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bandkeys a JOIN bandkeys b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    lshpairs AS (
+      SELECT id_a, id_b, est_jaccard FROM (
+        SELECT id_a, id_b,
+               round(len([i FOR i IN range(1, {num_perm + 1})
+                          IF sa.sig[i] = sb.sig[i]]) / {num_perm}.0, 6) AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON id_a = sa.doc_id
+        JOIN sigs sb ON id_b = sb.doc_id
+      ) WHERE est_jaccard >= {threshold}
     )
-    SELECT id_a, id_b, est_jaccard FROM (
-      SELECT id_a, id_b,
-             round(len([i FOR i IN range(1, {num_perm + 1})
-                        IF sa.sig[i] = sb.sig[i]]) / {num_perm}.0, 6) AS est_jaccard
-      FROM cand
-      JOIN sigs sa ON id_a = sa.doc_id
-      JOIN sigs sb ON id_b = sb.doc_id
-    ) WHERE est_jaccard >= {threshold}
     """
+    )
+
+
+def _minhash_md5_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    return (
+        _minhash_md5_block(num_perm, bands, threshold)
+        + " SELECT id_a, id_b, est_jaccard FROM lshpairs"
     )
 
 
@@ -2958,7 +2968,7 @@ def asof_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_incremental",
     _minhash_md5_sql(threshold=0.5)
-    + " AND (id_a % 2 = 1 OR id_b % 2 = 1)",
+    + " WHERE (id_a % 2 = 1 OR id_b % 2 = 1)",
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH dedup: odd doc_ids are the NEW batch, dedup'd
@@ -2980,6 +2990,108 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 2 == 1), base_hash="md5"
     )
     return minhash_dedup_incremental(new, index, num_perm=64, threshold=0.5)
+
+
+def _stream_vs_batch_sql() -> str:
+    """Oracle for the streamed two-batch near-dedup: replay the exact
+    drop rules of ``streaming.dedup.near_dedup_stream`` over the full
+    md5 LSH pair set -- batch 1 (even ids) drops the larger id of any
+    within-batch pair; batch 2 (odd ids) drops on any pair with a
+    batch-1 SURVIVOR (a doc dropped in batch 1 never enters the index,
+    so it suppresses nothing) or the larger id of a within-batch-2
+    pair."""
+    return (
+        _minhash_md5_block(threshold=0.5)
+        + """
+    , b1 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0),
+    b2 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 1),
+    drop1 AS (
+      SELECT DISTINCT p.id_b AS id FROM lshpairs p
+      JOIN b1 x ON p.id_a = x.id JOIN b1 y ON p.id_b = y.id
+    ),
+    surv1 AS (SELECT id FROM b1 EXCEPT SELECT id FROM drop1),
+    drop2 AS (
+      SELECT p.id_b AS id FROM lshpairs p
+        JOIN surv1 s ON p.id_a = s.id JOIN b2 y ON p.id_b = y.id
+      UNION
+      SELECT p.id_a FROM lshpairs p
+        JOIN surv1 s ON p.id_b = s.id JOIN b2 y ON p.id_a = y.id
+      UNION
+      SELECT p.id_b FROM lshpairs p
+        JOIN b2 x ON p.id_a = x.id JOIN b2 y ON p.id_b = y.id
+    ),
+    surv2 AS (SELECT id FROM b2 EXCEPT SELECT id FROM drop2)
+    SELECT id AS doc_id FROM surv1 UNION SELECT id AS doc_id FROM surv2
+    """
+    )
+
+
+@register("dedup_stream_vs_batch", _stream_vs_batch_sql())
+def dedup_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equivalence, driven END TO END: the documents
+    table is fed through the REAL Structured Streaming near-dedup
+    (``streaming.dedup.near_dedup_stream`` -- foreachBatch,
+    band-index TxTable state, md5 hash family) as two bounded
+    micro-batches (even doc_ids, then odd), and the query returns the
+    surviving doc ids read back from the stream's sink table.  The
+    oracle replays the same two-step drop rules in SQL over the full
+    LSH pair set, so a green row pins stream output == batch operator
+    == SQL -- turning the streaming path's pytest-only coverage into
+    a registry-checked row (streaming/dedup.py:50 vs
+    operators/dedup_text.py:718)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+    from nyc_crash_mapper_etl_script_spark.streaming.dedup import (
+        near_dedup_stream,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_vs_batch_")
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "kept")
+    try:
+        # two deterministic micro-batches: one file each, mtime-ordered
+        # (the file source processes oldest-first at 1 file/trigger)
+        d.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(feed)
+        for f in glob.glob(os.path.join(feed, "part-*")):
+            os.utime(f, (1_000_000_000, 1_000_000_000))
+        d.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        for f in glob.glob(os.path.join(feed, "part-*")):
+            if os.stat(f).st_mtime > 1_000_000_100:
+                os.utime(f, (1_000_000_200, 1_000_000_200))
+
+        def sink(kept_df, batch_id):
+            kept_df.select("doc_id").write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = near_dedup_stream(
+            stream,
+            TxTable(os.path.join(base, "bandindex")),
+            "doc_id",
+            "text",
+            sink=sink,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            num_perm=64,
+            bands=16,
+            threshold=0.5,
+            base_hash="md5",
+        )
+        q.processAllAvailable()
+        q.stop()
+        survivors = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame([(i,) for i in sorted(survivors)], "doc_id long")
 
 
 @register(

@@ -85,10 +85,18 @@ class TxTable:
         root: str,
         partition_by: list[str] | None = None,
         retain_history: bool = False,
+        stale_staging_seconds: float = 3600.0,
     ) -> None:
         self.root = root.rstrip("/")
         self.partition_by = list(partition_by or [])
         self.retain_history = retain_history
+        #: recovery only garbage-collects an uncommitted staging dir
+        #: once it is at least this old: a CONCURRENT writer's live
+        #: staging must survive a peer's recovery pass (the Delta
+        #: VACUUM-retention idea applied to staged-but-uncommitted
+        #: files).  Crashed transactions' staging lingers at most this
+        #: long before the next recovery sweeps it.
+        self.stale_staging_seconds = stale_staging_seconds
 
     # -- log plumbing -----------------------------------------------------
 
@@ -202,11 +210,28 @@ class TxTable:
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
                 if rel not in live:
                     self._retire(rel)
-        # 3. drop staging dirs (every committed add was moved in step 1;
-        # anything left belongs to an uncommitted, i.e. failed, txn)
+        # 3. drop STALE staging dirs (every committed add was moved in
+        # step 1; what's left is either a crashed transaction's litter
+        # -- safe to drop once old -- or a CONCURRENT writer's live
+        # staging, which an age guard protects: deleting it mid-write
+        # would abort that writer's transaction for no reason)
         sdir = os.path.join(self.root, _STAGING_DIR)
         if os.path.isdir(sdir):
-            shutil.rmtree(sdir)
+            import time as _time
+
+            now = _time.time()
+            for txn in os.listdir(sdir):
+                p = os.path.join(sdir, txn)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age >= self.stale_staging_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+            try:
+                os.rmdir(sdir)  # only succeeds when fully empty
+            except OSError:
+                pass
 
     def _retire(self, rel: str) -> None:
         """Superseded file: archive (time travel) or delete."""
@@ -324,12 +349,20 @@ class TxTable:
         for rel in removes:
             if os.path.exists(os.path.join(self.root, rel)):
                 self._retire(rel)
+        # clean up THIS transaction's staging dirs only (a peer's live
+        # staging under the same table must not be touched)
+        own_txn_dirs = set()
+        for staged_rel in mapping.values():
+            parts = staged_rel.split(os.sep)
+            if len(parts) >= 2 and parts[0] == _STAGING_DIR:
+                own_txn_dirs.add(os.path.join(self.root, parts[0], parts[1]))
+        for d in own_txn_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         sdir = os.path.join(self.root, _STAGING_DIR)
-        if os.path.isdir(sdir):
-            for txn in os.listdir(sdir):
-                d = os.path.join(sdir, txn)
-                if os.path.isdir(d) and not os.listdir(d):
-                    os.rmdir(d)
+        try:
+            os.rmdir(sdir)  # only succeeds when fully empty
+        except OSError:
+            pass
 
     def _commit(
         self,
@@ -354,6 +387,34 @@ class TxTable:
     def _snapshot_version(self) -> int:
         entries = self._entries()
         return entries[-1]["version"] if entries else 0
+
+    def _raise_if_concurrent(self, exc: Exception, base_version: int):
+        """Surface a mid-transaction read failure caused by a
+        CONCURRENT commit as ConcurrentWriteError: the winner's
+        finalize step deletes/archives files this transaction's
+        snapshot still references, so the loser can die with a
+        vanished-file error while staging -- before ever reaching the
+        version check at publish.  That is the same stale-snapshot
+        condition (Delta's ConcurrentDeleteReadException analog), so
+        callers get ONE retryable exception type either way.  A
+        vanished file with the log still at the snapshot version is a
+        genuine storage fault and re-raises untranslated."""
+        msg = str(exc)
+        vanished = any(
+            s in msg
+            for s in (
+                "FileNotFoundException",
+                "PATH_NOT_FOUND",
+                "does not exist",
+                "No such file",
+            )
+        )
+        if vanished and self._snapshot_version() != base_version:
+            raise ConcurrentWriteError(
+                f"snapshot v{base_version} invalidated while staging: a "
+                "concurrent commit removed files this transaction was reading"
+            ) from exc
+        raise exc
 
     def init(self, df: DataFrame) -> int:
         """Create the table from df (version 1)."""
@@ -384,6 +445,13 @@ class TxTable:
         self._recover()
         base_version = self._snapshot_version()
         spark = source.sparkSession
+        try:
+            mapping, removes = self._merge_staged(source, key, spark)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._raise_if_concurrent(e, base_version)
+        return self._commit(mapping, removes, "merge", base_version=base_version)
+
+    def _merge_staged(self, source, key, spark):
         current = self.read(spark)
         src_keys = source.select(key).where(source[key].isNotNull()).distinct()
         if self.partition_by:
@@ -423,7 +491,7 @@ class TxTable:
         # the very files the finalize step will delete
         merged = merged.localCheckpoint()
         _, mapping = self._stage(merged)
-        return self._commit(mapping, removes, "merge", base_version=base_version)
+        return mapping, removes
 
     def compact(self, spark: SparkSession, target_mb: int = 128) -> int:
         """Transactional OPTIMIZE: rewrite the table's storage into
@@ -434,14 +502,17 @@ class TxTable:
         small appended files; this is the periodic repair."""
         self._recover()
         base_version = self._snapshot_version()
-        removes = list(self._live_files())
-        current = self.read(spark)
-        total_bytes = sum(
-            os.path.getsize(os.path.join(self.root, f)) for f in removes
-        )
-        n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
-        compacted = current.repartition(n_files).localCheckpoint()
-        _, mapping = self._stage(compacted)
+        try:
+            removes = list(self._live_files())
+            current = self.read(spark)
+            total_bytes = sum(
+                os.path.getsize(os.path.join(self.root, f)) for f in removes
+            )
+            n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+            compacted = current.repartition(n_files).localCheckpoint()
+            _, mapping = self._stage(compacted)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._raise_if_concurrent(e, base_version)
         return self._commit(mapping, removes, "compact", base_version=base_version)
 
     def delete(self, keys: DataFrame, key: str) -> int:
@@ -450,24 +521,27 @@ class TxTable:
         self._recover()
         base_version = self._snapshot_version()
         spark = keys.sparkSession
-        current = self.read(spark)
-        doomed = current.join(keys.select(key).distinct(), key, "left_semi")
-        if self.partition_by:
-            touched = [
-                self._partition_rel(r)
-                for r in doomed.select(*self.partition_by).distinct().collect()
-            ]
-            if not touched:
-                return self._entries()[-1]["version"]
-            prefixes = tuple(t + os.sep for t in touched)
-            removes = [f for f in self._live_files() if f.startswith(prefixes)]
-            base = spark.read.option("basePath", self.root).parquet(
-                *[os.path.join(self.root, f) for f in removes]
-            )
-        else:
-            removes = list(self._live_files())
-            base = current
-        kept = base.join(keys.select(key).distinct(), key, "left_anti")
-        kept = kept.localCheckpoint()
-        _, mapping = self._stage(kept)
+        try:
+            current = self.read(spark)
+            doomed = current.join(keys.select(key).distinct(), key, "left_semi")
+            if self.partition_by:
+                touched = [
+                    self._partition_rel(r)
+                    for r in doomed.select(*self.partition_by).distinct().collect()
+                ]
+                if not touched:
+                    return self._entries()[-1]["version"]
+                prefixes = tuple(t + os.sep for t in touched)
+                removes = [f for f in self._live_files() if f.startswith(prefixes)]
+                base = spark.read.option("basePath", self.root).parquet(
+                    *[os.path.join(self.root, f) for f in removes]
+                )
+            else:
+                removes = list(self._live_files())
+                base = current
+            kept = base.join(keys.select(key).distinct(), key, "left_anti")
+            kept = kept.localCheckpoint()
+            _, mapping = self._stage(kept)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._raise_if_concurrent(e, base_version)
         return self._commit(mapping, removes, "delete", base_version=base_version)

@@ -9,7 +9,10 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+    ConcurrentWriteError,
+    TxTable,
+)
 
 
 def _rows(spark, pairs):
@@ -98,8 +101,15 @@ def test_crash_before_commit_leaves_old_version(spark, table):
         TxTable._publish = orig_publish
     # staged garbage exists but the committed view is unchanged
     assert _as_dict(table.read(spark))[2] == ("b", "2024-05")
-    # recovery (run inside read) wiped the orphan staging dir
-    assert not os.path.isdir(os.path.join(table.root, "_staging"))
+    # a FRESH orphan staging dir survives recovery (it could be a
+    # concurrent writer's live staging -- the age guard protects it)
+    staging = os.path.join(table.root, "_staging")
+    assert os.path.isdir(staging)
+    # ... but once stale (backdated mtime) the next recovery sweeps it
+    for d in os.listdir(staging):
+        os.utime(os.path.join(staging, d), (1, 1))
+    table._recover()
+    assert not os.path.isdir(staging)
     table.merge(src, "k")  # re-run converges
     assert _as_dict(table.read(spark))[2] == ("B", "2024-05")
 
@@ -231,3 +241,92 @@ def test_concurrent_append_bumps_but_rmw_conflict_raises(spark, tmp_path_factory
     TxTable(root, partition_by=["ym"]).append(df([(2, "c", "2024-01")]))
     TxTable(root, partition_by=["ym"]).append(df([(3, "d", "2024-01")]))
     assert tx.read(spark).count() == 4
+
+
+def test_two_process_merge_append_race(spark, tmp_path_factory):
+    """Two SEPARATE Spark sessions (own JVMs, own processes) race
+    merges and appends on one table.  A filesystem barrier forces both
+    first merges to snapshot the same base version, so exactly one can
+    win the O_EXCL publish: the loser MUST see ConcurrentWriteError
+    and its retry must converge.  Invariants pinned: every version
+    claimed by exactly one commit, log contiguous, zero lost updates
+    (each worker's final merge round and every append visible)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    base = tmp_path_factory.mktemp("txrace")
+    root = str(base / "table")
+    barrier = base / "barrier"
+    barrier.mkdir()
+
+    t = TxTable(root)
+    t.init(spark.createDataFrame([(-1, "seed")], "k long, v string"))
+
+    worker = str(
+        __import__("pathlib").Path(__file__).parent / "txtable_race_worker.py"
+    )
+    procs = {}
+    outs = {}
+    for wid, peer in [("a", "b"), ("b", "a")]:
+        outs[wid] = str(base / f"out_{wid}.json")
+        procs[wid] = subprocess.Popen(
+            [_sys.executable, worker, root, str(barrier), wid, peer, outs[wid]],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    for wid, p in procs.items():
+        assert p.wait(timeout=600) == 0, f"worker {wid} failed"
+
+    results = {w: _json.load(open(outs[w])) for w in ("a", "b")}
+
+    # exactly one winner per version: committed sets are disjoint and
+    # together with the init they tile 1..V contiguously
+    all_versions = results["a"]["committed"] + results["b"]["committed"]
+    assert len(all_versions) == len(set(all_versions)) == 10  # 2*(3+2)
+    log_versions = sorted(e["version"] for e in t.history())
+    assert log_versions == list(range(1, 12))  # init + 10 commits
+    assert sorted(all_versions) == list(range(2, 12))
+
+    # the barrier guarantees the first merges raced: someone lost
+    assert results["a"]["conflicts"] + results["b"]["conflicts"] >= 1
+
+    # zero lost updates: final merge round visible for both key
+    # ranges, all appends present, seed intact
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[-1] == "seed"
+    for wid, lo in [("a", 0), ("b", 1000)]:
+        for j in range(20):
+            assert rows[lo + j] == f"{wid}-3", (wid, j, rows.get(lo + j))
+    for wid, off in [("a", 0), ("b", 100)]:
+        for i in range(2):
+            assert rows[5000 + off + i] == f"app-{wid}-{i}"
+
+
+def test_cross_instance_conflict_surfaces_deterministically(spark, tmp_path):
+    """White-box two-handle conflict: handle 1 stages a merge against
+    its snapshot, handle 2 commits first, handle 1's publish must
+    raise ConcurrentWriteError with the table untouched by it."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "t")
+    t1 = TxTable(root)
+    t1.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    t2 = TxTable(root)
+    base = t1._snapshot_version()
+    removes = list(t1._live_files())
+    merged = (
+        t1.read(spark)
+        .where("k != 1")
+        .unionByName(spark.createDataFrame([(1, "b")], "k long, v string"))
+        .localCheckpoint()
+    )
+    _, mapping = t1._stage(merged)
+
+    t2.merge(spark.createDataFrame([(2, "c")], "k long, v string"), "k")
+
+    with _pytest.raises(ConcurrentWriteError):
+        t1._commit(mapping, removes, "merge", base_version=base)
+    rows = {r["k"]: r["v"] for r in t2.read(spark).collect()}
+    assert rows == {1: "a", 2: "c"}  # loser's staged merge never landed

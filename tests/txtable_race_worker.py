@@ -1,0 +1,102 @@
+"""Subprocess worker for the two-session TxTable concurrency test.
+
+Runs in its OWN python process with its OWN SparkSession (separate
+JVM), so the O_EXCL hard-link commit is exercised across real process
+boundaries -- no shared in-memory state with the peer.
+
+Protocol: the first merge's snapshot waits (bounded) at a filesystem
+barrier until the peer has ALSO taken its first snapshot, so both
+stage against the same base version and exactly one publish can win
+-- a guaranteed, not probabilistic, conflict.  Losers retry the whole
+merge against fresh state (the documented ConcurrentWriteError
+contract).  Appends are blind and never conflict.
+
+Usage: txtable_race_worker.py <table_root> <barrier_dir> <worker_id>
+       <peer_id> <out_json>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from nyc_crash_mapper_etl_script_spark.sources.txtable import (  # noqa: E402
+    ConcurrentWriteError,
+    TxTable,
+)
+
+N_MERGES = 3
+N_APPENDS = 2
+
+
+class BarrierTable(TxTable):
+    """TxTable whose FIRST snapshot rendezvouses with the peer worker
+    so both transactions provably race on one base version."""
+
+    def __init__(self, root: str, barrier_dir: str, wid: str, peer: str):
+        super().__init__(root)
+        self._barrier_dir = barrier_dir
+        self._wid = wid
+        self._peer = peer
+        self._snapshots = 0
+
+    def _snapshot_version(self) -> int:
+        v = super()._snapshot_version()
+        self._snapshots += 1
+        if self._snapshots == 1:
+            mine = os.path.join(self._barrier_dir, f"snap_{self._wid}")
+            with open(mine, "w"):
+                pass
+            deadline = time.time() + 60
+            peer_flag = os.path.join(self._barrier_dir, f"snap_{self._peer}")
+            while not os.path.exists(peer_flag) and time.time() < deadline:
+                time.sleep(0.05)
+        return v
+
+
+def main() -> None:
+    root, barrier_dir, wid, peer, out_json = sys.argv[1:6]
+    spark = (
+        SparkSession.builder.appName(f"txrace-{wid}")
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    table = BarrierTable(root, barrier_dir, wid, peer)
+    lo = 0 if wid == "a" else 1000
+    committed: list[int] = []
+    conflicts = 0
+
+    for i in range(1, N_MERGES + 1):
+        # upsert this worker's key range with round number i
+        src = spark.createDataFrame(
+            [(lo + j, f"{wid}-{i}") for j in range(20)], "k long, v string"
+        )
+        while True:
+            try:
+                committed.append(table.merge(src, "k"))
+                break
+            except ConcurrentWriteError:
+                conflicts += 1
+
+    for i in range(N_APPENDS):
+        df = spark.createDataFrame(
+            [(5000 + (0 if wid == "a" else 100) + i, f"app-{wid}-{i}")],
+            "k long, v string",
+        )
+        committed.append(table.append(df))
+
+    with open(out_json, "w") as fh:
+        json.dump({"worker": wid, "committed": committed, "conflicts": conflicts}, fh)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
