@@ -61,21 +61,42 @@ def _i(name: str) -> Column:
     return F.coalesce(F.col(name).cast("int"), F.lit(0))
 
 
-def allocate_blame(df: DataFrame, only_null: bool = True) -> DataFrame:
+def allocate_blame(
+    df: DataFrame,
+    only_null: bool = True,
+    extra_cols: dict[str, Column] | None = None,
+) -> DataFrame:
     """Append/overwrite the 2+8+64 blame columns.
 
     ``only_null=True`` honors the reference's incremental guards
     (``WHERE hasvehicle_other_unspecified IS NULL`` etc.,
     main.py:700,712,788): rows already blamed keep their values.
+
+    ``extra_cols`` folds upstream column definitions (the vehicle
+    flags from ``enrichment.vehicle_flag_exprs``) into stage 1's OWN
+    projection: stage-1 expressions inline the provided expressions
+    wherever they read those columns, saving the composed nightly DAG
+    a whole Catalyst analysis pass over the wide tree; codegen's
+    subexpression elimination keeps runtime cost identical.
     """
+    extra_cols = extra_cols or {}
+
+    def fref(name: str) -> Column:
+        # a column being (re)defined in this same projection must be
+        # read through its defining expression, not the stale input
+        return extra_cols.get(name, F.col(name))
+
+    def _i(name: str) -> Column:
+        return F.coalesce(fref(name).cast("int"), F.lit(0))
+
     motor_sum = sum([_i(c) for c in MOTOR_FLAGS[:-1]], _i("hasvehicle_other"))
     all_sum = sum([_i(c) for c in ALL_FLAGS[1:]], _i(ALL_FLAGS[0]))
     bike_or_scooter = (
-        F.coalesce(F.col("hasvehicle_bicycle"), F.lit(False))
-        | F.coalesce(F.col("hasvehicle_scooter"), F.lit(False))
+        F.coalesce(fref("hasvehicle_bicycle"), F.lit(False))
+        | F.coalesce(fref("hasvehicle_scooter"), F.lit(False))
     )
 
-    other_unspec = F.when(all_sum == 0, F.lit(True)).otherwise(F.col("hasvehicle_other"))
+    other_unspec = F.when(all_sum == 0, F.lit(True)).otherwise(fref("hasvehicle_other"))
     bike_blame = F.when(bike_or_scooter & (motor_sum == 0), F.lit(True)).otherwise(
         F.lit(False)
     )
@@ -105,6 +126,7 @@ def allocate_blame(df: DataFrame, only_null: bool = True) -> DataFrame:
     )
     out = df.withColumns(
         {
+            **extra_cols,
             "hasvehicle_other_unspecified": guarded(
                 "hasvehicle_other_unspecified", other_unspec, g1
             ),

@@ -111,22 +111,15 @@ def link_districts(
     return out.select(*final)
 
 
-def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = True) -> DataFrame:
-    """Set ``hasvehicle_<kind>`` via array overlap with crosswalk
-    aliases (main.py:1082-1102, invoked x8 at main.py:1176-1185).
-
-    The crosswalk is collected to the driver (it is a dimension of a
-    few hundred rows; the reference embeds it as an ARRAY_AGG scalar
-    subquery) and inlined as literal arrays -> the fact-table pass is
-    pure codegen, no join, no shuffle.
-    """
+def vehicle_flag_exprs(
+    crashes: DataFrame, crosswalk: DataFrame, only_null: bool = True
+) -> dict[str, "F.Column"]:
+    """The ``hasvehicle_<kind>`` expressions as a column dict, for
+    callers that fold the flag pass into an adjacent projection
+    (``allocate_blame(extra_cols=...)``) instead of paying a separate
+    Catalyst analysis pass over the wide composed tree."""
     from nyc_crash_mapper_etl_script_spark.plancache import memo
 
-    # every canonical kind always gets its flag column (the fact-table
-    # schema has all 8 regardless of crosswalk contents); kinds with
-    # no aliases are simply never TRUE.  The dimension collect is
-    # memoized on the crosswalk plan (plancache) so repeated DAG
-    # declarations over an unchanged crosswalk skip the driver job.
     def _alias_map() -> dict[str, list[str]]:
         amap: dict[str, list[str]] = {
             kind: [] for kind in CROSSWALK_CODE_TO_KIND.values()
@@ -140,8 +133,6 @@ def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = Tr
         return amap
 
     alias_map = memo(crosswalk, "crosswalk_aliases", (), _alias_map)
-    # single atomic withColumns (chained withColumn = one full
-    # analysis pass per flag; see link_districts)
     cols: dict[str, F.Column] = {}
     for kind, aliases in sorted(alias_map.items()):
         flag = f"hasvehicle_{kind}"
@@ -157,7 +148,26 @@ def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = Tr
             cols[flag] = F.coalesce(F.col(flag), hit)
         else:
             cols[flag] = hit
-    return crashes.withColumns(cols)
+    return cols
+
+
+def vehicle_flags(crashes: DataFrame, crosswalk: DataFrame, only_null: bool = True) -> DataFrame:
+    """Set ``hasvehicle_<kind>`` via array overlap with crosswalk
+    aliases (main.py:1082-1102, invoked x8 at main.py:1176-1185).
+
+    The crosswalk is collected to the driver (it is a dimension of a
+    few hundred rows; the reference embeds it as an ARRAY_AGG scalar
+    subquery) and inlined as literal arrays -> the fact-table pass is
+    pure codegen, no join, no shuffle.
+    """
+    # every canonical kind always gets its flag column (the fact-table
+    # schema has all 8 regardless of crosswalk contents); kinds with
+    # no aliases are simply never TRUE.  The dimension collect is
+    # memoized on the crosswalk plan (plancache) so repeated DAG
+    # declarations over an unchanged crosswalk skip the driver job.
+    # Single atomic withColumns (chained withColumn = one full
+    # analysis pass per flag; see link_districts).
+    return crashes.withColumns(vehicle_flag_exprs(crashes, crosswalk, only_null))
 
 
 def unmapped_vehicle_types(crashes: DataFrame, crosswalk: DataFrame) -> DataFrame:

@@ -67,18 +67,15 @@ def assign_serial_ids(fresh: DataFrame, existing: DataFrame, key: str = "cartodb
         (key,),
         lambda: existing.agg(F.coalesce(F.max(key), F.lit(0)).alias("mx")).first()["mx"],
     )
-    # rank a NARROW branch (socrata_id only) and join the ids back:
-    # repartitionByRange's boundary-sampling pass evaluates its whole
-    # child once before the shuffle, so ranking the wide rows directly
-    # paid the full upstream (feed normalization) twice.  The narrow
-    # branch column-prunes that sampling scan down to the key column;
-    # the join-back is socrata_id-unique, and AQE broadcasts the id
-    # map when the increment is small (a nightly delta) while
-    # degrading to a plain hash join for bulk backfills.
-    ranged = (
-        fresh.select("socrata_id")
-        .repartitionByRange("socrata_id")
-        .withColumn("__pid", F.spark_partition_id())
+    # Rank the WIDE rows directly through one range exchange.  The
+    # alternative (rank a narrow socrata_id branch, hash-join ids
+    # back) was A/B'd twice -- r2 without the downstream checkpoint
+    # and r3 with it -- and lost both times (r3: 3.9s vs 1.4s nightly
+    # exec): the full-width join-back costs more than the range
+    # sampling it saves, and the run_nightly checkpoint already
+    # ensures the sampling's upstream double-evaluation is paid once.
+    ranged = fresh.repartitionByRange("socrata_id").withColumn(
+        "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy("socrata_id")
     local = ranged.withColumn("__rn", F.row_number().over(w))
@@ -106,12 +103,11 @@ def assign_serial_ids(fresh: DataFrame, existing: DataFrame, key: str = "cartodb
             )
         ).alias("o")
     ).select("o.__pid", "o.__off")
-    ids = local.join(F.broadcast(offsets), "__pid").select(
-        "socrata_id",
-        (F.col("__rn") + F.col("__off") + F.lit(start)).cast("long").alias(key),
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(key, (F.col("__rn") + F.col("__off") + F.lit(start)).cast("long"))
+        .drop("__pid", "__rn", "__off")
     )
-    base = fresh.drop(key) if key in fresh.columns else fresh
-    return base.join(ids, "socrata_id")
 
 
 def run_nightly(
@@ -195,11 +191,17 @@ def run_nightly(
     # stage 6: district linkage (only_null preserves prior values)
     merged = link_districts(merged, districts)
 
-    # stage 7: vehicle flags (pure column pass, crosswalk inlined)
-    merged = vehicle_flags(merged, crosswalk)
+    # stages 7+8: vehicle flags + blame allocation, folded into the
+    # same projections (flags inline into blame stage 1) -- one fewer
+    # analysis pass over the wide tree per declaration, identical
+    # runtime (codegen CSE evaluates each flag once)
+    from nyc_crash_mapper_etl_script_spark.operators.enrichment import (
+        vehicle_flag_exprs,
+    )
 
-    # stage 8: blame allocation (pure column pass)
-    merged = allocate_blame(merged)
+    merged = allocate_blame(
+        merged, extra_cols=vehicle_flag_exprs(merged, crosswalk)
+    )
 
     # stage 5: intersection tallies + top-k view
     counts = intersection_crash_counts(
