@@ -3094,6 +3094,78 @@ def dedup_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(i,) for i in sorted(survivors)], "doc_id long")
 
 
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST({key} AS VARCHAR)), "
+    "1, 8)) AS UBIGINT) % {n_bits}"
+)
+
+
+def _bloom_prefilter_sql(n_bits: int = 1024, n_hashes: int = 4) -> str:
+    """Bloom membership replayed relationally: a bit is set iff its
+    position is in the dimension's position set, so `key passes` ==
+    `every one of its positions appears in the dim position set` --
+    no bit array needed in SQL, false positives reproduced exactly."""
+    dimpos = _BLOOM_POS_SQL.format(key="k", n_bits=n_bits)
+    factpos = _BLOOM_POS_SQL.format(key="o_custkey", n_bits=n_bits)
+    return f"""
+    WITH hs AS (SELECT unnest(range({n_hashes})) AS i),
+    dim AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9900),
+    dimpos AS (SELECT DISTINCT {dimpos} AS pos FROM dim CROSS JOIN hs),
+    factpos AS (SELECT o_orderkey, {factpos} AS pos
+                FROM orders CROSS JOIN hs)
+    SELECT f.o_orderkey FROM factpos f LEFT JOIN dimpos d ON f.pos = d.pos
+    GROUP BY f.o_orderkey
+    HAVING count(*) FILTER (WHERE d.pos IS NULL) = 0
+    """
+
+
+@register("bloom_prefilter_orders", _bloom_prefilter_sql())
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders passing the bloom filter of high-balance customers --
+    the runtime row-level pre-join filter (operators/bloomjoin.py):
+    dim keys -> md5-position bit array (one bounded aggregate,
+    memoized), fact probe = pure codegen literal-array predicate,
+    zero joins, zero shuffle.  The oracle replays the exact bit
+    semantics (false positives included) via position-set
+    containment."""
+    from nyc_crash_mapper_etl_script_spark.operators.bloomjoin import (
+        bloom_prefilter,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.where(F.col("c_acctbal") > 9900)
+    return bloom_prefilter(
+        o, dim, "o_custkey", "c_custkey", n_bits=1024, n_hashes=4
+    ).select("o_orderkey")
+
+
+@register(
+    "bloom_semi_join_exact",
+    """
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 9900)
+    """,
+)
+def bloom_semi_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter composed with the exact semi-join: row-for-row
+    identical to the plain semi-join (the oracle IS the plain form,
+    pinning zero false negatives end to end) -- but the shuffle only
+    carries bloom survivors."""
+    from nyc_crash_mapper_etl_script_spark.operators.bloomjoin import (
+        bloom_semi_join,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.where(F.col("c_acctbal") > 9900)
+    return bloom_semi_join(
+        o, dim, "o_custkey", "c_custkey", n_bits=1024, n_hashes=4
+    ).select("o_orderkey", "o_custkey")
+
+
 @register(
     "filter_above_median_quality",
     """

@@ -53,7 +53,28 @@ def read_jdbc(
     Partitioned reads parallelize the extract (the reference reads
     the whole table through one cursor).  No JDBC driver ships in
     this environment -- the call path is real, exercised against
-    parquet stand-ins in tests."""
+    parquet stand-ins in tests, and the reader-option wiring is
+    pinned by ``tests/test_connectors.py`` against a recording fake
+    of the DataFrameReader.
+
+    Integration recipe (live MySQL, matching the reference's
+    ``walkmapper`` source):
+
+    1. Put the driver jar on both driver and executors:
+       ``spark-submit --packages com.mysql:mysql-connector-j:8.4.0``
+       (or ``--jars /path/mysql-connector-j.jar``).
+    2. ``read_jdbc(spark, "jdbc:mysql://host:3306/walkmapper",
+       "obstructionDetails", partition_column="id",
+       lower_bound=0, upper_bound=<max id>, num_partitions=16,
+       user=..., password=..., driver="com.mysql.cj.jdbc.Driver",
+       fetchsize="10000")`` -- ``partition_column`` bounds come from a
+       cheap ``SELECT min(id), max(id)`` (run it through
+       ``table="(select min(id) lo, max(id) hi from t) q"``).
+    3. Pushdown: wrap arbitrary SQL as ``table="(select ... where
+       updatedDate > '...') src"`` so the predicate runs on MySQL --
+       the same ``:updated_at`` windowing the nightly uses
+       (mysql2carto.py:114-137) without shipping the full table.
+    """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         reader = (

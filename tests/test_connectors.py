@@ -159,3 +159,70 @@ def test_soda_landing_cache(tmp_path):
     # cache off: always refetches
     client.fetch_to_landing(d, where="w2", use_cache=False)
     assert len(server.calls) > calls_after_first + 1
+
+
+def test_read_jdbc_option_passthrough():
+    """The JDBC reader wiring, pinned without a driver: every knob
+    lands on the DataFrameReader exactly as the integration recipe
+    documents (url/dbtable, partitioned-read bounds, passthrough
+    options like user/driver/fetchsize)."""
+    from nyc_crash_mapper_etl_script_spark.sources.readers import read_jdbc
+
+    class _RecordingReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+            self.loaded = False
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            self.loaded = True
+            return "LOADED"
+
+    class _FakeSpark:
+        def __init__(self, rec):
+            self._rec = rec
+
+        @property
+        def read(self):
+            return self._rec
+
+    rec = _RecordingReader()
+    out = read_jdbc(
+        _FakeSpark(rec),
+        "jdbc:mysql://host:3306/walkmapper",
+        "obstructionDetails",
+        partition_column="id",
+        num_partitions=16,
+        lower_bound=5,
+        upper_bound=99,
+        user="u",
+        password="p",
+        driver="com.mysql.cj.jdbc.Driver",
+        fetchsize="10000",
+    )
+    assert out == "LOADED" and rec.loaded and rec.fmt == "jdbc"
+    assert rec.opts == {
+        "url": "jdbc:mysql://host:3306/walkmapper",
+        "dbtable": "obstructionDetails",
+        "partitionColumn": "id",
+        "numPartitions": "16",
+        "lowerBound": "5",
+        "upperBound": "99",
+        "user": "u",
+        "password": "p",
+        "driver": "com.mysql.cj.jdbc.Driver",
+        "fetchsize": "10000",
+    }
+
+    # unpartitioned: no bound options leak in
+    rec2 = _RecordingReader()
+    read_jdbc(_FakeSpark(rec2), "jdbc:mysql://h/db", "t")
+    assert rec2.opts == {"url": "jdbc:mysql://h/db", "dbtable": "t"}

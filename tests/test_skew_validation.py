@@ -122,3 +122,55 @@ def test_asof_salted_bounds_per_task_window_group(spark):
     )
     key = lambda r: (r["k"], r["ts"], r["value"])  # noqa: E731
     assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
+# -- bloom pre-join filter -------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives_and_exact_compose(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.bloomjoin import (
+        bloom_contains,
+        bloom_build,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    fact = spark.range(5000).select(
+        (F.col("id") % 700).alias("k"), F.col("id").alias("row_id")
+    )
+    dim = spark.range(97).select((F.col("id") * 7).alias("k"))  # 97 keys
+
+    words = bloom_build(dim, "k", n_bits=512, n_hashes=4)
+    assert len(words) == 8 and any(w != 0 for w in words)
+
+    # zero false negatives: every true dim key passes its own filter
+    misses = dim.where(
+        ~bloom_contains(F.col("k"), words, n_bits=512, n_hashes=4)
+    ).count()
+    assert misses == 0
+
+    # prefilter is a superset of the exact matches; deterministic
+    pre1 = sorted(
+        r["row_id"] for r in bloom_prefilter(fact, dim, "k", "k", 512, 4).collect()
+    )
+    pre2 = sorted(
+        r["row_id"] for r in bloom_prefilter(fact, dim, "k", "k", 512, 4).collect()
+    )
+    assert pre1 == pre2
+    exact = sorted(
+        r["row_id"]
+        for r in fact.join(dim.withColumnRenamed("k", "dk"),
+                           F.col("k") == F.col("dk"), "left_semi").collect()
+    )
+    assert set(exact) <= set(pre1)
+
+    # composed bloom semi-join == plain semi-join, row for row
+    composed = sorted(
+        r["row_id"] for r in bloom_semi_join(fact, dim, "k", "k", 512, 4).collect()
+    )
+    assert composed == exact
+
+    # the probe plan is scan+filter only: no join, no shuffle
+    plan = bloom_prefilter(fact, dim, "k", "k", 512, 4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
