@@ -53,8 +53,15 @@ def value_hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -75,9 +82,11 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"err": f"spark error: {e}"[:500]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {"spark_rows": len(srows), "err": None, "no_oracle": True}
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -86,6 +95,7 @@ def main() -> int:
             dcols = [d[0] for d in res.description]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"err": f"duckdb error: {e}"[:500]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
@@ -106,12 +116,34 @@ def main() -> int:
                     print(f"        spark-only: {x}")
                 for x in list(dset - sset)[:3]:
                     print(f"        duck-only:  {x}")
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
         else:
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_failed": len(failures),
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
