@@ -42,6 +42,12 @@ def contamination_check(
     ``n_matched`` (of those, how many occur in the benchmark),
     ``contamination`` (ratio, 4 decimals), ``flagged``.
     """
+    from nyc_crash_mapper_etl_script_spark.functions.partitioning import (
+        ensure_parallelism,
+    )
+
+    # single-file corpora: spread the shingle explode across cores
+    corpus = ensure_parallelism(corpus)
     doc_sh = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),

@@ -88,6 +88,14 @@ def _perm_coeffs(num_perm: int, seed: int = 42):
     return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    from nyc_crash_mapper_etl_script_spark.functions.partitioning import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(df)
+
+
 def perm_coeffs_md5(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
     """Affine coefficients for the md5 (oracle-parity) hash family:
     32-bit odd multipliers, 64-bit offsets.  The multiplier is kept
@@ -259,6 +267,14 @@ def minhash_near_duplicates(
     exchange, so the signature UDF still evaluates once.
     """
     rows_per_band = num_perm // bands
+    # the signature UDF's parallelism is the INPUT partitioning, and a
+    # small-file corpus scan (one parquet file under maxPartitionBytes
+    # -> ONE partition) would run the whole Arrow pass on a single
+    # core.  Spread narrow inputs across the cluster first: the
+    # shuffle moves only raw (id, text) rows, and every downstream
+    # stage inherits the parallelism.  (A 100 TB corpus already has
+    # thousands of scan partitions -- the guard is a no-op there.)
+    docs = _ensure_parallelism(docs)
     if impl == "arrow":
         sig_col = minhash_signature_arrow(num_perm, k, seed, base_hash)(F.col(text_col))
     else:
@@ -538,6 +554,7 @@ def simhash_near_duplicates(
     materializing them -- the output is genuinely quadratic for such
     input (all those pairs ARE within distance 0), but no single
     allocation is."""
+    docs = _ensure_parallelism(docs)  # single-file inputs: spread the UDF
     if impl == "arrow":
         sig_col = simhash64_arrow(base_hash=base_hash)(F.col(text_col))
     else:
@@ -621,7 +638,7 @@ def ngram_jaccard_pairs(
     the exception -- catch those with :func:`exact_duplicates`, whose
     hash groupBy is immune to posting-list size).
     """
-    sets_df = docs.select(
+    sets_df = _ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), k=k)).alias("shs"),
     ).where(F.size("shs") > 0)
@@ -697,6 +714,7 @@ def minhash_banded_rows(
     a new batch computes its own rows ONCE and equi-joins.
     """
     rows_per_band = num_perm // bands
+    docs = _ensure_parallelism(docs)  # single-file inputs: spread the UDF
     if impl == "arrow":
         sig_col = minhash_signature_arrow(num_perm, k, seed, base_hash)(
             F.col(text_col)
