@@ -1,0 +1,206 @@
+"""The reference nightly as a CONTINUOUS incremental pipeline.
+
+``plans/nightly.py`` reproduces the reference main() as one batch DAG
+(cron-shaped, like the original).  This module is the streaming
+promotion of the same semantics: a Structured Streaming query whose
+every micro-batch performs the full ingest->dedup->enrich->blame->
+reconcile->rollup cycle INCREMENTALLY against transactional state --
+what the reference would be if it were built stream-first instead of
+as an hours-long nightly batch (SURVEY §2.9; main.py:1132-1200).
+
+Per micro-batch (foreachBatch -- the sink owns multi-action
+transactional logic):
+
+1. in-batch dedup + anti-join against the month-partitioned fact
+   TxTable -> the INSERT set (reference main.py:85-132 semantics);
+2. the insert set alone is enriched: serial ids continue from the
+   table's max key, extent sanity filter, district point-in-polygon
+   linkage, vehicle flags + blame allocation folded into one pass --
+   O(batch) work, never a table rewrite;
+3. enriched inserts APPEND (blind, multi-writer-safe);
+4. already-present keys are the UPDATE set: tally mismatches merge
+   into only the touched month partitions (C2);
+5. the intersection crashcount rollup (the reference's ~10-min
+   materialized view rebuild) is maintained INCREMENTALLY: the
+   insert set's circle matches delta-refresh a grouped-count MV
+   TxTable via ``refresh_additive_mv`` -- O(batch) against O(table).
+
+Honest caveat, documented not hidden: step 5 counts INSERTS only.  An
+update that flips a crash's injured/killed from 0 to >0 changes MV
+membership retroactively; the reference handles this by rebuilding
+the view nightly, and :func:`rebuild_rollup` provides the same
+periodic repair here (the signed-delta retraction generalization is
+the noted extension in operators/mv.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nyc_crash_mapper_etl_script_spark.operators.blame import allocate_blame
+from nyc_crash_mapper_etl_script_spark.operators.dedup_merge import new_rows
+from nyc_crash_mapper_etl_script_spark.operators.enrichment import (
+    filter_to_extent,
+    intersection_crash_counts,
+    link_districts,
+    vehicle_flag_exprs,
+)
+from nyc_crash_mapper_etl_script_spark.operators.ingest import normalize_soda_feed
+from nyc_crash_mapper_etl_script_spark.operators.mv import refresh_additive_mv
+from nyc_crash_mapper_etl_script_spark.operators.reconcile import (
+    apply_tally_updates,
+    tally_mismatches,
+)
+from nyc_crash_mapper_etl_script_spark.plans.nightly import assign_serial_ids
+from nyc_crash_mapper_etl_script_spark.schemas import SODA_FEED_SCHEMA
+from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+
+def _enrich(fresh: DataFrame, existing: DataFrame, districts, crosswalk) -> DataFrame:
+    """The batch enrichment stack applied to an increment only."""
+    fresh = assign_serial_ids(fresh, existing)
+    fresh = filter_to_extent(fresh, districts)
+    fresh = link_districts(fresh, districts)
+    return allocate_blame(fresh, extra_cols=vehicle_flag_exprs(fresh, crosswalk))
+
+
+def continuous_nightly(
+    spark: SparkSession,
+    feed_dir: str,
+    table_path: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    districts: DataFrame,
+    intersections: DataFrame,
+    crosswalk: DataFrame,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Start the continuous nightly; returns the query handle.
+
+    State lives in two TxTables: the month-partitioned enriched fact
+    table at ``table_path`` and the (cartodb_id, howmany) rollup at
+    ``rollup_path``.  ``trigger_available_now=True`` drains the feed
+    dir then stops (cron-equivalent, restart-safe); False runs
+    continuous micro-batches."""
+    raw = spark.readStream.schema(SODA_FEED_SCHEMA).json(feed_dir)
+    normalized = normalize_soda_feed(raw)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        batch = batch.dropDuplicates(["socrata_id"]).withColumn(
+            "__ym", F.concat_ws("-", "year", "month")
+        ).localCheckpoint()
+        tx = TxTable(table_path, partition_by=["__ym"])
+        if tx.exists():
+            existing = tx.read(s)
+            fresh = new_rows(batch, existing, "socrata_id")
+        else:
+            # bootstrap: no table yet -> everything is fresh; serial
+            # ids start from 0 (the empty frame needs the key column
+            # for assign_serial_ids' max-key probe)
+            existing = batch.where("1=0").withColumn(
+                "cartodb_id", F.lit(None).cast("long")
+            )
+            fresh = batch
+        # enrich ONLY the increment; pin before any table mutation
+        enriched = _enrich(fresh, existing, districts, crosswalk).localCheckpoint()
+        if enriched.count():
+            if tx.exists():
+                tx.append(enriched)
+            else:
+                tx.init(enriched)
+            # incremental rollup refresh from the insert set's circle
+            # matches -- one bounded delta agg + a dimension-keyed
+            # combine, vs the reference's full MV rebuild
+            delta_counts = intersection_crash_counts(
+                enriched, intersections, months_window=None
+            )
+            # refresh_additive_mv combines RAW delta rows; the circle
+            # join already aggregated, so expand via explode-free
+            # combine: treat the aggregated rows as the delta MV and
+            # reuse the same NULL-safe full-outer combine by passing
+            # them through with count semantics
+            mv = TxTable(rollup_path)
+            if mv.exists():
+                cur = mv.read(s)
+                fused = refresh_additive_mv(
+                    cur,
+                    # delta rows: one row per (crash, circle) match is
+                    # what refresh_additive_mv expects; reuse the
+                    # matched pairs instead of the pre-aggregated form
+                    _circle_matches(enriched, intersections),
+                    group_cols=["cartodb_id"],
+                    count_col="howmany",
+                ).localCheckpoint()
+                mv.merge(fused, "cartodb_id")
+            else:
+                mv.init(delta_counts.localCheckpoint())
+        # update set: tally reconcile into touched months only (C2)
+        if tx.exists():
+            updated = batch.join(
+                fresh.select("socrata_id"), "socrata_id", "left_anti"
+            ).localCheckpoint()
+            if updated.limit(1).count():
+                merged = tx.read(s)
+                mismatches = tally_mismatches(updated, merged, "socrata_id")
+                if mismatches.limit(1).count():
+                    to_fix = merged.join(
+                        mismatches.select("socrata_id"), "socrata_id", "left_semi"
+                    )
+                    repaired = apply_tally_updates(to_fix, mismatches, "socrata_id")
+                    tx.merge(repaired.localCheckpoint(), "socrata_id")
+
+    writer = normalized.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _circle_matches(crashes: DataFrame, intersections: DataFrame) -> DataFrame:
+    """(crash, circle) match rows -- the raw delta grain
+    ``refresh_additive_mv`` aggregates per cartodb_id."""
+    from nyc_crash_mapper_etl_script_spark.operators.spatial_join import (
+        points_in_circles,
+    )
+
+    filtered = crashes.where(
+        (F.col("number_of_persons_injured") > 0)
+        | (F.col("number_of_persons_killed") > 0)
+    ).where(F.col("the_geom").isNotNull())
+    circles = intersections.select(
+        F.col("cartodb_id").alias("__i_id"),
+        F.col("the_geom.center").alias("center"),
+        F.col("the_geom.radius_m").alias("radius_m"),
+    )
+    joined = points_in_circles(filtered.select("the_geom"), circles, how="inner")
+    return joined.select(F.col("g.__i_id").alias("cartodb_id"))
+
+
+def rebuild_rollup(
+    spark: SparkSession,
+    table_path: str,
+    rollup_path: str,
+    intersections: DataFrame,
+) -> None:
+    """Periodic full recompute of the rollup (the reference's nightly
+    MV rebuild): repairs drift from membership-changing UPDATES that
+    the insert-only incremental path cannot see."""
+    tx = TxTable(table_path, partition_by=["__ym"])
+    counts = intersection_crash_counts(
+        tx.read(spark), intersections, months_window=None
+    ).localCheckpoint()
+    mv = TxTable(rollup_path)
+    if mv.exists():
+        # full-state replace: merge on the key set union
+        mv.merge(counts, "cartodb_id")
+        stale = mv.read(spark).join(
+            counts.select("cartodb_id"), "cartodb_id", "left_anti"
+        )
+        if stale.limit(1).count():
+            mv.delete(stale.select("cartodb_id"), "cartodb_id")
+    else:
+        mv.init(counts)
