@@ -2992,6 +2992,38 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_incremental(new, index, num_perm=64, threshold=0.5)
 
 
+@register(
+    "dedup_exact_substring",
+    """
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+    w AS (
+      SELECT doc_id, md5(substr(tx, CAST(u.i AS INT), 40)) AS wh
+      FROM t CROSS JOIN LATERAL unnest(range(1, len(tx) - 38)) AS u(i)
+      WHERE len(tx) >= 40
+    ),
+    wd AS (SELECT DISTINCT doc_id, wh FROM w),
+    rare AS (SELECT wh FROM wd GROUP BY wh HAVING count(*) <= 1024),
+    c AS (SELECT wd.doc_id, wd.wh FROM wd JOIN rare USING (wh))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM c a JOIN c b ON a.wh = b.wh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level exact-substring overlap pairs (40-char windows,
+    posting cap 1024): the relational suffix-array-style dedup for
+    verbatim copies / long quoted runs (operators/dedup_text.py
+    ``exact_substring_pairs``).  The oracle replays window extraction,
+    the cap, and the pair counts char-for-char via the md5 family."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        exact_substring_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_pairs(d, k=40, max_posting=1024)
+
+
 def _stream_vs_batch_sql() -> str:
     """Oracle for the streamed two-batch near-dedup: replay the exact
     drop rules of ``streaming.dedup.near_dedup_stream`` over the full

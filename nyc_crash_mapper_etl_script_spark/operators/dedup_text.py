@@ -768,3 +768,64 @@ def minhash_dedup_incremental(
         pairs.where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    max_posting: int = 1024,
+) -> DataFrame:
+    """Char-level EXACT-substring overlap pairs: documents sharing at
+    least one identical k-character window, with the count of shared
+    distinct windows -- the relational form of the suffix-array
+    "exact substring" dedup used by LLM training pipelines (detecting
+    verbatim copies and long quoted runs that word-shingle jaccard
+    underweights).
+
+    Spark shape: every doc explodes to its distinct k-char window
+    hashes (md5 of the raw window -- equal hash == equal substring,
+    and the md5 family keeps the oracle replayable char-for-char),
+    one equi-join on the hash builds pairs, one aggregate counts
+    shared windows per pair.  Cost is O(total chars) exploded rows --
+    the same asymptotic bill a distributed suffix array pays -- and
+    the join streams/spills per hash bucket; at 100 TB windows would
+    be winnowed (per-window-range min-hash) to cut the constant,
+    which changes recall only for runs shorter than the winnow
+    window.
+
+    ``max_posting`` caps degenerate windows (a boilerplate banner
+    shared by half the corpus would make one posting list quadratic):
+    windows more common than the cap are dropped from candidate
+    generation, exactly like ``ngram_jaccard_pairs``' cap.  A pair
+    sharing ONLY capped windows is missed; long verbatim copies share
+    many windows, so rare windows carry them.
+
+    Output: (id_a, id_b, n_shared) -- id_a < id_b, n_shared = count
+    of distinct shared k-windows below the cap.
+    """
+    d = _ensure_parallelism(docs)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    idx = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    windows = d.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.md5(F.substring(t, i, k))))
+        ).alias("wh"),
+    )
+    rare = (
+        windows.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_posting)
+        .select("wh")
+    )
+    capped = windows.join(rare, "wh", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a.wh") == F.col("b.wh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

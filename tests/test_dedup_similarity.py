@@ -679,3 +679,38 @@ def test_extract_features_codec_auto_falls_back_deterministically(spark, docs):
         assert auto == stub  # no backend -> identical stub features
     else:
         assert set(auto) == set(stub)  # real decode may differ, same rows
+
+
+def test_exact_substring_pairs_hand_built(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        exact_substring_pairs,
+    )
+
+    run = "X" * 20 + "abcdefghijklmnopqrstuvwxyz0123456789ABCD" + "Y" * 20
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + run + " tail one"),
+            (2, "another document carrying " + run + " elsewhere"),
+            (3, "totally different text with no shared windows at all"
+                " but comfortably longer than forty characters"),
+            (4, "short"),                      # < k chars -> no windows
+            (5, None),                         # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in exact_substring_pairs(docs, k=40).collect()}
+    # only the pair sharing the verbatim run; the shared region is
+    # " " + run + " " (both docs flank the 80-char run with spaces) =
+    # 82 chars -> 82 - 40 + 1 = 43 shared windows
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == 43
+
+    # posting cap: a window shared by ALL docs is dropped from
+    # candidate generation -> no pairs survive a cap of 2
+    many = spark.createDataFrame(
+        [(i, "Z" * 60) for i in range(5)], "doc_id long, text string"
+    )
+    assert exact_substring_pairs(many, k=40, max_posting=2).count() == 0
+    # ...and kept when the cap allows it: all C(5,2) pairs
+    assert exact_substring_pairs(many, k=40, max_posting=10).count() == 10
