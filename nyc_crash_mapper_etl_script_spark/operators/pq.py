@@ -222,8 +222,13 @@ def pq_topk(
     all codegen, reading m bytes per vector instead of 4d.  Stage 2
     joins the ``k * overscan`` survivors back to the float vectors for
     exact cosine.  Both rankings use round-6 + vec_id tie-breaks."""
+    from nyc_crash_mapper_etl_script_spark.functions.partitioning import (
+        ensure_parallelism,
+    )
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    corpus = ensure_parallelism(corpus)  # single-file corpora: spread the scan
     codes = pq_encode(corpus, codebooks, id_col, vec_col, impl=impl)
 
     qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))

@@ -23,6 +23,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nyc_crash_mapper_etl_script_spark.functions.partitioning import (
+    ensure_parallelism,
+)
 from nyc_crash_mapper_etl_script_spark.functions.vectors import cosine, dot
 
 
@@ -38,6 +41,7 @@ def brute_force_topk(
     """Exact cosine top-k per query.  Queries are broadcast (query
     sets are small); ranking is a per-query window over scored rows.
     """
+    corpus = ensure_parallelism(corpus)  # single-file corpora: spread the scan
     scored = corpus.alias("c").join(F.broadcast(queries.alias("q"))).select(
         F.col(f"q.{query_id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("vec_id"),
@@ -114,7 +118,9 @@ def lsh_topk(
     reserve(corpus, "__bucket")
     reserve(queries, "__bucket")
     planes = _hyperplanes(dim, num_planes, seed)
-    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    c = ensure_parallelism(corpus).withColumn(
+        "__bucket", lsh_bucket(F.col(vec_col), planes)
+    )
     q = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), planes))
     if probe_hamming >= 1:
         probe_list = F.array(
@@ -165,7 +171,7 @@ def embedding_near_duplicates(
     collecting the bucket into an array, so task memory is bounded
     even when the candidate count is quadratic."""
     planes = _hyperplanes(dim, num_planes, seed)
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -447,7 +453,9 @@ def ivf_topk(
     rows = _centroid_rows(
         corpus, n_cells, id_col, vec_col, hash_fn=hash_fn, centroid_impl=centroid_impl
     )
-    assigned = _assign_from_rows(corpus, rows, id_col, vec_col, impl=assign_impl)
+    assigned = _assign_from_rows(
+        ensure_parallelism(corpus), rows, id_col, vec_col, impl=assign_impl
+    )
     probes = _probe_cells_from_rows(
         queries, rows, n_probe, query_id_col, query_vec_col
     )
@@ -650,7 +658,7 @@ def quantized_topk(
     float vectors for exact cosine and the final top-k.  Ranking at
     both stages compares round-6 values with id tie-breaks, so the
     pipeline is deterministic and oracle-replayable."""
-    cq = quantize_embeddings(corpus, id_col, vec_col)
+    cq = quantize_embeddings(ensure_parallelism(corpus), id_col, vec_col)
     qq = quantize_embeddings(
         queries, query_id_col, query_vec_col
     ).withColumnRenamed(query_id_col, "query_id")
