@@ -48,6 +48,8 @@ HEADLINE = [
     "pack_sequences",
     "dedup_minhash_incremental",
     "pipeline_training_mix",
+    "dedup_exact_substring",
+    "bloom_semi_join_exact",
 ]
 
 
