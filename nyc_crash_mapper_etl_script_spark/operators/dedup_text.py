@@ -665,13 +665,16 @@ def ngram_jaccard_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    rare = (
-        tok.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") <= max_posting)
-        .select("sh")
+    # posting cap as count-over-window on the SAME sh partitioning
+    # the candidate self-join hashes on: one exchange, reused by both
+    # join sides (the census + semi-join form shuffled the token rows
+    # three times -- see exact_substring_pairs for the measured A/B)
+    from pyspark.sql.window import Window
+
+    wnd = Window.partitionBy("sh")
+    capped = tok.withColumn("__n", F.count(F.lit(1)).over(wnd)).where(
+        F.col("__n") <= max_posting
     )
-    capped = tok.join(rare, "sh", "left_semi")
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
