@@ -1522,6 +1522,84 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=5, num_planes=8, probe_hamming=1)
 
 
+def _lsh_recall_sql(k: int = 5, num_planes: int = 8) -> str:
+    """Twin of recall@k for the LSH probe vs the exact baseline: both
+    result sets replayed in full (same planes, same round-6 rankings),
+    then per-query overlap / k."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, num_planes, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.sim DESC, s.vec_id ASC) AS rank
+        FROM (
+          SELECT p.query_id, c.vec_id,
+                 round(list_dot_product(c.v, p.qv)
+                       / nullif(sqrt(list_dot_product(c.v, c.v))
+                                * sqrt(list_dot_product(p.qv, p.qv)), 0.0), 6)
+                   AS sim
+          FROM b c JOIN q p ON CAST(c.bucket AS BIGINT) = CAST(p.bucket AS BIGINT)
+        ) s
+      ) WHERE rank <= {k}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.sim DESC, s.vec_id ASC) AS rank
+        FROM (
+          SELECT p.query_id, c.vec_id,
+                 round(list_dot_product(c.v, p.qv)
+                       / nullif(sqrt(list_dot_product(c.v, c.v))
+                                * sqrt(list_dot_product(p.qv, p.qv)), 0.0), 6)
+                   AS sim
+          FROM e c CROSS JOIN q p
+        ) s
+      ) WHERE rank <= {k}
+    ),
+    hits AS (
+      SELECT a.query_id, count(*) AS n
+      FROM approx a JOIN exact x
+        ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+      GROUP BY a.query_id
+    )
+    SELECT qq.query_id, round(coalesce(h.n, 0) / {k}.0, 4) AS recall
+    FROM (SELECT DISTINCT query_id FROM q) qq
+    LEFT JOIN hits h ON qq.query_id = h.query_id
+    """
+
+
+@register("sim_lsh_recall", _lsh_recall_sql())
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH probe vs the exact brute-force
+    baseline (operators/similarity.py ``ann_recall``) -- the
+    acceptance metric for every approximate index in the module,
+    itself deterministic and oracle-replayed end to end."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    approx = lsh_topk(e, q, dim=64, k=5, num_planes=8)
+    exact = brute_force_topk(e, q, k=5)
+    return ann_recall(approx, exact, k=5)
+
+
 def _quantized_topk_sql(k: int = 5, overscan: int = 4) -> str:
     """Twin of the int8-quantize -> candidate -> exact-refine ANN:
     round() is half-away-from-zero in both engines, quantized dot

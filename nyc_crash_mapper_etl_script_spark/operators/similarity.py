@@ -761,3 +761,35 @@ def ivf_probe(
     cells = [r["cell_id"] for r in probes.select("cell_id").distinct().collect()]
     assigned = spark.read.parquet(path).where(F.col("cell_id").isin(cells))
     return _score_probed(assigned, probes, k, id_col, vec_col)
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact
+    baseline: per query, |approx ∩ exact| / k over (query_id, vec_id)
+    result sets.  The standard acceptance metric for every
+    bucketed/quantized variant in this module -- run it on a sampled
+    query batch before trusting a recall-sensitive pipeline to an
+    approximate index.  Queries with zero overlap surface as 0.0, not
+    as missing rows."""
+    hits = approx.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n")),
+            "query_id",
+            "left",
+        )
+    )
+    return per_q.select(
+        "query_id",
+        F.round(F.coalesce(F.col("__n"), F.lit(0)) / F.lit(float(k)), 4).alias(
+            "recall"
+        ),
+    )
