@@ -2129,6 +2129,116 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sessionize_stream_vs_batch",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts)
+                          - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+                          > 3600000000
+                  THEN 1 ELSE 0 END AS opens
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equivalence #2: the events table driven through
+    the REAL ``applyInPandasWithState`` gap-sessionizer
+    (streaming/sessions.py) as a bounded file stream, with two
+    far-future sentinel batches advancing the event-time watermark so
+    every open session times out and drains.  The oracle is the BATCH
+    sessionization SQL (lag + running-sum + per-session aggregate)
+    minus the ordinal -- a green row pins custom-stateful-streaming
+    output == batch window output == SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast is the identity wall-clock mapping on both engines
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    base = tempfile.mkdtemp(prefix="sess_stream_")
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "sessions")
+    sentinel_key = 1 << 40
+    try:
+        ev.coalesce(1).write.parquet(feed)
+        import glob
+
+        for f in glob.glob(os.path.join(feed, "part-*")):
+            os.utime(f, (1_000_000_000, 1_000_000_000))
+        for i, (mt, ts) in enumerate(
+            [(1_000_000_200, "2100-01-01"), (1_000_000_400, "2100-02-01")]
+        ):
+            s = spark.createDataFrame(
+                [(sentinel_key + i, ts, 0.0)], "user_id long, ts string, value double"
+            ).select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+            )
+            before = set(glob.glob(os.path.join(feed, "part-*")))
+            s.coalesce(1).write.mode("append").parquet(feed)
+            for f in set(glob.glob(os.path.join(feed, "part-*"))) - before:
+                os.utime(f, (mt, mt))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        sess = sessionize_stream(
+            stream, "user_id", "ts", gap_seconds=3600, value_col="value",
+            watermark_delay="10 minutes",
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = (
+            spark.read.parquet(out)
+            .where(F.col("key") < sentinel_key)
+            .select(
+                F.col("key").alias("user_id"),
+                "session_start",
+                "session_end",
+                "n_events",
+                F.round("total_value", 2).alias("total_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    ))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-prep surface: stratified sampling, vocabulary, e2e pipeline
 # ---------------------------------------------------------------------------
