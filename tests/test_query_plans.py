@@ -23,6 +23,9 @@ NLJ_OK = {
     "sim_bruteforce_topk",        # broadcast query set x corpus: the
                                   # exact-ANN baseline is a cross join
                                   # by definition (scale path: sim_lsh)
+    "sim_lsh_recall",             # recall@k composes the brute-force
+                                  # baseline (the exact side of the
+                                  # comparison) -> inherits its NLJ
     "sim_ivf_topk",               # centroid assignment is corpus x
                                   # broadcast(n_cells) by definition;
                                   # the probe itself is an equi join
