@@ -282,7 +282,16 @@ class TxTable:
                         [], StructType.fromJson(_json.loads(e["schema"]))
                     )
             raise FileNotFoundError(f"empty tx table at {self.root}")
-        return spark.read.option("basePath", self.root).parquet(*files)
+        reader = spark.read.option("basePath", self.root)
+        # read through the LOGGED schema (as of the requested version):
+        # after add-column evolution the live files legitimately carry
+        # mixed schemas, and an explicit schema makes older files
+        # surface NULL for later columns instead of sampling one file's
+        # footer and dropping the rest
+        logged = self.logged_schema(version)
+        if logged is not None:
+            reader = reader.schema(logged)
+        return reader.parquet(*files)
 
     def history(self) -> list[dict]:
         """Commit audit trail, newest first: version, operation, and
@@ -301,6 +310,50 @@ class TxTable:
             }
             for e in reversed(self._entries())
         ]
+
+    def changes(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Row-level changes between two committed versions (Delta
+        Change-Data-Feed analog): the table's rows as of ``v_to``
+        minus as-of ``v_from`` tagged ``insert``, the reverse tagged
+        ``delete``; an updated row appears as one delete + one insert.
+        Requires ``retain_history=True`` so ``v_from``'s superseded
+        files are still readable.
+
+        Scale shape: rows in files UNTOUCHED between the versions
+        cancel identically, so both diff sides scan only the files
+        that were added or removed in (v_from, v_to] -- cost is
+        O(changed partitions), never O(table).  The residual
+        ``exceptAll`` is an exact multiset diff (duplicate rows
+        handled), one shuffle over the changed subset."""
+        from pyspark.sql import functions as F
+
+        self._recover()
+        v_to = v_to if v_to is not None else self._snapshot_version()
+        before = set(self._live_files(version=v_from))
+        after = set(self._live_files(version=v_to))
+        schema = self.logged_schema(v_to)
+
+        def _read(rels: set[str]) -> DataFrame:
+            if not rels:
+                if schema is None:
+                    raise FileNotFoundError("no logged schema for empty diff side")
+                return spark.createDataFrame([], schema)
+            reader = spark.read.option("basePath", self.root)
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*[self._resolve(f) for f in sorted(rels)])
+
+        added = _read(after - before)
+        removed = _read(before - after)
+        inserts = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
 
     def vacuum(self) -> int:
         """Drop archived history (time travel gone; current version
@@ -416,15 +469,63 @@ class TxTable:
             ) from exc
         raise exc
 
+    def logged_schema(self, version: int | None = None):
+        """Latest schema recorded in the commit log (as of
+        ``version``), or None for a pre-schema-logging table."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        entries = self._entries()
+        if version is not None:
+            entries = [e for e in entries if e["version"] <= version]
+        for e in reversed(entries):
+            if "schema" in e:
+                return StructType.fromJson(_json.loads(e["schema"]))
+        return None
+
+    def _evolve(self, df: DataFrame) -> DataFrame:
+        """ADD-COLUMN schema evolution (Delta mergeSchema's safe
+        subset): align ``df`` to stored-columns-then-new-columns
+        order, NULL-filling stored columns the batch lacks.  Type
+        CHANGES are rejected loudly -- silent cross-version casts are
+        how a table format corrupts data."""
+        from pyspark.sql import functions as F
+
+        stored = self.logged_schema()
+        if stored is None:
+            return df
+        by_name = {f.name: f for f in df.schema.fields}
+        cols = []
+        for f in stored.fields:
+            g = by_name.pop(f.name, None)
+            if g is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif g.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r} from "
+                    f"{f.dataType.simpleString()} to {g.dataType.simpleString()}"
+                )
+            else:
+                cols.append(F.col(f.name))
+        cols += [F.col(n) for n in by_name]  # new columns appended
+        return df.select(*cols)
+
     def init(self, df: DataFrame) -> int:
         """Create the table from df (version 1)."""
         _, mapping = self._stage(df)
         return self._commit(mapping, [], "init")
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
         """Blind append (S7 chunked-INSERT analog): new files only,
-        nothing rewritten, nothing removed."""
+        nothing rewritten, nothing removed.  ``evolve_schema=True``
+        allows the batch to ADD columns (older rows read back NULL for
+        them) and to omit stored columns (NULL-filled); the logged
+        schema advances with the commit and reads use it, so mixed
+        file schemas stay readable."""
         self._recover()
+        if evolve_schema:
+            df = self._evolve(df)
         _, mapping = self._stage(df)
         return self._commit(mapping, [], "append")
 
@@ -437,21 +538,26 @@ class TxTable:
             ]
         )
 
-    def merge(self, source: DataFrame, key: str) -> int:
+    def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
         """Delta-style MERGE: matched rows are replaced by the source
         row, unmatched source rows are inserted.  Only the partitions
         present in the source are rewritten; every other partition's
-        files carry over untouched."""
+        files carry over untouched.  ``evolve_schema=True`` allows
+        add-column evolution exactly as in :meth:`append`."""
         self._recover()
         base_version = self._snapshot_version()
         spark = source.sparkSession
+        if evolve_schema:
+            source = self._evolve(source)
         try:
-            mapping, removes = self._merge_staged(source, key, spark)
+            mapping, removes = self._merge_staged(
+                source, key, spark, allow_missing=evolve_schema
+            )
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
         return self._commit(mapping, removes, "merge", base_version=base_version)
 
-    def _merge_staged(self, source, key, spark):
+    def _merge_staged(self, source, key, spark, allow_missing: bool = False):
         current = self.read(spark)
         src_keys = source.select(key).where(source[key].isNotNull()).distinct()
         if self.partition_by:
@@ -486,7 +592,9 @@ class TxTable:
         else:
             removes = list(self._live_files())
             base = current
-        merged = base.join(src_keys, on=key, how="left_anti").unionByName(source)
+        merged = base.join(src_keys, on=key, how="left_anti").unionByName(
+            source, allowMissingColumns=allow_missing
+        )
         # pin the merged rows before any file mutation: the plan reads
         # the very files the finalize step will delete
         merged = merged.localCheckpoint()

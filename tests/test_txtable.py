@@ -330,3 +330,77 @@ def test_cross_instance_conflict_surfaces_deterministically(spark, tmp_path):
         t1._commit(mapping, removes, "merge", base_version=base)
     rows = {r["k"]: r["v"] for r in t2.read(spark).collect()}
     assert rows == {1: "a", 2: "c"}  # loser's staged merge never landed
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: appends may carry new columns (older
+    rows read NULL) or omit stored ones (NULL-filled); type changes
+    are rejected loudly; merge evolves the same way."""
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    # new column arrives
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"),
+        evolve_schema=True,
+    )
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    # later batch missing BOTH v and score -> NULL-filled
+    t.append(spark.createDataFrame([(3,)], "k long"), evolve_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert rows[3] == (None, None)
+
+    # merge with evolution: update 1, add yet another column
+    t.merge(
+        spark.createDataFrame(
+            [(1, "A", True)], "k long, v string, flagged boolean"
+        ),
+        "k",
+        evolve_schema=True,
+    )
+    got = {r["k"]: r for r in t.read(spark).collect()}
+    assert got[1]["v"] == "A" and got[1]["flagged"] is True
+    assert got[2]["flagged"] is None and got[2]["score"] == 9.5
+
+    # type change rejected
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.append(
+            spark.createDataFrame([(4, 5)], "k long, v long"), evolve_schema=True
+        )
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """CDC read: insert/delete rows between two versions; updated
+    rows appear as delete+insert; untouched partitions never scan."""
+    root = str(tmp_path / "t")
+    t = TxTable(root, partition_by=["p"], retain_history=True)
+    v1 = t.init(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "k long, v string, p string"
+        )
+    )
+    v2 = t.append(spark.createDataFrame([(4, "d", "y")], "k long, v string, p string"))
+    v3 = t.merge(
+        spark.createDataFrame([(2, "B", "x")], "k long, v string, p string"), "k"
+    )
+
+    def diff(a, b):
+        return sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in t.changes(spark, a, b).collect()
+        )
+
+    assert diff(v1, v2) == [(4, "d", "insert")]
+    # update: one delete + one insert for key 2; key 1 (same partition,
+    # rewritten file) cancels in the multiset diff
+    assert diff(v2, v3) == [(2, "B", "insert"), (2, "b", "delete")]
+    assert diff(v1, v3) == [
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (4, "d", "insert"),
+    ]
+    # full-range diff equals current state vs v1 read
+    assert diff(v1, None) == diff(v1, v3)
