@@ -3212,6 +3212,50 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_pairs(d, k=40, max_posting=1024)
 
 
+@register(
+    "txtable_changes_cdc",
+    """
+    WITH base AS (SELECT doc_id, source, n_chars FROM documents)
+    SELECT doc_id, source, n_chars, 'insert' AS _change_type
+    FROM base WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, source, n_chars + 1000, 'insert' FROM base WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, source, n_chars, 'delete' FROM base WHERE doc_id % 4 = 0
+    """,
+)
+def txtable_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-diff CDC driven END TO END on a real TxTable: init v1
+    with the even documents, MERGE a batch that updates every
+    doc_id%4==0 row (n_chars + 1000) and inserts every %4==1 row,
+    then read ``changes(v1, v2)``.  The oracle states the expected
+    row-level feed directly: updates as delete+insert, inserts alone,
+    untouched rows (%4==2) absent -- pinning the multiset-diff CDC
+    semantics (sources/txtable.py ``changes``)."""
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    base = tempfile.mkdtemp(prefix="txcdc_")
+    try:
+        t = TxTable(base + "/t", retain_history=True)
+        v1 = t.init(d.where(F.col("doc_id") % 2 == 0))
+        src = d.where(F.col("doc_id") % 4 == 0).withColumn(
+            "n_chars", (F.col("n_chars") + 1000).cast("int")
+        ).unionByName(d.where(F.col("doc_id") % 4 == 1))
+        v2 = t.merge(src, "doc_id")
+        rows = t.changes(spark, v1, v2).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int, _change_type string"
+    )
+
+
 def _stream_vs_batch_sql() -> str:
     """Oracle for the streamed two-batch near-dedup: replay the exact
     drop rules of ``streaming.dedup.near_dedup_stream`` over the full

@@ -601,23 +601,53 @@ class TxTable:
         _, mapping = self._stage(merged)
         return mapping, removes
 
-    def compact(self, spark: SparkSession, target_mb: int = 128) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_mb: int = 128,
+        zorder_by: tuple[str, str] | None = None,
+        zorder_bits: int = 16,
+        n_files: int | None = None,
+    ) -> int:
         """Transactional OPTIMIZE: rewrite the table's storage into
         ~target_mb files, contents unchanged (the VACUUM FULL analog,
         main.py:1105-1107 -- but as one atomic commit, readable
         throughout, instead of the delete-then-rename window of a
         directory swap).  Incremental merges bloat tables with many
-        small appended files; this is the periodic repair."""
+        small appended files; this is the periodic repair.
+
+        ``zorder_by=(x_col, y_col)`` is OPTIMIZE ZORDER: the rewrite
+        range-partitions on the Morton z-value of the two columns and
+        sorts within partitions, so parquet footer min/max prune scans
+        on EITHER column afterwards (operators/zorder.py; the same
+        layout Delta/Iceberg build for multi-dimension data skipping).
+        Rows and schema are unchanged -- the scratch z column is
+        dropped before staging."""
         self._recover()
         base_version = self._snapshot_version()
         try:
             removes = list(self._live_files())
             current = self.read(spark)
-            total_bytes = sum(
-                os.path.getsize(os.path.join(self.root, f)) for f in removes
-            )
-            n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
-            compacted = current.repartition(n_files).localCheckpoint()
+            if n_files is None:
+                total_bytes = sum(
+                    os.path.getsize(os.path.join(self.root, f)) for f in removes
+                )
+                n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+            if zorder_by is not None:
+                from nyc_crash_mapper_etl_script_spark.operators.zorder import (
+                    zorder_value,
+                )
+
+                x_col, y_col = zorder_by
+                compacted = (
+                    zorder_value(current, x_col, y_col, zorder_bits)
+                    .repartitionByRange(n_files, "zv")
+                    .sortWithinPartitions("zv")
+                    .drop("zv")
+                    .localCheckpoint()
+                )
+            else:
+                compacted = current.repartition(n_files).localCheckpoint()
             _, mapping = self._stage(compacted)
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)

@@ -404,3 +404,46 @@ def test_changes_between_versions(spark, tmp_path):
     ]
     # full-range diff equals current state vs v1 read
     assert diff(v1, None) == diff(v1, v3)
+
+
+def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: compact(zorder_by=(x, y)) rewrites the table
+    Morton-clustered so per-file min/max boxes bound BOTH dimensions;
+    rows, schema, and transactional semantics unchanged."""
+    root = str(tmp_path / "z")
+    t = TxTable(root)
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10.0).alias("y"),
+    )
+    t.init(df)
+    before = {r["k"] for r in t.read(spark).select("k").collect()}
+
+    t.compact(spark, zorder_by=("x", "y"), zorder_bits=8, n_files=8)
+
+    got = t.read(spark)
+    assert {r["k"] for r in got.select("k").collect()} == before
+    assert got.columns == ["k", "x", "y"]  # scratch z column dropped
+
+    files = [os.path.join(t.root, f) for f in t._live_files()]
+    assert len(files) > 3  # enough files for pruning to mean something
+    boxes = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        )
+        .collect()
+    )
+    # a narrow band on EITHER axis must skip a meaningful share of
+    # files -- impossible for a single-axis sort (y boxes would all
+    # span the full range)
+    def touched(lo, hi, a, b):
+        return sum(1 for r in boxes if r[b] >= lo and r[a] <= hi)
+
+    nf = len(boxes)
+    assert touched(10.0, 30.0, "x0", "x1") < nf
+    assert touched(10.0, 30.0, "y0", "y1") < nf
