@@ -3213,6 +3213,46 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_signed_refresh",
+    """
+    WITH state AS (
+      SELECT user_id, value FROM events
+      WHERE (event_id % 4 <> 3 AND event_id % 8 <> 0) OR event_id % 4 = 3
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM state GROUP BY user_id
+    """,
+)
+def mv_signed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-delta (retraction-capable) MV maintenance: init the
+    grouped view from a base multiset, then apply one batch of
+    deletes (event_id%8==0) and inserts (event_id%4==3) through
+    ``refresh_signed_mv`` -- the oracle recomputes the view from the
+    final multiset directly, pinning incremental == rebuild for an
+    insert+delete workload (operators/mv.py)."""
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_signed_mv,
+        signed_mv_init,
+        signed_mv_view,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    base = ev.where(F.col("event_id") % 4 != 3)
+    mv = signed_mv_init(base, ["user_id"], sum_cols={"sum_value": "value"})
+    refreshed = refresh_signed_mv(
+        mv,
+        inserts=ev.where(F.col("event_id") % 4 == 3),
+        deletes=ev.where(F.col("event_id") % 8 == 0),
+        group_cols=["user_id"],
+        sum_cols={"sum_value": "value"},
+    )
+    return signed_mv_view(
+        refreshed, ["user_id"], sum_cols={"sum_value": "value"}
+    ).select("user_id", "n", F.round("sum_value", 2).alias("sum_value"))
+
+
+@register(
     "txtable_changes_cdc",
     """
     WITH base AS (SELECT doc_id, source, n_chars FROM documents)

@@ -75,3 +75,106 @@ def refresh_additive_mv(
             for c in metric_cols
         ],
     )
+
+
+def refresh_signed_mv(
+    mv: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    group_cols: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Signed-delta MV maintenance: the retraction generalization of
+    :func:`refresh_additive_mv`.  ``inserts``/``deletes`` are raw fact
+    rows (e.g. a table format's change feed -- ``TxTable.changes``
+    splits exactly this way); inserts contribute +1/+x, deletes -1/-x,
+    and a group whose count reaches zero disappears, so ANY
+    insert/update/delete workload maintains the view incrementally --
+    O(changed rows), never O(table).
+
+    Exact NULL-sum parity with a full rebuild needs one extra piece of
+    state per sum column: the count of NON-NULL contributions
+    (``__nn_<col>``), because "sum is 0" and "sum over zero non-NULL
+    inputs" are indistinguishable from the running sum alone.  The MV
+    therefore carries those bookkeeping columns; project them away (or
+    build the public view) with :func:`signed_mv_view`.  Initialize
+    with ``signed_mv_init``.
+    """
+    sum_cols = sum_cols or {}
+
+    def tagged(df: DataFrame, sgn: int) -> DataFrame:
+        return df.select(
+            *group_cols,
+            F.lit(sgn).cast("long").alias("__sgn"),
+            *[F.col(src).alias(f"__v_{dst}") for dst, src in sum_cols.items()],
+        )
+
+    delta = tagged(inserts, 1).unionByName(tagged(deletes, -1))
+    aggs = [F.sum("__sgn").alias(count_col)]
+    for dst in sum_cols:
+        v = F.col(f"__v_{dst}")
+        aggs.append(F.sum(F.col("__sgn") * F.coalesce(v, F.lit(0))).alias(dst))
+        aggs.append(
+            F.sum(F.when(v.isNotNull(), F.col("__sgn")).otherwise(F.lit(0))).alias(
+                f"__nn_{dst}"
+            )
+        )
+    delta_agg = delta.groupBy(*group_cols).agg(*aggs)
+
+    m, d = mv.alias("m"), delta_agg.alias("d")
+    cond = None
+    for c in group_cols:
+        term = F.col(f"m.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = term if cond is None else (cond & term)
+    merged = m.join(d, on=cond, how="full_outer")
+
+    def both(c):
+        return (
+            F.coalesce(F.col(f"m.{c}"), F.lit(0)) + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        )
+
+    metric_cols = [count_col] + [x for dst in sum_cols for x in (dst, f"__nn_{dst}")]
+    out = merged.select(
+        *[F.coalesce(F.col(f"m.{c}"), F.col(f"d.{c}")).alias(c) for c in group_cols],
+        *[both(c).alias(c) for c in metric_cols],
+    )
+    return out.where(F.col(count_col) > 0)
+
+
+def signed_mv_init(
+    facts: DataFrame,
+    group_cols: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Build the augmented MV (counts + raw sums + non-NULL counts)
+    from a full fact scan -- the bootstrap for refresh_signed_mv."""
+    sum_cols = sum_cols or {}
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    for dst, src in sum_cols.items():
+        aggs.append(F.sum(F.coalesce(F.col(src), F.lit(0))).alias(dst))
+        aggs.append(
+            F.count(F.col(src)).alias(f"__nn_{dst}")  # count skips NULLs
+        )
+    return facts.groupBy(*group_cols).agg(*aggs)
+
+
+def signed_mv_view(
+    mv: DataFrame,
+    group_cols: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Public projection of the augmented MV: sums surface NULL when
+    the group holds zero non-NULL inputs (exactly what a fresh
+    groupBy produces), bookkeeping columns dropped."""
+    sum_cols = sum_cols or {}
+    return mv.select(
+        *group_cols,
+        F.col(count_col),
+        *[
+            F.when(F.col(f"__nn_{dst}") > 0, F.col(dst)).alias(dst)
+            for dst in sum_cols
+        ],
+    )

@@ -25,12 +25,14 @@ transactional logic):
    insert set's circle matches delta-refresh a grouped-count MV
    TxTable via ``refresh_additive_mv`` -- O(batch) against O(table).
 
-Honest caveat, documented not hidden: step 5 counts INSERTS only.  An
-update that flips a crash's injured/killed from 0 to >0 changes MV
-membership retroactively; the reference handles this by rebuilding
-the view nightly, and :func:`rebuild_rollup` provides the same
-periodic repair here (the signed-delta retraction generalization is
-the noted extension in operators/mv.py).
+Updates are handled EXACTLY, not approximately: step 4's tally merge
+also feeds the rollup a signed delta (retract the old rows' circle
+matches, insert the repaired rows' -- ``operators.mv.
+refresh_signed_mv``), so membership-changing updates (a crash whose
+injured count flips between 0 and >0) keep the view equal to a full
+recompute with O(updated rows) work.  :func:`rebuild_rollup` remains
+as the belt-and-braces periodic repair (the reference's own answer),
+no longer required for correctness.
 """
 
 from __future__ import annotations
@@ -148,9 +150,19 @@ def continuous_nightly(
                 if mismatches.limit(1).count():
                     to_fix = merged.join(
                         mismatches.select("socrata_id"), "socrata_id", "left_semi"
-                    )
-                    repaired = apply_tally_updates(to_fix, mismatches, "socrata_id")
-                    tx.merge(repaired.localCheckpoint(), "socrata_id")
+                    ).localCheckpoint()
+                    repaired = apply_tally_updates(
+                        to_fix, mismatches, "socrata_id"
+                    ).localCheckpoint()
+                    tx.merge(repaired, "socrata_id")
+                    # SIGNED rollup repair: the update is a retraction
+                    # of the old rows plus an insertion of the
+                    # repaired ones, so the rollup stays EXACT under
+                    # membership-changing updates too -- the
+                    # refresh_signed_mv generalization; no periodic
+                    # rebuild needed for correctness
+                    _signed_rollup_repair(s, rollup_path, to_fix, repaired,
+                                          intersections)
 
     writer = normalized.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -158,6 +170,43 @@ def continuous_nightly(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _signed_rollup_repair(
+    spark: SparkSession,
+    rollup_path: str,
+    old_rows: DataFrame,
+    new_rows_df: DataFrame,
+    intersections: DataFrame,
+) -> None:
+    """Adjust the rollup for an UPDATE: retract the old rows' circle
+    matches, insert the new rows' -- counts-only refresh_signed_mv,
+    O(updated rows).  Touched circles whose count reaches zero are
+    deleted from the rollup table."""
+    from pyspark.sql import functions as FF
+
+    from nyc_crash_mapper_etl_script_spark.operators.mv import refresh_signed_mv
+
+    mv = TxTable(rollup_path)
+    if not mv.exists():
+        return
+    dels = _circle_matches(old_rows, intersections).localCheckpoint()
+    ins = _circle_matches(new_rows_df, intersections).localCheckpoint()
+    if not dels.limit(1).count() and not ins.limit(1).count():
+        return
+    cur = mv.read(spark)
+    fused = refresh_signed_mv(
+        cur, ins, dels, ["cartodb_id"], count_col="howmany"
+    ).localCheckpoint()
+    mv.merge(fused, "cartodb_id")
+    touched = dels.unionByName(ins).select("cartodb_id").distinct()
+    gone = (
+        touched.join(fused.select("cartodb_id"), "cartodb_id", "left_anti")
+        .join(mv.read(spark).select("cartodb_id"), "cartodb_id", "left_semi")
+        .localCheckpoint()
+    )
+    if gone.limit(1).count():
+        mv.delete(gone.select(FF.col("cartodb_id")), "cartodb_id")
 
 
 def _circle_matches(crashes: DataFrame, intersections: DataFrame) -> DataFrame:

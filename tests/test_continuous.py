@@ -133,10 +133,22 @@ def test_continuous_nightly_two_batches(spark, tmp_path_factory):
     }
     assert counts2 == full
 
-    # periodic rebuild repairs membership-changing updates: flip 101
-    # to zero injuries via the update path, then rebuild
+    # membership-changing update: flip 101 to zero injuries via the
+    # update path -- the SIGNED rollup repair keeps the view exact
+    # incrementally, no rebuild needed
     _feed(feed, "b3.jsonl", [_row(101, lat="0.5", lng="0.5", ped_inj="0")])
     run()
-    rebuild_rollup(spark, table, rollup, intersections)
     counts3 = {r["cartodb_id"]: r["howmany"] for r in mv.read(spark).collect()}
     assert counts3 == {1: 1}                   # only 105 qualifies now
+    full3 = {
+        r["cartodb_id"]: r["howmany"]
+        for r in intersection_crash_counts(
+            tx.read(spark), intersections, months_window=None
+        ).collect()
+    }
+    assert counts3 == full3
+    # the periodic rebuild is now belt-and-braces: idempotent here
+    rebuild_rollup(spark, table, rollup, intersections)
+    assert {
+        r["cartodb_id"]: r["howmany"] for r in mv.read(spark).collect()
+    } == counts3

@@ -593,3 +593,47 @@ def test_scratch_collision_guard_raises(spark):
     )
     with pytest.raises(ValueError, match="__us"):
         rolling_time_agg(df, "k", "ts", 3600, {"n": F.count(F.lit(1))})
+
+
+def test_refresh_signed_mv_matches_rebuild_with_retractions(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_signed_mv,
+        signed_mv_init,
+        signed_mv_view,
+    )
+
+    full = spark.createDataFrame(
+        [
+            ("a", 1, 10), ("a", 2, None), ("b", 3, 30), ("b", 4, 40),
+            ("c", 5, None), ("d", 6, 60),
+        ],
+        "g string, i long, x long",
+    )
+    base = full.where(F.col("i") <= 4)
+    mv = signed_mv_init(base, ["g"], sum_cols={"sx": "x"})
+
+    # batch: delete b's rows entirely (group vanishes), delete a's
+    # non-NULL row (sum falls back to NULL -- only the NULL row
+    # remains), insert c (all-NULL sum) and d
+    deletes = full.where(F.col("i").isin(1, 3, 4))
+    inserts = full.where(F.col("i") >= 5)
+    refreshed = refresh_signed_mv(
+        mv, inserts, deletes, ["g"], sum_cols={"sx": "x"}
+    )
+    got = sorted(
+        (r["g"], r["n"], r["sx"])
+        for r in signed_mv_view(refreshed, ["g"], sum_cols={"sx": "x"}).collect()
+    )
+    want_state = base.exceptAll(deletes).unionByName(inserts)
+    want = sorted(
+        (r["g"], r["n"], r["sx"])
+        for r in want_state.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+        .collect()
+    )
+    assert got == want
+    gd = dict((g, (n, s)) for g, n, s in got)
+    assert "b" not in gd            # vanished group dropped
+    assert gd["a"] == (1, None)     # retraction exposes the NULL sum
+    assert gd["c"] == (1, None)     # all-NULL insert stays NULL
+    assert gd["d"] == (1, 60)
