@@ -1712,6 +1712,40 @@ def _ivf_topk_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
     """
 
 
+@register("sim_ivf_probe", _ivf_topk_sql())
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORAGE half of the IVF story, driver-checked end to end:
+    ``ivf_write`` materializes the index (corpus partitioned by
+    cell_id + stored centroids) into a temp dir, ``ivf_probe`` reads
+    it back with partition pruning (probed cells become an IN-filter
+    on the partition column -- strict file-subset reads pinned by
+    pytest).  Same quantizer configuration as ``sim_ivf_topk``, so
+    the SAME oracle replays the result -- a green row pins
+    write-then-probe == in-plan IVF == SQL."""
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_probe,
+        ivf_write,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    base = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        path = base + "/index"
+        ivf_write(e, path, n_cells=8, hash_fn="md5")
+        rows = ivf_probe(spark, path, q, k=5, n_probe=2).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, rank int, sim double"
+    )
+
+
 @register("sim_ivf_topk", _ivf_topk_sql())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: nearest-centroid cells probed via EQUI join
@@ -3210,6 +3244,60 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return exact_substring_pairs(d, k=40, max_posting=1024)
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on bucketed storage, driver-checked end to
+    end: both sides written bucketBy(8, key) external tables
+    (sources/bucketed.py), then sort-merge-joined and aggregated on
+    the bucket key -- a plan with ZERO Exchange (asserted in
+    tests/test_bucketing.py; here the ROWS are pinned against the
+    plain SQL join).  The paid-at-write shuffle contract for
+    fact-to-fact joins at 100 TB."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from nyc_crash_mapper_etl_script_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    tag = _uuid.uuid4().hex[:8]
+    tc, to = f"bk_cust_{tag}", f"bk_ord_{tag}"
+    try:
+        write_bucketed(c, tc, base + "/c", "c_custkey", n_buckets=8)
+        write_bucketed(o, to, base + "/o", "o_custkey", n_buckets=8)
+        bc, bo = read_table(spark, tc), read_table(spark, to)
+        joined = (
+            bc.hint("merge")
+            .join(bo, bc["c_custkey"] == bo["o_custkey"])
+            .groupBy("c_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        rows = joined.collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_custkey long, n_orders long, total double"
+    )
 
 
 @register(
