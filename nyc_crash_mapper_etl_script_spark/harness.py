@@ -3486,9 +3486,11 @@ def dedup_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(i,) for i in sorted(survivors)], "doc_id long")
 
 
+#: position i from chunk i of ONE md5 (Kirsch-Mitzenmacher sharing;
+#: matches operators/bloomjoin._md5_pos for i < 4)
 _BLOOM_POS_SQL = (
-    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST({key} AS VARCHAR)), "
-    "1, 8)) AS UBIGINT) % {n_bits}"
+    "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1 + 8 * i, 8)) "
+    "AS UBIGINT) % {n_bits}"
 )
 
 

@@ -32,13 +32,23 @@ from pyspark.sql import functions as F
 
 
 def _md5_pos(key: Column, i: int, n_bits: int) -> Column:
-    """Bloom position i for a key: DuckDB-replayable
-    ``('0x' || substr(md5(i || ':' || key), 1, 8))::UBIGINT % n_bits``."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    """Bloom position i for a key.  For i < 4 all positions come from
+    ONE md5: the 32 hex chars split into four 8-hex (32-bit) chunks --
+    the Kirsch-Mitzenmacher observation that k independent-enough
+    hashes can share one strong hash's bits, so the per-row cost is a
+    single digest regardless of k.  Beyond 4, salt-prefixed digests
+    (``md5(i ':' key)``) extend the family.  Both forms are
+    DuckDB-replayable char-for-char."""
+    if i < 4:
+        h = F.conv(
+            F.substring(F.md5(key.cast("string")), 1 + 8 * i, 8), 16, 10
+        ).cast("long")
+    else:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
     return F.pmod(h, F.lit(n_bits))
 
 
