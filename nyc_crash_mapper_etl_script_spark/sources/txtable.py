@@ -355,15 +355,39 @@ class TxTable:
         )
         return inserts.unionByName(deletes)
 
-    def vacuum(self) -> int:
-        """Drop archived history (time travel gone; current version
-        untouched).  Returns the number of files removed."""
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Drop archived history, with Delta-style RETENTION:
+        ``keep_versions=k`` preserves every file some version in the
+        trailing window [current-k, current] still references, so time
+        travel within the window keeps working (and concurrent readers
+        pinned to a recent snapshot don't lose their files);
+        ``keep_versions=0`` drops all history.  The current version is
+        never touched.  Returns the number of files removed."""
         adir = os.path.join(self.root, _ARCHIVE_DIR)
-        n = 0
-        if os.path.isdir(adir):
+        if not os.path.isdir(adir):
+            return 0
+        if keep_versions <= 0:
+            n = 0
             for dirpath, _, filenames in os.walk(adir):
                 n += len(filenames)
             shutil.rmtree(adir)
+            return n
+        current = self._snapshot_version()
+        needed: set[str] = set()
+        for v in range(max(1, current - keep_versions), current + 1):
+            needed.update(self._live_files(version=v))
+        n = 0
+        for dirpath, _, filenames in os.walk(adir, topdown=False):
+            for name in filenames:
+                p = os.path.join(dirpath, name)
+                rel = os.path.relpath(p, adir)
+                if rel not in needed:
+                    os.unlink(p)
+                    n += 1
+            try:
+                os.rmdir(dirpath)  # only succeeds when emptied
+            except OSError:
+                pass
         return n
 
     # -- write paths ------------------------------------------------------

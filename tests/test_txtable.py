@@ -447,3 +447,26 @@ def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
     nf = len(boxes)
     assert touched(10.0, 30.0, "x0", "x1") < nf
     assert touched(10.0, 30.0, "y0", "y1") < nf
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """vacuum(keep_versions=k) preserves time travel inside the
+    trailing window and reclaims everything older."""
+    t = TxTable(str(tmp_path / "t"), retain_history=True)
+    v1 = t.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+    v2 = t.merge(spark.createDataFrame([(1, "b")], "k long, v string"), "k")
+    v3 = t.merge(spark.createDataFrame([(1, "c")], "k long, v string"), "k")
+
+    # keep one version of history: v2 readable, v1 vacuumed away
+    n = t.vacuum(keep_versions=1)
+    assert n > 0
+    assert {r["v"] for r in t.read(spark, version=v2).collect()} == {"b"}
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=v1)
+    assert {r["v"] for r in t.read(spark).collect()} == {"c"}
+
+    # full vacuum drops the rest of history, current intact
+    t.vacuum()
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=v2)
+    assert {r["v"] for r in t.read(spark, version=v3).collect()} == {"c"}

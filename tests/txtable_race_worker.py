@@ -53,7 +53,7 @@ class BarrierTable(TxTable):
             mine = os.path.join(self._barrier_dir, f"snap_{self._wid}")
             with open(mine, "w"):
                 pass
-            deadline = time.time() + 60
+            deadline = time.time() + 300
             peer_flag = os.path.join(self._barrier_dir, f"snap_{self._peer}")
             while not os.path.exists(peer_flag) and time.time() < deadline:
                 time.sleep(0.05)
