@@ -3093,6 +3093,89 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "windowed_stream_vs_batch",
+    """
+    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w_start,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equivalence #3: the events table driven
+    through the REAL watermarked windowed aggregate
+    (streaming/windowed.py, tumbling 1-day windows per event_type,
+    append mode) as a bounded file stream; two far-future sentinel
+    batches advance the watermark so every real window closes and
+    emits.  The oracle is the batch tumbling-window GROUP BY -- a
+    green row pins streaming window state == batch == SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.streaming.windowed import (
+        windowed_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="win_stream_")
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "wins")
+    try:
+        ev.coalesce(1).write.parquet(feed)
+        for f in glob.glob(os.path.join(feed, "part-*")):
+            os.utime(f, (1_000_000_000, 1_000_000_000))
+        for mt, ts in [(1_000_000_200, "2100-01-01"), (1_000_000_400, "2100-02-01")]:
+            s = spark.createDataFrame(
+                [("__sentinel", ts, 0.0)], "event_type string, ts string, value double"
+            ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+            before = set(glob.glob(os.path.join(feed, "part-*")))
+            s.coalesce(1).write.mode("append").parquet(feed)
+            for f in set(glob.glob(os.path.join(feed, "part-*"))) - before:
+                os.utime(f, (mt, mt))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        wins = windowed_counts(
+            stream, "ts", "event_type", window="1 day",
+            watermark="10 minutes", value_col="value",
+        )
+        q = (
+            wins.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = (
+            spark.read.parquet(out)
+            .where(F.col("event_type") != "__sentinel")
+            .select(
+                F.unix_seconds(F.col("window_start").cast("timestamp")).alias(
+                    "w_start"
+                ),
+                "event_type",
+                "n",
+                "total",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "w_start long, event_type string, n long, total double"
+    )
+
+
+@register(
     "set_intersect_except",
     """
     WITH e AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
