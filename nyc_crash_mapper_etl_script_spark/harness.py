@@ -2253,6 +2253,7 @@ def sessionize_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+        q.stop()  # no-op after availableNow completion; kills a hung stream
         rows = (
             spark.read.parquet(out)
             .where(F.col("key") < sentinel_key)
@@ -3155,6 +3156,7 @@ def windowed_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+        q.stop()  # no-op after availableNow completion; kills a hung stream
         rows = (
             spark.read.parquet(out)
             .where(F.col("event_type") != "__sentinel")

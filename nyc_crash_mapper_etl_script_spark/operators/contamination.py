@@ -48,6 +48,7 @@ def contamination_check(
 
     # single-file corpora: spread the shingle explode across cores
     corpus = ensure_parallelism(corpus)
+    benchmark = ensure_parallelism(benchmark)
     doc_sh = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
