@@ -4101,3 +4101,102 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           n.n_name, c.c_mktsegment
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1995-07-01'
+          AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting; reference analog: the
+    backlog audit's "who regressed" ranking, check_backlog.py): a
+    quarter-windowed fact join where the selective predicate lives on
+    the FACT side (l_returnflag = 'R'), joined out to two dimensions,
+    grouped per customer, deterministic top-20.  The date range and
+    returnflag both reach the scans as pushed filters; nation
+    broadcasts; the top-20 is a TakeOrdered over the aggregate, never
+    a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "a11_rollup_grouping_sets",
+    """
+    SELECT grouping(r.r_name) AS lvl_region,
+           grouping(n.n_name) AS lvl_nation,
+           r.r_name, n.n_name,
+           count(*) AS n_cust,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a11_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP aggregate (region -> nation -> grand total)
+    with GROUPING indicators disambiguating "subtotal row" from "NULL
+    group value".  The reference's rollup monitor (main.py:986-1023)
+    recomputes each level with separate queries; ROLLUP computes the
+    whole lattice in ONE pass -- Spark's Expand operator replicates
+    each input row once per grouping set BEFORE the single hash
+    aggregate, so the lattice costs one shuffle regardless of depth.
+    At 100 TB the Expand multiplies map-side rows by n_levels, but
+    partial aggregation collapses them before the exchange."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"]).join(
+        r, n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("lvl_region"),
+            F.grouping("n_name").cast("int").alias("lvl_nation"),
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .select(
+            "lvl_region",
+            "lvl_nation",
+            "r_name",
+            "n_name",
+            "n_cust",
+            "total_bal",
+        )
+    )
