@@ -4200,3 +4200,98 @@ def a11_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bal",
         )
     )
+
+
+@register(
+    "q4_order_priority_semi",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; reference analog: the
+    "any crash rows attached?" existence probes in check_socrata.py):
+    a correlated EXISTS rewritten as a LEFT SEMI hash join -- the equi
+    conjunct (l_orderkey = o_orderkey) drives the hash probe and the
+    correlated inequality (l_shipdate > o_orderdate) rides along as a
+    residual join predicate, so no per-row subquery ever executes.
+    Semi-join stops at the first matching build row per probe key, so
+    at 100 TB the lineitem side never materializes duplicate matches;
+    the quarter window reaches the orders scan as a pushed filter."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li["l_orderkey"] == o["o_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 4) AS totalprice,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    HAVING sum(l.l_quantity) > 250
+    ORDER BY totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers; reference analog: the
+    backlog monitor's "which boards exceeded the threshold" ranking):
+    a HAVING-filtered aggregate subquery joined back to its
+    dimensions.  The lineitem aggregate runs ONCE (partial map-side
+    combine, one shuffle on l_orderkey); the >250 filter collapses it
+    to a tiny qualifying-order set that then drives broadcast-able
+    joins to orders and customer -- the fact table is never scanned a
+    second time, and the top-100 is a TakeOrdered, not a global
+    sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 250)
+        .select("l_orderkey", F.round(F.col("__sq"), 4).alias("sum_qty"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 4).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
