@@ -4295,3 +4295,114 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "dedup_editdistance",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+               AS prefix,
+             string_split(text, ' ')[1] AS tok1
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS dist
+    FROM p a JOIN p b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+    WHERE abs(length(a.prefix) - length(b.prefix)) <= 8
+          AND levenshtein(a.prefix, b.prefix) <= 8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) fuzzy dedup over a derived prefix
+    key, the classic fuzzy-match family the MinHash/SimHash/Jaccard
+    rows don't cover (reference analog: none -- north-star training-
+    data extension).  All-pairs Levenshtein is O(n^2 * L^2), so
+    candidate generation is BLOCKED: pairs must share their first
+    token (an equi hash join, never a nested loop) and pass a cheap
+    length-difference pre-filter (|len(a)-len(b)| <= d is a necessary
+    condition for edit distance <= d), and only survivors pay the
+    exact JVM-side ``levenshtein`` verify.  At 100 TB the block key
+    bounds each hash bucket like the LSH band join in
+    ``dedup_minhash_lsh``; a hot first-token block would be handled by
+    the same cap+reroute pattern (operators/dedup_text.py:220).
+    Blocking semantics are part of the contract and replayed exactly
+    by the oracle (a cross-block near-match is by-design unreported,
+    exactly as an out-of-band LSH pair is)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    p = d.select(
+        F.col("doc_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("prefix"),
+        F.element_at(toks, 1).alias("tok1"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    thr = F.lit(8)
+    return (
+        a.join(
+            b,
+            (F.col("a.tok1") == F.col("b.tok1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.length("a.prefix") - F.length("b.prefix")) <= thr
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias(
+                "dist"
+            ),
+        )
+        .where(F.col("dist") <= thr)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "a12_ntile_quartiles",
+    """
+    SELECT c_mktsegment, quartile,
+           count(*) AS n_cust,
+           round(sum(c_acctbal), 4) AS seg_bal
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    GROUP BY c_mktsegment, quartile
+    """,
+)
+def a12_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning via NTILE window + per-bin rollup (reference
+    analog: the backlog report's quartile banding done in pandas,
+    check_backlog.py).  NTILE assignment depends on total row order,
+    so the ORDER BY carries a unique tiebreak (c_custkey) -- without
+    it two engines may legally assign tied balances to different
+    quartiles.  The window partitions by segment, so at 100 TB this
+    is one shuffle on c_mktsegment with per-partition sort; a
+    low-cardinality segment key concentrating rows would call for the
+    two-pass approx-quantile cut in ``a8_group_percentiles``
+    instead."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("seg_bal"),
+        )
+    )
