@@ -4406,3 +4406,38 @@ def a12_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("seg_bal"),
         )
     )
+
+
+@register(
+    "w4_unpivot_measures",
+    """
+    SELECT l_returnflag, measure,
+           round(sum(val), 4) AS total,
+           count(*) AS n_rows
+    FROM (FROM lineitem
+          UNPIVOT (val FOR measure IN
+                   (l_quantity, l_extendedprice, l_discount, l_tax)))
+    GROUP BY l_returnflag, measure
+    """,
+)
+def w4_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt), the inverse of the
+    ``w1``/``w2`` pivot rows (reference analog: the rollup monitor
+    flattens its per-measure columns into report rows by hand,
+    main.py:986-1023).  ``DataFrame.unpivot`` is a zero-shuffle
+    Expand: each input row is replicated once per measure column
+    BEFORE the aggregate, and map-side partial aggregation collapses
+    the 4x row blowup to (flag, measure) partials before the single
+    exchange -- so at 100 TB the melt costs one shuffle of
+    |groups| * n_measures rows, never 4x the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 4).alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
