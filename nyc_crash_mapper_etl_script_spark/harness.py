@@ -4441,3 +4441,81 @@ def w4_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val"), 4).alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "w5_running_total",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING), 4) AS run_qty
+    FROM lineitem
+    WHERE l_suppkey < 10
+    """,
+)
+def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative running total -- the UNBOUNDED PRECEDING window
+    frame the rolling/top-k rows don't exercise (reference analog:
+    the backlog monitor's cumulative open-count line).  The ORDER BY
+    carries a unique (shipdate, orderkey, linenumber) composite so
+    both engines accumulate in the same row order; the window
+    partitions on l_suppkey, so this is one shuffle + per-partition
+    sort.  At 100 TB a single dominant supplier key would serialize
+    its rows into one task -- the documented rescue is the same
+    (key, chunk) segmented-scan form as ``asof_join_salted``
+    (operators/temporal_join.py:165), since windows get NO AQE skew
+    splitting."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 10)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 4).alias("run_qty"),
+    )
+
+
+@register(
+    "a13_argmax_latest",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                   lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+             AS latest_order,
+           max(o_orderdate) AS latest_date,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def a13_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key via MAX_BY/ARG_MAX -- the single-pass
+    aggregate form of "current state per entity" (reference analog:
+    the fingerprint CDC keeps only the newest CARTO row per
+    socrata_id, main.py:877-894).  Day-grained order dates tie, so
+    the ordering argument is a lexicographic ``timestamp|zero-padded
+    key`` composite both engines compare identically -- MAX_BY on a
+    tied key is otherwise free to return either row.  One map-side
+    partial + one shuffle on the group key; contrast with the
+    row_number()=1 window form (``scd2_user_state``), which pays a
+    full per-partition sort for the same answer."""
+    o = _t(spark, sf_dir, "orders")
+    ordkey = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("latest_order"),
+        F.max("o_orderdate").alias("latest_date"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
