@@ -4216,9 +4216,11 @@ def a11_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape (order-priority checking; reference analog: the
-    "any crash rows attached?" existence probes in check_socrata.py):
-    a correlated EXISTS rewritten as a LEFT SEMI hash join -- the equi
+    """TPC-H Q4 shape (order-priority checking).  Reference analog:
+    none beyond the NEGATED form -- the reference's only membership
+    probes are NOT-IN anti-joins (main.py:368-371); this row adds the
+    positive EXISTS/semi shape for join coverage.
+    A correlated EXISTS rewritten as a LEFT SEMI hash join -- the equi
     conjunct (l_orderkey = o_orderkey) drives the hash probe and the
     correlated inequality (l_shipdate > o_orderdate) rides along as a
     residual join predicate, so no per-row subquery ever executes.
@@ -4259,9 +4261,12 @@ def q4_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape (large-volume customers; reference analog: the
-    backlog monitor's "which boards exceeded the threshold" ranking):
-    a HAVING-filtered aggregate subquery joined back to its
+    """TPC-H Q18 shape (large-volume customers).  Nearest reference
+    analog: the high-crash MV's rank-over-a-rollup
+    (refresh_intersections_highestcrashes.py:41, ORDER BY crashcount
+    DESC LIMIT) -- the HAVING threshold and the join-back to
+    dimensions go beyond the reference and are here for join-shape
+    coverage.  A HAVING-filtered aggregate subquery joined back to its
     dimensions.  The lineitem aggregate runs ONCE (partial map-side
     combine, one shuffle on l_orderkey); the >250 filter collapses it
     to a tiny qualifying-order set that then drives broadcast-able
@@ -4300,12 +4305,15 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_editdistance",
     """
-    WITH p AS (
+    WITH p0 AS (
       SELECT doc_id,
              array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
                AS prefix,
              string_split(text, ' ')[1] AS tok1
       FROM documents
+    ), p AS (
+      SELECT doc_id, prefix, tok1 FROM p0
+      QUALIFY row_number() OVER (PARTITION BY tok1 ORDER BY doc_id) <= 64
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.prefix, b.prefix) AS dist
@@ -4319,47 +4327,26 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance (Levenshtein) fuzzy dedup over a derived prefix
     key, the classic fuzzy-match family the MinHash/SimHash/Jaccard
     rows don't cover (reference analog: none -- north-star training-
-    data extension).  All-pairs Levenshtein is O(n^2 * L^2), so
-    candidate generation is BLOCKED: pairs must share their first
-    token (an equi hash join, never a nested loop) and pass a cheap
-    length-difference pre-filter (|len(a)-len(b)| <= d is a necessary
-    condition for edit distance <= d), and only survivors pay the
-    exact JVM-side ``levenshtein`` verify.  At 100 TB the block key
-    bounds each hash bucket like the LSH band join in
-    ``dedup_minhash_lsh``; a hot first-token block would be handled by
-    the same cap+reroute pattern (operators/dedup_text.py:220).
-    Blocking semantics are part of the contract and replayed exactly
-    by the oracle (a cross-block near-match is by-design unreported,
-    exactly as an out-of-band LSH pair is)."""
+    data extension).  Implementation:
+    ``operators.dedup_text.editdistance_pairs`` -- first-token
+    equi-join blocking (hash join, never a nested loop),
+    |len(a)-len(b)| <= d pre-filter, exact JVM ``levenshtein``
+    verify, and the hot-block cap WIRED (``max_block=64``): a
+    count-over-window on the same tok1 partitioning the self-join
+    hashes on ranks each block's members by id and drops members past
+    the cap from candidate generation, bounding per-block pair count
+    at C(64, 2) no matter how many docs share one first token (the
+    n-gram posting-cap pattern, ngram_jaccard_pairs).  The cap is
+    deterministic and part of the contract -- the oracle replays it
+    with the identical ROW_NUMBER QUALIFY."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        editdistance_pairs,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    p = d.select(
-        F.col("doc_id"),
-        F.array_join(F.slice(toks, 1, 5), " ").alias("prefix"),
-        F.element_at(toks, 1).alias("tok1"),
-    )
-    a = p.alias("a")
-    b = p.alias("b")
-    thr = F.lit(8)
-    return (
-        a.join(
-            b,
-            (F.col("a.tok1") == F.col("b.tok1"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.abs(F.length("a.prefix") - F.length("b.prefix")) <= thr
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias(
-                "dist"
-            ),
-        )
-        .where(F.col("dist") <= thr)
-        .orderBy("doc_a", "doc_b")
-    )
+    return editdistance_pairs(
+        d, "doc_id", "text", prefix_words=5, max_dist=8, max_block=64
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -4379,8 +4366,9 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a12_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile binning via NTILE window + per-bin rollup (reference
-    analog: the backlog report's quartile banding done in pandas,
-    check_backlog.py).  NTILE assignment depends on total row order,
+    analog: none -- north-star extension; the reference has no ranked
+    or binned windows at all, W1's per-group top-5 being its only
+    windowed shape).  NTILE assignment depends on total row order,
     so the ORDER BY carries a unique tiebreak (c_custkey) -- without
     it two engines may legally assign tied balances to different
     quartiles.  The window partitions by segment, so at 100 TB this

@@ -700,6 +700,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def editdistance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_words: int = 5,
+    max_dist: int = 8,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) fuzzy-dedup pairs over a derived
+    prefix key -- the fuzzy-match family the shingle/signature rows
+    don't cover (reference analog: none -- north-star extension).
+
+    All-pairs Levenshtein is O(n^2 * L^2), so candidate generation is
+    BLOCKED: pairs must share their first token (an equi hash join,
+    never a nested loop) and pass the |len(a)-len(b)| <= d
+    pre-filter (a necessary condition for edit distance <= d); only
+    survivors pay the exact JVM-side ``levenshtein`` verify.
+
+    ``max_block`` is the 100 TB hot-block lever, the same shape as
+    :func:`ngram_jaccard_pairs`'s posting cap: a pathological corpus
+    where a large share of docs open with one token ("the", a
+    boilerplate header) makes the block self-join quadratic in that
+    one block.  With the cap set, a count-over-window on the SAME
+    tok1 partitioning the self-join hashes on (one exchange, reused
+    by both join sides) ranks each block's members by id, and members
+    ranked past ``max_block`` are dropped from CANDIDATE GENERATION
+    only -- per-block pair count is bounded by C(max_block, 2) at any
+    corpus size.  The cap is deterministic (rank by id) and part of
+    the operator contract, replayed exactly by the registry oracle --
+    the same documented trade as the n-gram posting cap: a hot-block
+    pair both of whose members rank past the cap goes unreported.
+    """
+    toks = F.split(F.col(text_col), " ")
+    p = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_join(F.slice(toks, 1, prefix_words), " ").alias("prefix"),
+        F.element_at(toks, 1).alias("tok1"),
+    )
+    if max_block is not None:
+        from pyspark.sql.window import Window
+
+        wnd = Window.partitionBy("tok1").orderBy("id")
+        p = (
+            p.withColumn("__rn", F.row_number().over(wnd))
+            .where(F.col("__rn") <= max_block)
+            .drop("__rn")
+        )
+    a, b = p.alias("a"), p.alias("b")
+    thr = F.lit(max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.tok1") == F.col("b.tok1"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.length("a.prefix") - F.length("b.prefix")) <= thr),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+        )
+        .where(F.col("dist") <= thr)
+    )
+
+
 def minhash_banded_rows(
     docs: DataFrame,
     id_col: str = "doc_id",

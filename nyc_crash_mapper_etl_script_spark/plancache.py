@@ -16,12 +16,20 @@ The cache key is the SEMANTIC HASH of the analyzed logical plan (plus
 the operator's own parameters): two DataFrames declared independently
 over the same local rows or the same files canonicalize to the same
 plan, so the second declaration reuses the collected stat without
-touching the cluster.  Plan identity is exactly what Spark itself
-keys plan caching on; the one caveat is files mutated IN PLACE
-between declarations within one driver process (a new table version
-changes the file listing and therefore the hash — only a same-path
-same-listing in-place rewrite could go stale).  ``clear()`` resets,
-and ``SPARK_GRAFT_NO_PLANCACHE=1`` disables for debugging.
+touching the cluster.  Semantic hash alone is NOT enough for
+file-source plans: Spark's InMemoryFileIndex equals/hashCode are
+rootPaths-only, so re-declaring ``spark.read.parquet(dir)`` after
+files were appended or overwritten AT THE SAME PATH yields the same
+hash — a memoized max-key would then go stale within one driver
+process and hand out duplicate serial IDs.  The key therefore also
+folds in a fingerprint of the plan's RESOLVED file listing
+(``df.inputFiles()``): Spark part-file names are unique per write, so
+any append/overwrite the relation can see changes the listing and
+the key.  (If Spark's own listing cache is stale, the memoized stat
+is exactly what a recompute would return against that same stale
+view — the cache never introduces a divergence Spark itself would
+not have.)  ``clear()`` resets, and ``SPARK_GRAFT_NO_PLANCACHE=1``
+disables for debugging.
 
 At 100 TB the cached jobs are all dimension-sized (polygon extents,
 an 8-row crosswalk, parquet-stat max of a key column, n_cells
@@ -42,9 +50,20 @@ _cache: "OrderedDict[tuple, Any]" = OrderedDict()
 
 
 def plan_key(df: DataFrame) -> tuple:
-    """Stable identity for a DataFrame's analyzed logical plan."""
+    """Stable identity for a DataFrame's analyzed logical plan: the
+    semantic hash PLUS a fingerprint of the resolved input-file
+    listing (empty for non-file sources), so same-path re-reads after
+    an append/overwrite key differently."""
+    import hashlib
+
     qe = df._jdf.queryExecution()
-    return ("sem", qe.analyzed().semanticHash())
+    files = df.inputFiles()
+    listing = (
+        hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+        if files
+        else ""
+    )
+    return ("sem", qe.analyzed().semanticHash(), len(files), listing)
 
 
 def enabled() -> bool:

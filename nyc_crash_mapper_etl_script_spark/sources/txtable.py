@@ -197,7 +197,20 @@ class TxTable:
                 if staged_of.get(rel) and os.path.exists(src):
                     os.makedirs(os.path.dirname(final), exist_ok=True)
                     os.rename(src, final)
-        # 2. retire data files the current version no longer references
+        # 2. retire data files the current version no longer references.
+        # TOCTOU guard: a CONCURRENT writer may publish + finalize
+        # between our log snapshot and this walk, so its fresh files
+        # would look unreferenced against the stale ``live`` set.  Two
+        # defenses: (a) re-read the log once right before retiring --
+        # publish always precedes the rename into final position, so a
+        # peer's finalized file is ALWAYS in a fresh log read; (b) a
+        # file the log has never mentioned at all is only swept once
+        # older than ``stale_staging_seconds`` (it could be a peer
+        # racing between our fresh read and the unlink), while a file
+        # the log PROVES superseded (added once, no longer live) is
+        # crash debris and is retired immediately -- recovery must
+        # restore the plain-parquet-read invariant without waiting.
+        candidates = []
         for dirpath, dirnames, filenames in os.walk(self.root):
             rel_dir = os.path.relpath(dirpath, self.root)
             parts = [] if rel_dir == "." else rel_dir.split(os.sep)
@@ -209,6 +222,27 @@ class TxTable:
                     continue
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
                 if rel not in live:
+                    candidates.append(rel)
+        if candidates:
+            import time as _time
+
+            fresh_entries = self._entries()
+            fresh_live = set(self._live_files(fresh_entries))
+            ever_logged = {
+                f for e in fresh_entries for f in e.get("add", [])
+            }
+            now = _time.time()
+            for rel in candidates:
+                if rel in fresh_live:
+                    continue  # peer committed it since our snapshot
+                if rel in ever_logged:
+                    self._retire(rel)  # provably superseded
+                    continue
+                try:
+                    age = now - os.path.getmtime(os.path.join(self.root, rel))
+                except OSError:
+                    continue  # vanished underneath us -- nothing to do
+                if age >= self.stale_staging_seconds:
                     self._retire(rel)
         # 3. drop STALE staging dirs (every committed add was moved in
         # step 1; what's left is either a crashed transaction's litter
@@ -473,11 +507,38 @@ class TxTable:
         vanished-file error while staging -- before ever reaching the
         version check at publish.  That is the same stale-snapshot
         condition (Delta's ConcurrentDeleteReadException analog), so
-        callers get ONE retryable exception type either way.  A
-        vanished file with the log still at the snapshot version is a
-        genuine storage fault and re-raises untranslated."""
+        callers get ONE retryable exception type either way.
+
+        Translation requires THREE pieces of evidence, not just a
+        message substring: (1) the failure looks like a vanished file
+        (typed Spark/Py4J analysis or IO error classes when
+        available, message markers otherwise), (2) the log advanced
+        past this transaction's snapshot, and (3) at least one file
+        that was live at the snapshot version is actually gone from
+        its root path -- i.e. a concurrent finalize really did retire
+        a file this plan was reading.  An unrelated error that merely
+        CONTAINS 'does not exist' while an unrelated append advanced
+        the version re-raises untranslated, so retry loops never spin
+        on a genuinely broken operation."""
+        looks_vanished = False
+        try:  # typed classification where the runtime exposes it
+            from pyspark.errors import AnalysisException as _AE
+
+            if isinstance(exc, (_AE, FileNotFoundError)):
+                looks_vanished = True
+        except ImportError:
+            pass
+        try:
+            from py4j.protocol import Py4JJavaError as _PJE
+
+            if isinstance(exc, _PJE):
+                jcls = exc.java_exception.getClass().getName()
+                if "FileNotFound" in jcls or "NoSuchFile" in jcls:
+                    looks_vanished = True
+        except Exception:  # noqa: BLE001 -- classification is best-effort
+            pass
         msg = str(exc)
-        vanished = any(
+        if any(
             s in msg
             for s in (
                 "FileNotFoundException",
@@ -485,12 +546,21 @@ class TxTable:
                 "does not exist",
                 "No such file",
             )
-        )
-        if vanished and self._snapshot_version() != base_version:
-            raise ConcurrentWriteError(
-                f"snapshot v{base_version} invalidated while staging: a "
-                "concurrent commit removed files this transaction was reading"
-            ) from exc
+        ):
+            looks_vanished = True
+        if looks_vanished and self._snapshot_version() != base_version:
+            snapshot_files = self._live_files(version=base_version)
+            gone = [
+                f
+                for f in snapshot_files
+                if not os.path.exists(os.path.join(self.root, f))
+            ]
+            if gone:
+                raise ConcurrentWriteError(
+                    f"snapshot v{base_version} invalidated while staging: a "
+                    "concurrent commit removed files this transaction was "
+                    f"reading (e.g. {gone[0]})"
+                ) from exc
         raise exc
 
     def logged_schema(self, version: int | None = None):
@@ -581,6 +651,20 @@ class TxTable:
             self._raise_if_concurrent(e, base_version)
         return self._commit(mapping, removes, "merge", base_version=base_version)
 
+    def _read_files(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        """Read an explicit file subset through the LOGGED schema,
+        exactly as :meth:`read` does.  After add-column evolution the
+        touched-partition files legitimately carry mixed schemas; a
+        bare ``spark.read.parquet`` samples ONE footer, so sampling a
+        narrow pre-evolution file would silently NULL evolved columns
+        in a merge/delete rewrite and regress the logged table schema
+        with the commit."""
+        reader = spark.read.option("basePath", self.root)
+        logged = self.logged_schema()
+        if logged is not None:
+            reader = reader.schema(logged)
+        return reader.parquet(*paths)
+
     def _merge_staged(self, source, key, spark, allow_missing: bool = False):
         current = self.read(spark)
         src_keys = source.select(key).where(source[key].isNotNull()).distinct()
@@ -609,7 +693,7 @@ class TxTable:
             removes = [f for f in self._live_files() if f.startswith(prefixes)]
             base_files = [os.path.join(self.root, f) for f in removes]
             base = (
-                spark.read.option("basePath", self.root).parquet(*base_files)
+                self._read_files(spark, base_files)
                 if base_files
                 else current.where("1=0")
             )
@@ -695,8 +779,8 @@ class TxTable:
                     return self._entries()[-1]["version"]
                 prefixes = tuple(t + os.sep for t in touched)
                 removes = [f for f in self._live_files() if f.startswith(prefixes)]
-                base = spark.read.option("basePath", self.root).parquet(
-                    *[os.path.join(self.root, f) for f in removes]
+                base = self._read_files(
+                    spark, [os.path.join(self.root, f) for f in removes]
                 )
             else:
                 removes = list(self._live_files())

@@ -714,3 +714,41 @@ def test_exact_substring_pairs_hand_built(spark):
     assert exact_substring_pairs(many, k=40, max_posting=2).count() == 0
     # ...and kept when the cap allows it: all C(5,2) pairs
     assert exact_substring_pairs(many, k=40, max_posting=10).count() == 10
+
+
+def test_editdistance_hot_block_cap_bounds_pairs(spark):
+    """r3 VERDICT item 4: with 30% of docs sharing one first token,
+    max_block bounds the hot block's pair count at C(max_block, 2)
+    (members ranked past the cap drop from candidate generation);
+    blocks under the cap are untouched, so capped == uncapped there."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        editdistance_pairs,
+    )
+
+    rows = []
+    # hot block: 30 of 100 docs share first token; identical prefixes
+    # so every in-block pair qualifies (worst case)
+    for i in range(30):
+        rows.append((i, "hot common prefix words here tail%d" % i))
+    # 70 cold docs across 35 two-doc blocks with near-identical prefixes
+    for i in range(70):
+        rows.append((100 + i, "cold%d alpha beta gamma delta x%d" % (i // 2, i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = editdistance_pairs(docs, max_dist=8, max_block=10).collect()
+    hot = [r for r in capped if r["doc_a"] < 100 and r["doc_b"] < 100]
+    # bounded: exactly the 10 lowest-id members pair up
+    assert len(hot) == 10 * 9 // 2
+    assert {r["doc_a"] for r in hot} | {r["doc_b"] for r in hot} == set(range(10))
+
+    # cold blocks (size 2 <= cap): identical with and without the cap
+    uncapped = editdistance_pairs(docs, max_dist=8).collect()
+    cold_c = sorted(
+        (r["doc_a"], r["doc_b"], r["dist"]) for r in capped if r["doc_a"] >= 100
+    )
+    cold_u = sorted(
+        (r["doc_a"], r["doc_b"], r["dist"]) for r in uncapped if r["doc_a"] >= 100
+    )
+    assert cold_c == cold_u and len(cold_c) > 0
+    # and the uncapped hot block really was quadratic -- the cap matters
+    assert len([r for r in uncapped if r["doc_a"] < 100]) == 30 * 29 // 2

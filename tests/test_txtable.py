@@ -470,3 +470,95 @@ def test_vacuum_retention_window(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=v2)
     assert {r["v"] for r in t.read(spark, version=v3).collect()} == {"c"}
+
+
+def test_partitioned_evolve_then_merge_keeps_logged_schema(spark, tmp_path):
+    """ADVICE r3 (high): a partitioned merge reads touched-partition
+    files through the LOGGED schema.  After add-column evolution the
+    partition holds mixed-schema files; a bare parquet read samples
+    one footer, and sampling the narrow pre-evolution file would NULL
+    the evolved column in the rewrite AND regress the logged schema
+    (the commit records the staged df's schema)."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["p"])
+    t.init(spark.createDataFrame([(1, "a", "x")], "k long, v string, p string"))
+    # evolution: a second file in the SAME partition carries `score`
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5, "x")], "k long, v string, score double, p string"
+        ),
+        evolve_schema=True,
+    )
+    # merge a narrow batch into that partition: both files rewritten
+    t.merge(
+        spark.createDataFrame([(1, "A", "x")], "k long, v string, p string"),
+        "k",
+        evolve_schema=True,
+    )
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert rows == {1: ("A", None), 2: ("b", 9.5)}
+    assert "score" in [f.name for f in t.logged_schema().fields]
+    # ... and the delete path reads through the logged schema too
+    t.delete(spark.createDataFrame([(1,)], "k long"), "k")
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert rows == {2: ("b", 9.5)}
+    assert "score" in [f.name for f in t.logged_schema().fields]
+
+
+def test_recover_protects_concurrent_writers_fresh_files(spark, table):
+    """ADVICE r3 (medium): recovery step 2 must not delete a file a
+    concurrent writer just finalized.  Files the log has never
+    mentioned are only swept once stale; files a FRESH log read shows
+    live are skipped; files the log proves superseded go immediately."""
+    # a peer's just-finalized file: present, young, not in OUR stale
+    # view -- simulate the worst case by writing a file the log never
+    # mentions (a peer between our log snapshot and the walk)
+    foreign = os.path.join(table.root, "ym=2024-05", "part-peer-00000.parquet")
+    live = table._live_files()
+    src = os.path.join(table.root, [f for f in live if "2024-05" in f][0])
+    import shutil as _sh
+
+    _sh.copyfile(src, foreign)
+    table._recover()
+    assert os.path.exists(foreign)  # young + unlogged -> protected
+    # once stale it is debris and the sweep takes it
+    os.utime(foreign, (1, 1))
+    table._recover()
+    assert not os.path.exists(foreign)
+    # a file the log PROVES superseded is retired immediately even
+    # when young: merge, then resurrect the replaced file by copying
+    # it back -- recovery must remove it again without an age wait
+    removed_before = set(table._live_files())
+    table.merge(
+        spark.createDataFrame([(2, "B", "2024-05")], "k long, v string, ym string"),
+        "k",
+    )
+    superseded = [f for f in removed_before if "2024-05" in f][0]
+    resurrected = os.path.join(table.root, superseded)
+    assert not os.path.exists(resurrected)  # merge retired it
+    any_live = os.path.join(table.root, table._live_files()[0])
+    _sh.copyfile(any_live, resurrected)  # young mtime, logged-superseded
+    table._recover()
+    assert not os.path.exists(resurrected)
+
+
+def test_raise_if_concurrent_requires_missing_snapshot_file(spark, table):
+    """ADVICE r3 (low): an unrelated error whose message merely
+    contains 'does not exist' must NOT translate to
+    ConcurrentWriteError just because an unrelated append advanced
+    the version -- translation requires a snapshot file to actually
+    be gone."""
+    base = table._snapshot_version()
+    # unrelated append advances the log but removes nothing
+    table.append(
+        spark.createDataFrame([(9, "z", "2024-07")], "k long, v string, ym string")
+    )
+    boom = RuntimeError("column `nope` does not exist in schema")
+    with pytest.raises(RuntimeError, match="does not exist"):
+        table._raise_if_concurrent(boom, base)
+    # now a snapshot file really vanishes -> retryable translation
+    gone = os.path.join(table.root, table._live_files(version=base)[0])
+    os.unlink(gone)
+    with pytest.raises(ConcurrentWriteError):
+        table._raise_if_concurrent(
+            RuntimeError(f"File {gone} does not exist"), base
+        )
