@@ -87,6 +87,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def release_cached():
+        # PER-QUERY ISOLATION: several queries pin executor
+        # storage memory via localCheckpoint (LSH signatures, the
+        # nightly's staged fact table); their RDDs are only freed when
+        # the Python refs die AND the ContextCleaner runs, so without
+        # this a small query timed late in the sequence pays earlier
+        # queries' cache pressure (the r3 nine-query regression
+        # cluster: every regressed query ran after a checkpointing one
+        # in the warm pass).  Dead checkpoints only -- each timed rep
+        # builds a fresh plan, so nothing unpersisted here is ever
+        # reused.
+        import gc
+
+        gc.collect()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist(False)
+        except Exception:  # noqa: BLE001 -- isolation is best-effort
+            pass
+
     # warm pass (untimed): JVM JIT, parquet footers, physical
     # compilation.  Then REPS timed executions per query, reporting the
     # per-query MINIMUM: this box is a shared VM, and min-of-k is the
@@ -97,6 +118,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        release_cached()
         timings[name] = round(min(runq(name) for _ in range(reps)), 3)
     total = round(sum(timings.values()), 3)
     print(

@@ -4507,3 +4507,210 @@ def a13_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("latest_date"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "txtable_stream_rollup",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           sum(CAST(round(CASE WHEN o_orderkey % 10 = 0
+                               THEN o_totalprice * 2
+                               ELSE o_totalprice END * 100) AS BIGINT))
+             AS total_cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def txtable_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TxTable STREAMING SOURCE driven end to end (r3 VERDICT item 2):
+    a TxTable is mutated through init/append/merge/delete, its commit
+    log is consumed via ``readStream.format("txtable-changes")``
+    (sources/txstream.py -- commit versions as offsets, file-level
+    change replay), and every micro-batch maintains a signed rollup
+    with ``operators.mv.refresh_signed_mv``.  The oracle is the BATCH
+    RECOMPUTE of the final table state, so a green row pins
+    stream-maintained rollup == rebuild -- including exact
+    cancellation of the rewrite noise (a rewritten-but-unchanged row
+    arrives as an equal-value delete+insert pair) that the file-level
+    feed deliberately carries instead of paying a per-batch exceptAll.
+    Money is summed in integer CENTS: signed increments accumulate in
+    a different order than one straight sum, and integer arithmetic
+    is the order-independent form both engines agree on bit-for-bit
+    (reference analog: the chained nightly stages each consuming the
+    previous stage's committed table, main.py:1132-1200)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_signed_mv,
+        signed_mv_view,
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        CHANGE_COL,
+        read_txtable_stream,
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txstream_rollup_")
+    try:
+        t = TxTable(
+            os.path.join(base, "orders_tx"),
+            partition_by=["o_orderstatus"],
+            retain_history=True,
+        )
+        # deterministic mutation script: 3/4 of the keys at init, the
+        # rest appended, every %10 key's price doubled by a merge,
+        # every %7 key deleted
+        t.init(o.where(F.col("o_orderkey") % 4 != 0))
+        t.append(o.where(F.col("o_orderkey") % 4 == 0))
+        t.merge(
+            o.where(F.col("o_orderkey") % 10 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            "o_orderkey",
+        )
+        t.delete(
+            o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            "o_orderkey",
+        )
+
+        group_cols = ["o_orderstatus"]
+        sum_cols = {"total_cents": "__cents"}
+        mv_schema = StructType(
+            [
+                StructField("o_orderstatus", StringType()),
+                StructField("n", LongType()),
+                StructField("total_cents", LongType()),
+                StructField("__nn_total_cents", LongType()),
+            ]
+        )
+        state = {"path": None}
+
+        def sink(batch_df, batch_id):
+            cents = F.round(F.col("o_totalprice") * 100).cast("long")
+            b = batch_df.withColumn("__cents", cents)
+            mv = (
+                spark.read.parquet(state["path"])
+                if state["path"]
+                else spark.createDataFrame([], mv_schema)
+            )
+            nxt = refresh_signed_mv(
+                mv,
+                b.where(F.col(CHANGE_COL) == "insert"),
+                b.where(F.col(CHANGE_COL) == "delete"),
+                group_cols,
+                count_col="n",
+                sum_cols=sum_cols,
+            )
+            path = os.path.join(base, f"state_{batch_id}")
+            nxt.write.parquet(path)
+            state["path"] = path
+
+        q = (
+            read_txtable_stream(spark, t.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rolled = signed_mv_view(
+            spark.read.parquet(state["path"]),
+            group_cols,
+            count_col="n",
+            sum_cols=sum_cols,
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["o_orderstatus"], r["n"], r["total_cents"]) for r in rolled),
+        "o_orderstatus string, n long, total_cents long",
+    )
+
+
+@register(
+    "asof_clustered_timeline",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT r.ts FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = p.user_id
+               AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_ts,
+           (SELECT r.value FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = p.user_id
+               AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_clustered_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLUSTER-BY as-of (r3 VERDICT item 7): clicks and purchases
+    are stored as one interleaved timeline in a TxTable whose commit
+    carries ``cluster_by=(user_id; user_id, ts, tag, event_id)``, and
+    the as-of resolution is ``operators.temporal_join.asof_fill`` over
+    ``read_clustered`` -- a window whose required distribution AND
+    ordering the bucketed sorted scan satisfies, so the executed plan
+    carries ZERO Exchange and ZERO Sort (pinned by
+    tests/test_txtable_clustered.py; the runtime-union ``asof_join``
+    pays one shuffle+sort per query instead).  Same correlated
+    LIMIT-1 oracle as ``asof_join_events``, so the materialized form
+    is cross-checked against the independent formulation, not against
+    the union trick."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.operators.temporal_join import (
+        asof_fill,
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    ev = _t(spark, sf_dir, "events")
+    refs = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "event_id",
+        "value",
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="asof_clustered_")
+    try:
+        t = TxTable(
+            os.path.join(base, "timeline"),
+            cluster_by=(["user_id"], ["user_id", "ts", "tag", "event_id"], 8),
+        )
+        t.init(refs.unionByName(probes))
+        out = asof_fill(
+            t.read_clustered(spark),
+            "user_id",
+            "ts",
+            "tag",
+            ["value"],
+            tiebreak_cols=["event_id"],
+        ).select(
+            "event_id", "user_id", "ts", "asof_ts", "asof_value"
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

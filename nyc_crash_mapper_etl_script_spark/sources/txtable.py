@@ -86,10 +86,31 @@ class TxTable:
         partition_by: list[str] | None = None,
         retain_history: bool = False,
         stale_staging_seconds: float = 3600.0,
+        cluster_by: tuple[list[str], list[str], int] | None = None,
     ) -> None:
         self.root = root.rstrip("/")
         self.partition_by = list(partition_by or [])
         self.retain_history = retain_history
+        #: CLUSTER-BY write hint: ``(bucket_cols, sort_cols, n_buckets)``.
+        #: Every write lays data out hash-bucketed on ``bucket_cols``
+        #: and sorted by ``sort_cols`` within each bucket (one file per
+        #: bucket per rewrite), and the spec is PERSISTED in each
+        #: commit entry, so a fresh handle opened without the argument
+        #: inherits it from the log.  ``read_clustered`` then exposes
+        #: the table as a bucketed catalog scan whose output
+        #: partitioning/ordering Catalyst trusts: a window or as-of
+        #: fill over (bucket_cols; sort_cols) plans with ZERO Exchange
+        #: and ZERO Sort -- the shuffle+sort is paid once at write,
+        #: amortized over every subsequent as-of query (the
+        #: Delta/Iceberg OPTIMIZE cluster-by contract).  Mutually
+        #: exclusive with ``partition_by``.
+        if cluster_by is not None and self.partition_by:
+            raise ValueError("cluster_by and partition_by are mutually exclusive")
+        self._cluster_by = (
+            (list(cluster_by[0]), list(cluster_by[1]), int(cluster_by[2]))
+            if cluster_by is not None
+            else None
+        )
         #: recovery only garbage-collects an uncommitted staging dir
         #: once it is at least this old: a CONCURRENT writer's live
         #: staging must survive a peer's recovery pass (the Delta
@@ -426,15 +447,36 @@ class TxTable:
 
     # -- write paths ------------------------------------------------------
 
+    def cluster_spec(self) -> tuple[list[str], list[str], int] | None:
+        """The effective cluster-by spec: the constructor's, or the
+        newest one recorded in the commit log (so a handle opened
+        without the argument still writes/reads clustered)."""
+        if self._cluster_by is not None:
+            return self._cluster_by
+        for e in reversed(self._entries()):
+            if "cluster_by" in e:
+                c = e["cluster_by"]
+                self._cluster_by = (
+                    list(c["bucket_cols"]),
+                    list(c["sort_cols"]),
+                    int(c["n_buckets"]),
+                )
+                return self._cluster_by
+        return None
+
     def _stage(self, df: DataFrame) -> tuple[str, dict[str, str]]:
         """Write df into _staging/<txn>/ and return (txn, mapping of
         final-relative-path -> staged-relative-path)."""
         txn = uuid.uuid4().hex
         staging = os.path.join(self.root, _STAGING_DIR, txn)
-        writer = df.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(staging)
+        spec = self.cluster_spec()
+        if spec is not None:
+            self._stage_clustered(df, staging, spec)
+        else:
+            writer = df.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(staging)
         self._staged_schema = df.schema.json()
         mapping: dict[str, str] = {}
         for dirpath, _, filenames in os.walk(staging):
@@ -443,7 +485,14 @@ class TxTable:
                     continue
                 staged_rel = os.path.relpath(os.path.join(dirpath, name), self.root)
                 part_rel = os.path.relpath(dirpath, staging)
-                final_name = f"part-{txn[:8]}-{len(mapping):05d}.parquet"
+                if spec is not None:
+                    # bucket id rides in the filename (part-...-_NNNNN.
+                    # ...); keep the basename so the bucketed catalog
+                    # scan can map files to buckets.  Spark's write
+                    # UUIDs keep names unique across commits.
+                    final_name = name
+                else:
+                    final_name = f"part-{txn[:8]}-{len(mapping):05d}.parquet"
                 final_rel = (
                     final_name
                     if part_rel == "."
@@ -451,6 +500,70 @@ class TxTable:
                 )
                 mapping[final_rel] = staged_rel
         return txn, mapping
+
+    def _stage_clustered(
+        self, df: DataFrame, staging: str, spec: tuple[list[str], list[str], int]
+    ) -> None:
+        """Stage a bucketed+sorted layout.  Spark only writes bucket
+        metadata through the catalog, so the staging write rides a
+        throwaway EXTERNAL table definition (dropped immediately --
+        the files stay).  ``repartition(n_buckets, bucket_cols)`` uses
+        the same murmur3-pmod hash as the bucket assignment, so each
+        task holds exactly one bucket's rows -> ONE file per bucket
+        per rewrite, which is what lets the read side claim sorted
+        output."""
+        bucket_cols, sort_cols, n_buckets = spec
+        spark = df.sparkSession
+        tmp = f"__txstage_{uuid.uuid4().hex[:12]}"
+        (
+            df.repartition(n_buckets, *bucket_cols)
+            .write.format("parquet")
+            .mode("overwrite")
+            .option("path", staging)
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*sort_cols)
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE `{tmp}`")  # external: files remain
+
+    def read_clustered(self, spark: SparkSession, name: str | None = None) -> DataFrame:
+        """The table as a BUCKETED catalog scan: Catalyst trusts the
+        layout's hash partitioning (and, when every bucket is a single
+        file, its sort order), so joins/aggregations/windows on the
+        bucket columns plan without an Exchange and -- right after a
+        write/compact, before small appends accumulate -- without a
+        Sort.  Appends add files per bucket (ordering claim drops,
+        partitioning claim stays); ``compact()`` restores the
+        one-file-per-bucket sorted layout.
+
+        Requires ``spark.sql.legacy.bucketedTableScan.outputOrdering``
+        (set here, session-level) for the sorted-scan claim; the
+        planning-time file listing it implies is bounded by the
+        table's file count."""
+        spec = self.cluster_spec()
+        if spec is None:
+            raise ValueError("read_clustered requires a cluster_by spec")
+        bucket_cols, sort_cols, n_buckets = spec
+        self._recover()
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        schema = self.logged_schema()
+        if schema is None:
+            raise FileNotFoundError(f"no logged schema at {self.root}")
+        import hashlib
+
+        name = name or "txc_" + hashlib.md5(self.root.encode()).hexdigest()[:10]
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        spark.sql(
+            f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(f'`{c}`' for c in bucket_cols)}) "
+            f"SORTED BY ({', '.join(f'`{c}`' for c in sort_cols)}) "
+            f"INTO {n_buckets} BUCKETS "
+            f"LOCATION '{self.root}'"
+        )
+        return spark.table(f"`{name}`")
 
     def _finalize(self, mapping: dict[str, str], removes: list[str]) -> None:
         for final_rel, staged_rel in mapping.items():
@@ -491,6 +604,13 @@ class TxTable:
         schema = getattr(self, "_staged_schema", None)
         if schema is not None:
             entry["schema"] = schema
+        spec = self.cluster_spec()
+        if spec is not None:
+            entry["cluster_by"] = {
+                "bucket_cols": spec[0],
+                "sort_cols": spec[1],
+                "n_buckets": spec[2],
+            }
         version = self._publish(entry, base_version=base_version)
         self._finalize(mapping, removes)
         return version
@@ -632,6 +752,27 @@ class TxTable:
             ]
         )
 
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table's contents in one atomic commit
+        (the full-refresh analog of the reference's MV rebuild,
+        refresh_intersections_highestcrashes.py:39-57 -- but readable
+        throughout, no drop/recreate window).  ``df`` MAY read from
+        this very table (read-transform-overwrite): the rows are
+        pinned with a localCheckpoint before any file is touched.
+        Optimistic concurrency like merge/delete: raises
+        :class:`ConcurrentWriteError` if another commit lands first."""
+        self._recover()
+        base_version = self._snapshot_version()
+        try:
+            removes = list(self._live_files())
+            pinned = df.localCheckpoint()
+            _, mapping = self._stage(pinned)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._raise_if_concurrent(e, base_version)
+        return self._commit(
+            mapping, removes, "overwrite", base_version=base_version
+        )
+
     def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
         """Delta-style MERGE: matched rows are replaced by the source
         row, unmatched source rows are inserted.  Only the partitions
@@ -736,6 +877,20 @@ class TxTable:
         try:
             removes = list(self._live_files())
             current = self.read(spark)
+            if self.cluster_spec() is not None:
+                # clustered tables have ONE layout: the staged write
+                # re-buckets/re-sorts, restoring one file per bucket
+                # (which is what re-arms the sorted-scan claim small
+                # appends dropped)
+                if zorder_by is not None:
+                    raise ValueError(
+                        "zorder_by conflicts with the table's cluster_by spec"
+                    )
+                compacted = current.localCheckpoint()
+                _, mapping = self._stage(compacted)
+                return self._commit(
+                    mapping, removes, "compact", base_version=base_version
+                )
             if n_files is None:
                 total_bytes = sum(
                     os.path.getsize(os.path.join(self.root, f)) for f in removes

@@ -170,3 +170,70 @@ def test_schema_includes_evolved_columns_and_nulls_old_files(
     _drain(spark, t.root, out, ckpt)
     got = {r["k"]: r["score"] for r in spark.read.parquet(out).collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_chain_rollup_stream_table_to_table(spark, tmp_path):
+    """plans/continuous.chain_rollup_stream: a downstream consumer
+    maintains a rollup TxTable off an upstream TxTable's commit log;
+    drains, upstream mutations, and a restart from the checkpoint all
+    keep rollup == batch recompute of current state."""
+    from nyc_crash_mapper_etl_script_spark.operators.mv import signed_mv_view
+    from nyc_crash_mapper_etl_script_spark.plans.continuous import (
+        chain_rollup_stream,
+    )
+
+    fact = TxTable(str(tmp_path / "fact"), retain_history=True)
+    fact.init(
+        spark.createDataFrame(
+            [(1, "x", 10.0), (2, "x", 20.0), (3, "y", 5.0)],
+            "k long, grp string, val double",
+        )
+    )
+    rollup = TxTable(str(tmp_path / "rollup"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = chain_rollup_stream(
+            spark,
+            fact,
+            rollup,
+            ["grp"],
+            ckpt,
+            sum_cols={"total": "val"},
+        )
+        q.awaitTermination(300)
+
+    def rolled():
+        return {
+            (r["grp"], r["n"], r["total"])
+            for r in signed_mv_view(
+                rollup.read(spark), ["grp"], sum_cols={"total": "val"}
+            ).collect()
+        }
+
+    def expected():
+        return {
+            (r["grp"], r["n"], r["total"])
+            for r in fact.read(spark)
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+            .collect()
+        }
+
+    drain()
+    assert rolled() == expected()
+
+    # upstream mutations: update, insert, delete -- then an
+    # incremental restart off the same checkpoint
+    fact.merge(
+        spark.createDataFrame([(2, "y", 99.0)], "k long, grp string, val double"),
+        "k",
+    )
+    fact.append(
+        spark.createDataFrame([(4, "z", 1.0)], "k long, grp string, val double")
+    )
+    fact.delete(spark.createDataFrame([(1,)], "k long"), "k")
+    drain()
+    assert rolled() == expected()
+    # group x emptied by the update+delete -> gone from the rollup
+    assert "x" not in {g for g, _, _ in rolled()}
