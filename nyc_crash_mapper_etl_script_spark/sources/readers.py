@@ -51,11 +51,13 @@ def read_jdbc(
     """S4: MySQL/JDBC scan (walkmapper/mysql2carto.py:63,114-137).
 
     Partitioned reads parallelize the extract (the reference reads
-    the whole table through one cursor).  No JDBC driver ships in
-    this environment -- the call path is real, exercised against
-    parquet stand-ins in tests, and the reader-option wiring is
-    pinned by ``tests/test_connectors.py`` against a recording fake
-    of the DataFrameReader.
+    the whole table through one cursor).  The LIVE path is proven
+    end-to-end against embedded Apache Derby (the JDBC engine whose
+    driver ships inside Spark's own jars):
+    ``tests/test_connectors.py::test_read_jdbc_live_embedded_derby``
+    exercises the plain scan, the partitioned parallel extract, the
+    derived-subquery pushdown, and Catalyst's PushedFilters; the
+    option wiring is additionally pinned against a recording fake.
 
     Integration recipe (live MySQL, matching the reference's
     ``walkmapper`` source):

@@ -124,21 +124,52 @@ class TxTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.root = options["path"].rstrip("/")
         self.starting_version = int(options.get("startingversion", 0))
+        #: bound on commits per micro-batch (the ReadLimit /
+        #: maxFilesPerTrigger analog -- the Python DataSource API has
+        #: no ReadLimit hook, so the cap lives in latestOffset, which
+        #: Spark calls BEFORE initialOffset at query start).  Pacing
+        #: seeds at starting_version so a fresh query's FIRST batch is
+        #: already bounded; every partitions() call then advances it
+        #: to that batch's range, so a RESTARTED query (whose
+        #: checkpointed start may be far past starting_version) jumps
+        #: to the true position after at most one empty micro-batch.
+        mv = options.get("maxversionsperbatch")
+        self.max_versions = int(mv) if mv is not None else None
+        self._paced_from: int | None = self.starting_version
         self.schema = schema
 
     def _table(self) -> TxTable:
         return TxTable(self.root)
 
+    def _dbg(self, *a):
+        import os as _os
+        p = _os.environ.get("TXSTREAM_DEBUG_LOG")
+        if p:
+            with open(p, "a") as f:
+                f.write(" ".join(map(str, a)) + f" pid={_os.getpid()}\n")
+
     def initialOffset(self) -> dict:
+        self._paced_from = self.starting_version
+        self._dbg("initialOffset", self.starting_version, "mv=", self.max_versions)
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        return {"version": self._table()._snapshot_version()}
+        current = self._table()._snapshot_version()
+        if self.max_versions is None or self._paced_from is None:
+            self._dbg("latestOffset uncapped", current, "mv=", self.max_versions, "paced=", self._paced_from)
+            return {"version": current}
+        end = min(current, self._paced_from + self.max_versions)
+        end = max(end, self._paced_from)  # never step backwards
+        self._dbg("latestOffset capped", end, "paced=", self._paced_from)
+        return {"version": end}
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        # advance pacing to the true batch range: on restart, lo is
+        # the checkpointed offset starting_version knows nothing about
+        self._paced_from = max(self._paced_from or 0, lo, hi)
         t = self._table()
         parts: list[InputPartition] = []
         for e in t._entries():
@@ -218,21 +249,31 @@ class TxTableChangesDataSource(DataSource):
         return stream_schema(TxTable(self.options["path"].rstrip("/")))
 
     def streamReader(self, schema: StructType) -> TxTableStreamReader:
-        return TxTableStreamReader(schema, dict(self.options))
+        opts = {k.lower(): v for k, v in dict(self.options).items()}
+        return TxTableStreamReader(schema, opts)
 
 
 def read_txtable_stream(
-    spark: SparkSession, root: str, starting_version: int = 0
+    spark: SparkSession,
+    root: str,
+    starting_version: int = 0,
+    max_versions_per_batch: int | None = None,
 ) -> DataFrame:
     """Register the source (idempotent) and open the change stream.
     ``starting_version=0`` replays from the init commit (the initial
     snapshot arrives as inserts -- Delta's startingVersion=0); a
     caller that already holds a snapshot as of version v passes
-    ``starting_version=v`` to receive only subsequent changes."""
+    ``starting_version=v`` to receive only subsequent changes.
+    ``max_versions_per_batch`` bounds each micro-batch to that many
+    commits (backlog catch-up in right-sized pieces; pair with a
+    processing-time trigger -- availableNow snapshots the capped
+    offset at start and would stop early)."""
     spark.dataSource.register(TxTableChangesDataSource)
-    return (
+    reader = (
         spark.readStream.format("txtable-changes")
         .option("path", root)
         .option("startingVersion", str(starting_version))
-        .load()
     )
+    if max_versions_per_batch is not None:
+        reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
+    return reader.load()

@@ -226,3 +226,68 @@ def test_read_jdbc_option_passthrough():
     rec2 = _RecordingReader()
     read_jdbc(_FakeSpark(rec2), "jdbc:mysql://h/db", "t")
     assert rec2.opts == {"url": "jdbc:mysql://h/db", "dbtable": "t"}
+
+
+def test_read_jdbc_live_embedded_derby(spark, tmp_path):
+    """S4 LIVE: the real JDBC code path against an embedded Apache
+    Derby database (the one JDBC engine whose driver ships inside
+    Spark's own jars) -- no parquet stand-in.  Proves the plain scan,
+    the partitioned parallel extract (partition_column bounds -> one
+    JDBC query per stride), and server-side pushdown via a derived
+    subquery as dbtable, exactly the recipe read_jdbc's docstring
+    gives for MySQL (walkmapper/mysql2carto.py:63,114-137)."""
+    from nyc_crash_mapper_etl_script_spark.sources.readers import read_jdbc
+
+    db = str(tmp_path / "derbydb")
+    url = f"jdbc:derby:{db}"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE obstructions (id INT PRIMARY KEY, "
+        "category VARCHAR(40), severity INT)"
+    )
+    for i in range(20):
+        st.executeUpdate(
+            f"INSERT INTO obstructions VALUES ({i}, 'cat{i % 3}', {i * 10})"
+        )
+    st.close()
+    conn.close()
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    # plain scan
+    df = read_jdbc(spark, url, "obstructions", driver=driver)
+    assert df.count() == 20
+    assert {r["CATEGORY"] for r in df.collect()} == {"cat0", "cat1", "cat2"}
+
+    # partitioned parallel extract: same rows, multiple strides
+    part = read_jdbc(
+        spark,
+        url,
+        "obstructions",
+        partition_column="ID",
+        lower_bound=0,
+        upper_bound=20,
+        num_partitions=4,
+        driver=driver,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert sorted(r["ID"] for r in part.collect()) == list(range(20))
+
+    # pushdown: the predicate runs inside Derby via a derived table
+    sub = read_jdbc(
+        spark,
+        url,
+        "(SELECT id, severity FROM obstructions WHERE severity >= 100) AS src",
+        driver=driver,
+    )
+    assert sorted(r["ID"] for r in sub.collect()) == list(range(10, 20))
+
+    # Catalyst filter pushdown reaches the JDBC source (PushedFilters)
+    plan = (
+        df.where(df["severity"] > 150)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "SEVERITY" in plan

@@ -237,3 +237,30 @@ def test_chain_rollup_stream_table_to_table(spark, tmp_path):
     assert rolled() == expected()
     # group x emptied by the update+delete -> gone from the rollup
     assert "x" not in {g for g, _, _ in rolled()}
+
+
+def test_max_versions_per_batch_paces_the_backlog(spark, table, tmp_path):
+    """maxVersionsPerBatch=1: a 4-version backlog drains as four
+    single-commit micro-batches (the ReadLimit analog), and the union
+    of batches is still the full feed."""
+    table.append(_rows(spark, [(4, "d", "2024-06")]))
+    table.append(_rows(spark, [(5, "e", "2024-06")]))
+    table.append(_rows(spark, [(6, "f", "2024-07")]))
+
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(
+            sorted({r["_commit_version"] for r in batch_df.collect()})
+        )
+
+    q = (
+        read_txtable_stream(spark, table.root, max_versions_per_batch=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    non_empty = [b for b in batches if b]
+    assert non_empty == [[1], [2], [3], [4]]
