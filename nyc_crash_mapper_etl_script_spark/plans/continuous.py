@@ -78,6 +78,7 @@ def continuous_nightly(
     intersections: DataFrame,
     crosswalk: DataFrame,
     trigger_available_now: bool = True,
+    coupled_rollup: bool = True,
 ) -> StreamingQuery:
     """Start the continuous nightly; returns the query handle.
 
@@ -85,7 +86,15 @@ def continuous_nightly(
     table at ``table_path`` and the (cartodb_id, howmany) rollup at
     ``rollup_path``.  ``trigger_available_now=True`` drains the feed
     dir then stops (cron-equivalent, restart-safe); False runs
-    continuous micro-batches."""
+    continuous micro-batches.
+
+    ``coupled_rollup=False`` turns OFF the in-sink rollup
+    maintenance and writes the fact table with
+    ``retain_history=True`` instead: the rollup then belongs to a
+    SEPARATE stream chained off the fact table's commit log
+    (:func:`continuous_nightly_chained`), which is the decoupled
+    form -- the ingest writer and any number of downstream consumers
+    restart independently, the commit log is the only contract."""
     raw = spark.readStream.schema(SODA_FEED_SCHEMA).json(feed_dir)
     normalized = normalize_soda_feed(raw)
 
@@ -94,7 +103,11 @@ def continuous_nightly(
         batch = batch.dropDuplicates(["socrata_id"]).withColumn(
             "__ym", F.concat_ws("-", "year", "month")
         ).localCheckpoint()
-        tx = TxTable(table_path, partition_by=["__ym"])
+        tx = TxTable(
+            table_path,
+            partition_by=["__ym"],
+            retain_history=not coupled_rollup,
+        )
         if tx.exists():
             existing = tx.read(s)
             fresh = new_rows(batch, existing, "socrata_id")
@@ -113,32 +126,10 @@ def continuous_nightly(
                 tx.append(enriched)
             else:
                 tx.init(enriched)
-            # incremental rollup refresh from the insert set's circle
-            # matches -- one bounded delta agg + a dimension-keyed
-            # combine, vs the reference's full MV rebuild
-            delta_counts = intersection_crash_counts(
-                enriched, intersections, months_window=None
-            )
-            # refresh_additive_mv combines RAW delta rows; the circle
-            # join already aggregated, so expand via explode-free
-            # combine: treat the aggregated rows as the delta MV and
-            # reuse the same NULL-safe full-outer combine by passing
-            # them through with count semantics
-            mv = TxTable(rollup_path)
-            if mv.exists():
-                cur = mv.read(s)
-                fused = refresh_additive_mv(
-                    cur,
-                    # delta rows: one row per (crash, circle) match is
-                    # what refresh_additive_mv expects; reuse the
-                    # matched pairs instead of the pre-aggregated form
-                    _circle_matches(enriched, intersections),
-                    group_cols=["cartodb_id"],
-                    count_col="howmany",
-                ).localCheckpoint()
-                mv.merge(fused, "cartodb_id")
-            else:
-                mv.init(delta_counts.localCheckpoint())
+            if coupled_rollup:  # else the chained stream owns the view
+                _maintain_rollup_inline(
+                    s, rollup_path, enriched, intersections
+                )
         # update set: tally reconcile into touched months only (C2)
         if tx.exists():
             updated = batch.join(
@@ -155,14 +146,13 @@ def continuous_nightly(
                         to_fix, mismatches, "socrata_id"
                     ).localCheckpoint()
                     tx.merge(repaired, "socrata_id")
-                    # SIGNED rollup repair: the update is a retraction
-                    # of the old rows plus an insertion of the
-                    # repaired ones, so the rollup stays EXACT under
-                    # membership-changing updates too -- the
-                    # refresh_signed_mv generalization; no periodic
-                    # rebuild needed for correctness
-                    _signed_rollup_repair(s, rollup_path, to_fix, repaired,
-                                          intersections)
+                    if coupled_rollup:
+                        # SIGNED rollup repair: retraction of the old
+                        # rows + insertion of the repaired ones keeps
+                        # the view exact under membership-changing
+                        # updates (refresh_signed_mv)
+                        _signed_rollup_repair(s, rollup_path, to_fix,
+                                              repaired, intersections)
 
     writer = normalized.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -170,6 +160,27 @@ def continuous_nightly(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _maintain_rollup_inline(s, rollup_path, enriched, intersections):
+    """The coupled per-batch rollup refresh (insert path)."""
+    delta_counts = intersection_crash_counts(
+        enriched, intersections, months_window=None
+    )
+    # refresh_additive_mv combines RAW delta rows; the circle join
+    # already aggregated, so reuse the matched pairs at delta grain
+    mv = TxTable(rollup_path)
+    if mv.exists():
+        cur = mv.read(s)
+        fused = refresh_additive_mv(
+            cur,
+            _circle_matches(enriched, intersections),
+            group_cols=["cartodb_id"],
+            count_col="howmany",
+        ).localCheckpoint()
+        mv.merge(fused, "cartodb_id")
+    else:
+        mv.init(delta_counts.localCheckpoint())
 
 
 def _signed_rollup_repair(
@@ -265,6 +276,8 @@ def chain_rollup_stream(
     sum_cols: dict[str, str] | None = None,
     starting_version: int = 0,
     trigger_available_now: bool = True,
+    transform=None,
+    max_versions_per_batch: int | None = None,
 ) -> StreamingQuery:
     """TABLE-TO-TABLE chaining (r3 VERDICT item 2): a downstream
     pipeline consumes an upstream TxTable's commit log through the
@@ -295,6 +308,11 @@ def chain_rollup_stream(
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            # derive the rollup's input rows from the raw change feed
+            # (e.g. a spatial circle-match join); the transform MUST
+            # carry _change_type through so retractions stay signed
+            batch = transform(batch)
         ins = batch.where(F.col(CHANGE_COL) == "insert")
         dels = batch.where(F.col(CHANGE_COL) == "delete")
         cur = (
@@ -311,10 +329,92 @@ def chain_rollup_stream(
             rollup.init(nxt)
 
     writer = (
-        read_txtable_stream(spark, fact.root, starting_version)
+        read_txtable_stream(
+            spark,
+            fact.root,
+            starting_version,
+            max_versions_per_batch=max_versions_per_batch,
+        )
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def continuous_nightly_chained(
+    spark: SparkSession,
+    feed_dir: str,
+    table_path: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    districts: DataFrame,
+    intersections: DataFrame,
+    crosswalk: DataFrame,
+) -> tuple[StreamingQuery, "callable"]:
+    """The DECOUPLED nightly: ingest and rollup as two chained
+    streams instead of one foreachBatch doing both.
+
+    Stream 1 (returned query): feed -> enriched fact TxTable ONLY
+    (``coupled_rollup=False``; the table retains history so its
+    change feed stays readable).  Stream 2 (returned thunk; call it
+    after -- or concurrently with -- stream 1): the fact table's
+    commit log -> per-circle signed rollup via
+    :func:`chain_rollup_stream`, with the spatial circle-match join
+    applied to the change feed as the transform (``_change_type``
+    rides through the join, so an update's retraction decrements the
+    old circles and the repaired row increments the new ones -- the
+    same exactness contract as the coupled form, now across a
+    process boundary).  Either side restarts independently from its
+    own checkpoint; the commit log is the only coupling.
+    """
+    q_ingest = continuous_nightly(
+        spark,
+        feed_dir,
+        table_path,
+        rollup_path,
+        checkpoint_dir + "/ingest",
+        districts,
+        intersections,
+        crosswalk,
+        trigger_available_now=True,
+        coupled_rollup=False,
+    )
+
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import CHANGE_COL
+
+    def circle_transform(batch: DataFrame) -> DataFrame:
+        from nyc_crash_mapper_etl_script_spark.operators.spatial_join import (
+            points_in_circles,
+        )
+
+        filtered = batch.where(
+            (F.col("number_of_persons_injured") > 0)
+            | (F.col("number_of_persons_killed") > 0)
+        ).where(F.col("the_geom").isNotNull())
+        circles = intersections.select(
+            F.col("cartodb_id").alias("__i_id"),
+            F.col("the_geom.center").alias("center"),
+            F.col("the_geom.radius_m").alias("radius_m"),
+        )
+        joined = points_in_circles(
+            filtered.select("the_geom", CHANGE_COL), circles, how="inner"
+        )
+        return joined.select(
+            F.col("g.__i_id").alias("cartodb_id"),
+            F.col(f"p.{CHANGE_COL}").alias(CHANGE_COL),
+        )
+
+    def start_rollup_stream() -> StreamingQuery:
+        return chain_rollup_stream(
+            spark,
+            TxTable(table_path, partition_by=["__ym"], retain_history=True),
+            TxTable(rollup_path),
+            ["cartodb_id"],
+            checkpoint_dir + "/rollup",
+            count_col="howmany",
+            transform=circle_transform,
+        )
+
+    return q_ingest, start_rollup_stream

@@ -152,3 +152,70 @@ def test_continuous_nightly_two_batches(spark, tmp_path_factory):
     assert {
         r["cartodb_id"]: r["howmany"] for r in mv.read(spark).collect()
     } == counts3
+
+
+def test_continuous_nightly_chained_two_streams(spark, tmp_path_factory):
+    """The DECOUPLED nightly: ingest stream writes only the fact
+    TxTable; a second stream chained off its commit log maintains the
+    rollup.  Inserts, a tally update, and a membership-changing
+    update all keep rollup == full recompute -- the coupled form's
+    exactness contract across the commit-log boundary."""
+    from nyc_crash_mapper_etl_script_spark.operators.enrichment import (
+        intersection_crash_counts,
+    )
+    from nyc_crash_mapper_etl_script_spark.plans.continuous import (
+        continuous_nightly_chained,
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    root = tmp_path_factory.mktemp("chained")
+    feed = root / "feed"
+    feed.mkdir()
+    districts, intersections, crosswalk = _dims(spark)
+    table, rollup, ckpt = str(root / "fact"), str(root / "mv"), str(root / "ck")
+
+    def run():
+        q, start_rollup = continuous_nightly_chained(
+            spark, str(feed), table, rollup, ckpt,
+            districts, intersections, crosswalk,
+        )
+        q.awaitTermination(300)
+        r = start_rollup()
+        r.awaitTermination(300)
+
+    _feed(feed, "b1.jsonl", [
+        _row(101, lat="0.5", lng="0.5"),
+        _row(102),
+        _row(104, lat="1.5", lng="1.5"),
+    ])
+    run()
+    tx = TxTable(table, partition_by=["__ym"], retain_history=True)
+    mv = TxTable(rollup)
+
+    def counts():
+        return {r["cartodb_id"]: r["howmany"] for r in mv.read(spark).collect()}
+
+    def full():
+        return {
+            r["cartodb_id"]: r["howmany"]
+            for r in intersection_crash_counts(
+                tx.read(spark), intersections, months_window=None
+            ).collect()
+        }
+
+    assert counts() == {1: 1, 2: 1} == full()
+
+    # batch 2: insert in circle A + tally update (non-membership)
+    _feed(feed, "b2.jsonl", [
+        _row(105, lat="0.51", lng="0.5"),
+        _row(101, lat="0.5", lng="0.5", ped_inj="5"),
+    ])
+    run()
+    assert counts() == {1: 2, 2: 1} == full()
+
+    # batch 3: membership-changing update -- 104 drops to 0 injuries;
+    # the merge's file-level retraction decrements circle B to zero
+    # and the group vanishes from the rollup
+    _feed(feed, "b3.jsonl", [_row(104, lat="1.5", lng="1.5", ped_inj="0")])
+    run()
+    assert counts() == {1: 2} == full()
