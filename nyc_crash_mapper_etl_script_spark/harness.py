@@ -4714,3 +4714,287 @@ def asof_clustered_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "dedup_segment_boilerplate",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             CAST((u.i - 1) // 4 AS BIGINT) AS pos,
+             array_to_string(list_slice(w, u.i, u.i + 3), ' ') AS seg
+      FROM words, unnest(generate_series(1, len(w), 4)) AS u(i)
+    ),
+    cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           string_agg(CASE WHEN c.nd <= 1 THEN s.seg END, ' '
+                      ORDER BY s.pos) AS clean_text,
+           CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM segs s JOIN cnt c USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal
+    (``operators.dedup_text.segment_boilerplate_removal``): segments
+    repeated across >1 distinct documents are stripped from every
+    document and the text reconstructed in order -- the C4/Dolma
+    paragraph-dedup shape, complementing the whole-document exact/
+    near-dup family.  The oracle replays the identical fixed-width
+    segmentation, distinct-doc census, and ordered string_agg
+    rebuild; an all-boilerplate document surfaces clean_text NULL in
+    both engines."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        segment_boilerplate_removal,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return segment_boilerplate_removal(
+        d, "doc_id", "text", seg_words=4, max_docs=1
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): an OUTER
+    join that must preserve zero-order customers, then a two-level
+    aggregate (count per customer -> histogram of counts).  The
+    left join shuffles both sides on the key once; `count(o_orderkey)`
+    counts only matched rows so the no-order customer lands in the
+    c_count=0 bucket exactly as the outer join demands -- an inner
+    join would silently drop the most interesting bucket.  The second
+    aggregate's key space is tiny (max orders per customer), so the
+    histogram is a near-free map-side-combined shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_share,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ship_month
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): a conditional
+    aggregate ratio -- numerator and denominator computed in the SAME
+    grouped pass (two sum exprs, one shuffle), never two scans or a
+    self-join.  The part dimension broadcasts; per-month grouping
+    keeps the output tiny.  Division happens after both sums
+    complete, on the 4-decimal money grid both engines agree on."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_share"
+            ),
+            F.round(F.sum(rev), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count_excluding",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 25
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_count_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counts with an exclusion subquery):
+    NOT IN over a subquery becomes a LEFT ANTI hash join against the
+    (tiny, broadcast) excluded-supplier set -- never a per-row
+    subquery -- followed by COUNT DISTINCT per (brand, size).  The
+    distinct-agg expands to a two-phase plan (dedup on (brand, size,
+    suppkey), then count) and both shuffles key on group columns, so
+    a popular brand costs one hot reduce group, not a pair blowup.
+    The p_size filter is pushed to the part scan before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(l.l_extendedprice), 4) AS small_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity orders below a per-part
+    average): the correlated scalar AVG subquery is computed ONCE as
+    a per-part aggregate and hash-joined back -- the fact table is
+    scanned twice (once for the averages, once for the probe) but
+    never per-row, and the per-part average table is part-dimension
+    sized so the join-back broadcasts under AQE.  The alternative
+    single-scan form (an avg window over l_partkey) trades the second
+    scan for a full-width shuffle; with a narrow 3-column aggregate
+    the rescan is the cheaper side of that trade at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("__half_avg")
+    )
+    return (
+        li.join(avgs, li["l_partkey"] == avgs["__pk"])
+        .where(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 4).alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(cost) AS min_cost FROM costs GROUP BY l_partkey)
+    SELECT c.l_partkey AS p_partkey,
+           min(c.l_suppkey) AS best_suppkey,
+           round(b.min_cost, 4) AS min_cost
+    FROM costs c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.cost = b.min_cost
+    GROUP BY c.l_partkey, b.min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part; adapted to the
+    harness schema -- lineitem stands in for partsupp): the correlated
+    `cost = (SELECT min(..) .. WHERE partkey = outer.partkey)`
+    becomes aggregate-then-join-back, with a deterministic
+    min-suppkey tiebreak for parts where several suppliers hit the
+    minimum.  Equality against the min is float-safe: the min IS one
+    of the aggregated values, bit-identical in both engines.  Two
+    narrow shuffles on l_partkey (the second reuses the first's
+    partitioning under AQE); nothing rescans the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            best,
+            (costs["l_partkey"] == best["__pk"])
+            & (costs["cost"] == best["min_cost"]),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"), F.col("min_cost")
+        )
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+        .select(
+            "p_partkey",
+            "best_suppkey",
+            F.round(F.col("min_cost"), 4).alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customer_balance",
+    """
+    SELECT CAST(c_custkey % 7 AS BIGINT) AS code,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY code
+    """,
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-anti-activity report; cntrycode
+    adapted to a derived key): THREE classic sub-shapes in one query
+    -- an uncorrelated scalar subquery (the global positive-balance
+    average, computed once and broadcast as a 1-row cross join, a
+    documented benign-NLJ shape), a NOT EXISTS against RECENT orders
+    (left anti hash join on the customer key; the date predicate
+    pushes to the orders scan so the anti build side shrinks before
+    it hashes), and a final rollup on a derived code.  The anti join
+    runs on the already average-filtered customer side, so the
+    expensive probe shrinks before it shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("__avg"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return idle.groupBy(
+        (F.col("c_custkey") % 7).cast("long").alias("code")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )

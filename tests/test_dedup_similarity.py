@@ -752,3 +752,30 @@ def test_editdistance_hot_block_cap_bounds_pairs(spark):
     assert cold_c == cold_u and len(cold_c) > 0
     # and the uncapped hot block really was quadratic -- the cap matters
     assert len([r for r in uncapped if r["doc_a"] < 100]) == 30 * 29 // 2
+
+
+def test_segment_boilerplate_removal_hand_built(spark):
+    """Shared header segments vanish from every doc; unique segments
+    survive in order; an all-boilerplate doc comes back NULL."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        segment_boilerplate_removal,
+    )
+
+    hdr = "site nav terms login"  # one 4-word boilerplate segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr} alpha beta gamma delta epsilon zeta eta theta"),
+            (2, f"{hdr} one two three four"),
+            (3, hdr),  # nothing but boilerplate
+            (4, "solo unique words here plus tail content words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in segment_boilerplate_removal(docs, seg_words=4).collect()
+    }
+    assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta", 1)
+    assert out[2] == ("one two three four", 1)
+    assert out[3] == (None, 1)
+    assert out[4] == ("solo unique words here plus tail content words", 0)

@@ -40,6 +40,9 @@ NLJ_OK = {
     "zorder_values",              # 1-row broadcast extent aggregate
     "sample_temperature",         # 1-row broadcast sqrt-sum scalar
     "pipeline_training_mix",      # same 1-row scalar via its sample stage
+    "q22_idle_customer_balance",  # 1-row broadcast global-average scalar
+                                  # (the uncorrelated subquery of TPC-H
+                                  # Q22, applied as a cross join)
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
