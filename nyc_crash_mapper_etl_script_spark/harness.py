@@ -4998,3 +4998,35 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("numcust"),
         F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
     )
+
+
+@register(
+    "export_shuffled_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(hh, 1, 8)) AS UBIGINT) % 8 AS INT)
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(hh, 1, 8)) AS UBIGINT) % 8
+             ORDER BY hh, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def export_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export
+    (``operators.sampling.shuffled_shards``): shard and in-shard
+    position are pure functions of md5(doc_id), so both engines --
+    and every rerun -- agree on the exact permutation (epoch
+    reproducibility, resume-safe loaders).  One shuffle on the shard
+    key; per-shard windows are corpus/n_shards sized, so there is no
+    global sort and no single-task tail.  The oracle derives the
+    identical shard and position from the same hash."""
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import (
+        shuffled_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffled_shards(d, F.col("doc_id"), n_shards=8)

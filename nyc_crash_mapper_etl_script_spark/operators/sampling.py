@@ -117,3 +117,37 @@ def temperature_sample(
         .where(hash_fraction(F.col(key_col), salt) < F.col("__p"))
         .drop("__p")
     )
+
+
+def shuffled_shards(
+    df: DataFrame,
+    key: Column,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle + sharding for training export
+    (reference analog: none -- north-star extension): every row gets
+    a shard id and a position inside its shard, both pure functions
+    of md5(salt || key), so any engine -- and any rerun -- produces
+    the identical byte order.  Training pipelines need this to write
+    N shard files whose concatenation is a reproducible random
+    permutation of the corpus (epoch order, resume-safe data
+    loaders).
+
+    Shape: shard = first-8-hex-digits bucket (uniform), position =
+    row_number over (shard) ordered by the full hash -- ONE shuffle
+    on shard, each window sized corpus/n_shards, no global sort and
+    no single-task ordering bottleneck.  Writing with
+    ``partitionBy(shard)`` then lays each shard out contiguous and
+    position-sorted."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = df.withColumn("__h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), key.asc())
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("__h")

@@ -132,3 +132,35 @@ def test_clustered_merge_keeps_layout_and_rows(spark, tmp_path):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert not re.search(r"\bSort\b", plan)  # merge rewrote all buckets sorted
+
+
+def test_read_clustered_snapshot_vs_concurrent_writes(spark, tmp_path):
+    """Concurrency contract of the clustered catalog read: a handle
+    planned before an APPEND keeps serving its (stale but
+    consistent) snapshot -- appended files are invisible until
+    read_clustered is called again, which re-registers the table and
+    re-lists.  A COMPACT (eager-delete) invalidates the stale
+    handle's planned files; re-calling read_clustered recovers.
+    This is the same freshness model as any path-listing scan; the
+    commit log (TxTable.read) remains the strongly-consistent path."""
+    t = TxTable(str(tmp_path / "tl"), cluster_by=SPEC)
+    tl = _timeline(spark)
+    t.init(tl.where("ts <= 20"))
+
+    handle = t.read_clustered(spark)
+    n0 = handle.count()
+
+    t.append(tl.where("ts > 20"))
+    # stale handle: consistent pre-append snapshot
+    assert handle.count() == n0
+    # fresh handle: sees the append
+    fresh = t.read_clustered(spark)
+    assert fresh.count() == tl.count()
+
+    # compact retires the files the stale handle planned against:
+    # the planned file list now points at unlinked files
+    t.compact(spark)
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        handle.count()
+    # recovery: a fresh clustered read re-lists and is complete
+    assert t.read_clustered(spark).count() == tl.count()
