@@ -144,6 +144,7 @@ _tx_op = st.one_of(
     st.tuples(st.just("crashed_merge"), _tx_batch()),
     st.tuples(st.just("delete"), st.lists(_tx_key, min_size=1, max_size=3)),
     st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("overwrite"), _tx_batch(min_size=0)),
 )
 
 
@@ -191,6 +192,11 @@ def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, o
             model = [r for r in model if r[0] not in set(arg)]
         elif op == "compact":
             tx.compact(spark)
+        elif op == "overwrite":
+            tx.overwrite(
+                spark.createDataFrame(arg, "k long, v string, ym string")
+            )
+            model = list(arg)
 
     got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
