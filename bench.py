@@ -50,6 +50,7 @@ HEADLINE = [
     "pipeline_training_mix",
     "dedup_exact_substring",
     "bloom_semi_join_exact",
+    "dedup_segment_boilerplate",
 ]
 
 

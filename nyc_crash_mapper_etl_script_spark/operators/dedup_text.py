@@ -731,6 +731,7 @@ def segment_boilerplate_removal(
     every segment was boilerplate (matching SQL ``string_agg`` over
     an all-NULL group, which the oracle relies on).
     """
+    docs = _ensure_parallelism(docs)  # single-file corpora: spread the explode
     words = F.split(F.col(text_col), " ")
     seg_at = lambda i: F.array_join(  # noqa: E731
         F.slice(words, i * seg_words + F.lit(1), seg_words), " "

@@ -264,3 +264,37 @@ def test_max_versions_per_batch_paces_the_backlog(spark, table, tmp_path):
     q.stop()
     non_empty = [b for b in batches if b]
     assert non_empty == [[1], [2], [3], [4]]
+
+
+def test_vacuum_retention_vs_lagging_stream(spark, table, tmp_path):
+    """Retention contract: a lagging consumer survives
+    vacuum(keep_versions=k) while its backlog is inside the window,
+    and fails with the explanatory FileNotFound path once vacuum(0)
+    reclaims archived files it still needs -- the Delta
+    retention-vs-streaming-lag trade, made explicit."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, table.root, out, ckpt)  # consumer at v1
+
+    table.merge(_rows(spark, [(2, "B", "2024-05")]), "k")  # v2 archives v1 files
+    table.append(_rows(spark, [(4, "d", "2024-06")]))      # v3
+    table.vacuum(keep_versions=3)  # window covers the consumer's backlog
+    _drain(spark, table.root, out, ckpt)  # catches up fine
+    net = (
+        spark.read.parquet(out)
+        .withColumn(
+            "sgn", F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        )
+        .groupBy("k", "v")
+        .agg(F.sum("sgn").alias("n"))
+        .where("n != 0")
+    )
+    assert {(r["k"], r["v"]) for r in net.collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"),
+    }
+
+    # now lag again and reclaim ALL history: the stream's next drain
+    # needs v4's removed files, which vacuum(0) deleted
+    table.merge(_rows(spark, [(4, "D", "2024-06")]), "k")  # v4
+    table.vacuum(keep_versions=0)
+    with pytest.raises(Exception, match="(?i)retain_history|unreadable|exist"):
+        _drain(spark, table.root, out, ckpt)
