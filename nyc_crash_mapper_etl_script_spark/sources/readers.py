@@ -88,3 +88,32 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_soda_snapshot_audited(
+    spark: SparkSession, path: str, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """S1 with MALFORMED-LINE auditing: the reference trusts the feed
+    blindly (a bad row 500s the whole nightly, main.py:1198-1200
+    merely emails about it); at pipeline scale a poisoned line must
+    neither kill the job nor vanish silently.  PERMISSIVE JSON parse
+    with an explicit corrupt-record column: parseable lines arrive
+    typed, unparseable ones land raw in ``corrupt_col`` (NULL
+    everywhere else), so the caller splits the scan into the clean
+    feed (``corrupt_col IS NULL``) and a quarantine audit the same
+    way the unmapped-vehicle-type audit (J4) quarantines bad
+    dimension values.  Spark restriction worth knowing: a query may
+    not reference ONLY the corrupt column (column pruning can reduce
+    a filtered count to exactly that) -- ``cache()`` the frame or
+    select a data column alongside it."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(SODA_FEED_SCHEMA.fields) + [StructField(corrupt_col, StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -291,3 +291,31 @@ def test_read_jdbc_live_embedded_derby(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "SEVERITY" in plan
+
+
+def test_read_soda_snapshot_audited_quarantines_bad_lines(spark, tmp_path):
+    """S1 robustness: malformed feed lines land in _corrupt_record
+    (raw text preserved) instead of killing the scan or vanishing;
+    clean rows parse normally and flow into the pipeline."""
+    from nyc_crash_mapper_etl_script_spark.sources.readers import (
+        read_soda_snapshot_audited,
+    )
+
+    feed = tmp_path / "feed.jsonl"
+    feed.write_text(
+        '{"collision_id": "1", "crash_date": "2024-06-01T00:00:00.000"}\n'
+        "{this is not json at all\n"
+        '{"collision_id": "2", "crash_date": "2024-06-02T00:00:00.000"}\n'
+    )
+    # cache() is Spark's documented workaround for the
+    # only-corrupt-column query restriction the helper notes
+    df = read_soda_snapshot_audited(spark, str(feed)).cache()
+    rows = df.select("collision_id", "_corrupt_record").collect()
+    good = {r["collision_id"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == {"1", "2"}
+    assert bad == ["{this is not json at all"]
+    # the clean split feeds the normal pipeline
+    clean = df.where(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    assert clean.count() == 2
+    df.unpersist()
