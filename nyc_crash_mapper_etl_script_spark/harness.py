@@ -5030,3 +5030,48 @@ def export_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return shuffled_shards(d, F.col("doc_id"), n_shards=8)
+
+
+@register(
+    "txtable_stats_pruned_scan",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS price
+    FROM orders
+    WHERE o_totalprice >= 200000.0 AND o_totalprice <= 300000.0
+    ORDER BY o_orderkey
+    """,
+)
+def txtable_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log data skipping (``TxTable.read_pruned``): per-file
+    column min/max is harvested from staged parquet footers at commit
+    (driver-side metadata only) and a range scan drops files the log
+    PROVES disjoint before any footer is opened -- Delta's
+    data-skipping stats.  The table is committed in two
+    price-disjoint halves, so the range below provably skips the low
+    half's files (strict file subset pinned by
+    tests/test_txtable.py::test_commit_log_stats_prune_files); the
+    oracle is the plain filter over the same rows, pinning that
+    pruning bounds FILES, never rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="txstats_")
+    try:
+        t = TxTable(os.path.join(base, "orders_tx"))
+        t.init(o.where(F.col("o_totalprice") < 150000.0))
+        t.append(o.where(F.col("o_totalprice") >= 150000.0))
+        pruned = t.read_pruned(spark, "o_totalprice", 200000.0, 300000.0)
+        rows = (
+            pruned.select(
+                "o_orderkey", F.round("o_totalprice", 4).alias("price")
+            )
+            .orderBy("o_orderkey")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderkey long, price double")

@@ -53,6 +53,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"
@@ -588,6 +589,89 @@ class TxTable:
         except OSError:
             pass
 
+    def _file_stats(self, mapping: dict[str, str]) -> dict[str, dict]:
+        """Per-file column min/max harvested from the STAGED parquet
+        footers (pyarrow metadata only -- no data pages read) and
+        recorded in the commit entry, Delta's data-skipping stats.
+        Bounded by files-per-commit x columns; runs on the driver
+        before the commit point.  Only JSON-faithful primitive types
+        are recorded (int/float/bool/str) -- temporal and nested
+        columns are skipped and therefore never pruned on."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {}
+        out: dict[str, dict] = {}
+        for final_rel, staged_rel in mapping.items():
+            path = os.path.join(self.root, staged_rel)
+            try:
+                meta = pq.ParquetFile(path).metadata
+            except Exception:  # noqa: BLE001 -- stats are best-effort
+                continue
+            cols: dict[str, list] = {}
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    cc = row_group.column(ci)
+                    st = cc.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    name = cc.path_in_schema
+                    if "." in name:  # nested leaf -- skip
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes) or isinstance(mx, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except Exception:  # noqa: BLE001
+                            continue
+                    if not isinstance(mn, (int, float, bool, str)):
+                        continue
+                    if name in cols:
+                        cols[name][0] = min(cols[name][0], mn)
+                        cols[name][1] = max(cols[name][1], mx)
+                    else:
+                        cols[name] = [mn, mx]
+            if cols:
+                out[final_rel] = cols
+        return out
+
+    def pruned_files(self, col: str, lo, hi) -> list[str]:
+        """The live files whose logged [min, max] for ``col`` can
+        intersect [lo, hi] -- pure log arithmetic, no file IO.  Files
+        committed without stats for ``col`` are kept (conservative:
+        pruning may only skip provably-disjoint files)."""
+        stats: dict[str, dict] = {}
+        for e in self._entries():
+            for f, cols in e.get("stats", {}).items():
+                stats[f] = cols
+        keep = []
+        for f in self._live_files():
+            cs = stats.get(f, {}).get(col)
+            if cs is None or not (cs[1] < lo or cs[0] > hi):
+                keep.append(f)
+        return keep
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo, hi
+    ) -> DataFrame:
+        """Range scan that skips files the commit-log stats prove
+        disjoint from [lo, hi] BEFORE any footer is opened -- the
+        IVF-probe strict-file-subset contract applied to arbitrary
+        columns.  The exact predicate is still applied (stats bound
+        files, not rows), so results equal
+        ``read().where(lo <= col <= hi)``."""
+        self._recover()
+        files = [self._resolve(f) for f in self.pruned_files(col, lo, hi)]
+        if not files:
+            empty = self.read(spark).where("1=0")
+            return empty.where(
+                (F_col(col) >= lo) & (F_col(col) <= hi)
+            )
+        return self._read_files(spark, files).where(
+            (F_col(col) >= lo) & (F_col(col) <= hi)
+        )
+
     def _commit(
         self,
         mapping: dict[str, str],
@@ -601,6 +685,9 @@ class TxTable:
             "remove": sorted(removes),
             "staged": mapping,
         }
+        stats = self._file_stats(mapping)
+        if stats:
+            entry["stats"] = stats
         schema = getattr(self, "_staged_schema", None)
         if schema is not None:
             entry["schema"] = schema

@@ -562,3 +562,47 @@ def test_raise_if_concurrent_requires_missing_snapshot_file(spark, table):
         table._raise_if_concurrent(
             RuntimeError(f"File {gone} does not exist"), base
         )
+
+
+def test_commit_log_stats_prune_files(spark, tmp_path):
+    """Data skipping from the commit log: per-file column min/max is
+    harvested from staged footers at commit, and read_pruned scans a
+    STRICT file subset for a disjoint range while returning exactly
+    read().where(...) rows.  Files without stats stay conservatively
+    included."""
+    t = TxTable(str(tmp_path / "t"))
+    t.init(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, x double"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(1000, 1100)], "k long, x double"
+        ).coalesce(1)
+    )
+    assert len(t._live_files()) == 2
+    # stats recorded for both commits
+    assert all("stats" in e for e in t._entries())
+
+    # a range inside the second file's span prunes the first file
+    assert len(t.pruned_files("x", 1000.0, 1050.0)) == 1
+    got = sorted(r["k"] for r in t.read_pruned(spark, "x", 1000.0, 1050.0).collect())
+    want = sorted(
+        r["k"]
+        for r in t.read(spark).where("x >= 1000.0 and x <= 1050.0").collect()
+    )
+    assert got == want and len(got) == 51
+    # the pruned plan reads exactly one file
+    assert len(t.read_pruned(spark, "x", 1000.0, 1050.0).inputFiles()) == 1
+    # spanning range keeps both; unknown column keeps both (conservative)
+    assert len(t.pruned_files("x", 50.0, 1001.0)) == 2
+    assert len(t.pruned_files("nope", 0, 1)) == 2
+    # fully disjoint range: empty result, zero files
+    assert t.read_pruned(spark, "x", 5000.0, 6000.0).count() == 0
+
+    # string stats prune too
+    t2 = TxTable(str(tmp_path / "s"))
+    t2.init(spark.createDataFrame([("aa",), ("ab",)], "s string").coalesce(1))
+    t2.append(spark.createDataFrame([("zx",), ("zz",)], "s string").coalesce(1))
+    assert len(t2.pruned_files("s", "z", "zzzz")) == 1
