@@ -606,3 +606,29 @@ def test_commit_log_stats_prune_files(spark, tmp_path):
     t2.init(spark.createDataFrame([("aa",), ("ab",)], "s string").coalesce(1))
     t2.append(spark.createDataFrame([("zx",), ("zz",)], "s string").coalesce(1))
     assert len(t2.pruned_files("s", "z", "zzzz")) == 1
+
+
+def test_zorder_compact_feeds_commit_log_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER + commit-log stats compose: after a Morton
+    compact the rewrite commit records per-file min/max for BOTH
+    clustered dimensions, so read_pruned skips files on either axis
+    from the LOG alone -- the planning-time layer above the footer
+    min/max pruning the zorder test already pins."""
+    t = TxTable(str(tmp_path / "z"))
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10.0).alias("y"),
+    )
+    t.init(df)
+    t.compact(spark, zorder_by=("x", "y"), zorder_bits=8, n_files=8)
+    nf = len(t._live_files())
+    assert nf > 3
+    # a narrow band on EITHER axis must skip files via log stats only
+    assert len(t.pruned_files("x", 10.0, 30.0)) < nf
+    assert len(t.pruned_files("y", 10.0, 30.0)) < nf
+    # and row parity with the plain filtered read holds
+    got = t.read_pruned(spark, "y", 10.0, 30.0).count()
+    want = t.read(spark).where("y >= 10.0 and y <= 30.0").count()
+    assert got == want > 0
