@@ -5075,3 +5075,34 @@ def txtable_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "o_orderkey long, price double")
+
+
+@register(
+    "sample_weighted_aes",
+    """
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) / 4294967296.0) / n_chars AS aes
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY aes DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (``operators.sampling.weighted_sample``, Efraimidis-Spirakis
+    A-ES keyed on the md5 hash family): top-100 documents by
+    ln(u)/n_chars -- a reproducible, weight-proportional subcorpus
+    draw.  TakeOrderedAndProject (per-partition heaps), never a
+    global sort; the oracle replays the identical draw."""
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(
+        d, F.col("doc_id"), F.col("n_chars"), k=100
+    )

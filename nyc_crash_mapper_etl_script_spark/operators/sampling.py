@@ -151,3 +151,40 @@ def shuffled_shards(
     return out.withColumn(
         "pos", F.row_number().over(w).cast("long")
     ).drop("__h")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES), distributed and deterministic: each row draws
+    u = md5-fraction(salt || key) and ranks by ln(u)/w -- the top-k
+    ranks ARE a weight-proportional sample without replacement, and
+    because u is a pure hash the same call reproduces the same
+    sample in any engine (reference analog: none -- north-star
+    training-data extension; the standard way to draw a budgeted
+    subcorpus where quality scores are sampling weights).
+
+    Plan: one narrow projection + TakeOrderedAndProject (per-partition
+    heaps of k, driver merge) -- no shuffle of the full table, no
+    global sort.  Rows with non-positive weight are excluded (their
+    key is undefined).  Float caveat: cross-engine log() can differ
+    in the last ulp; a flip requires two sort keys within ~1e-16
+    relative, which the unique-key md5 draw makes probability-zero
+    in practice (same class of caveat as the temperature sampler's
+    documented pow-vs-sqrt choice)."""
+    u = hash_fraction(key, salt)
+    # ln(u)/w in (-inf, 0); larger (closer to 0) = more likely kept.
+    # u is never exactly 0 (md5 of real keys), so ln is finite.
+    score = F.log(u) / weight
+    return (
+        df.where(weight > 0)
+        .withColumn("__aes", score)
+        .orderBy(F.col("__aes").desc(), key.asc())
+        .limit(k)
+        .drop("__aes")
+    )

@@ -427,3 +427,26 @@ def test_salted_join_matches_plain(spark):
     left_plain = fact.join(dim_missing_hot, "k", "left").count()
     left_salted = salted_join(fact, dim_missing_hot, "k", n_salts=8, how="left").count()
     assert left_salted == left_plain == fact.count()
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """A-ES: same call reproduces the same sample; zero/negative
+    weights are excluded; across salts, a 100x-weight row appears far
+    more often than a 1x row (weight proportionality, coarse)."""
+    from pyspark.sql import functions as F
+
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 100.0 if i == 0 else 1.0) for i in range(50)] + [(99, 0.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    s1 = sorted(r["k"] for r in weighted_sample(df, F.col("k"), F.col("w"), 10).collect())
+    s2 = sorted(r["k"] for r in weighted_sample(df, F.col("k"), F.col("w"), 10).collect())
+    assert s1 == s2 and len(s1) == 10
+    assert 99 not in s1  # zero weight excluded
+    hits = sum(
+        0 in {r["k"] for r in weighted_sample(df, F.col("k"), F.col("w"), 10, salt=str(t)).collect()}
+        for t in range(12)
+    )
+    assert hits >= 10  # the 100x row is nearly always drawn
