@@ -5106,3 +5106,46 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         d, F.col("doc_id"), F.col("n_chars"), k=100
     )
+
+
+_LEAKSAFE_SQL = _CC_SQL.replace(
+    "SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id",
+    """, clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN frac < 0.9 THEN 'train'
+                WHEN frac < 0.9500000000000001 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster,
+             CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS frac
+      FROM clusters
+    )""",
+)
+
+
+@register("split_leakage_safe", _LEAKSAFE_SQL)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: split by the hashed
+    NEAR-DUP CLUSTER label, not the document id, so every member of
+    a duplicate cluster lands in the same split -- the standard
+    eval-contamination defense a per-document hash split cannot give
+    (two near-identical docs hash independently and straddle
+    train/test).  Composes the oracle-checked cluster resolution
+    (min-label pointer jumping == the recursive-CTE reachability)
+    with the deterministic md5 split on the cluster key; boundaries
+    mirror hash_split's Python-float accumulation exactly
+    (0.95 accumulates to 0.9500000000000001 in both engines).
+    Cost beyond clustering itself: a pure codegen projection."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=5, threshold=0.5)
+    clusters = duplicate_clusters(d, pairs)
+    return hash_split(clusters, "cluster")
