@@ -5149,3 +5149,78 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(d, k=5, threshold=0.5)
     clusters = duplicate_clusters(d, pairs)
     return hash_split(clusters, "cluster")
+
+
+@register(
+    "dedup_lsh_quality",
+    _minhash_md5_block()
+    + """
+    , common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(common / CAST(x.n_sh + y.n_sh - common AS DOUBLE), 6) AS j
+        FROM common
+        JOIN sizes x ON id_a = x.doc_id
+        JOIN sizes y ON id_b = y.doc_id
+      ) WHERE j >= 0.5
+    ),
+    l AS (SELECT id_a, id_b FROM lshpairs),
+    m AS (SELECT count(*) AS n_common FROM l JOIN exact USING (id_a, id_b))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lsh,
+           (SELECT CAST(n_common AS BIGINT) FROM m) AS n_common,
+           round(CAST((SELECT n_common FROM m) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM l), 1), 6) AS precision,
+           round(CAST((SELECT n_common FROM m) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM exact), 1), 6) AS recall
+    """,
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation for the TEXT dedup family, mirroring
+    ``sim_lsh_recall`` for ANN: precision/recall of the banded-LSH
+    candidate-pair set against the EXACT jaccard >= 0.5 pair set over
+    the same 5-shingles -- the acceptance metric that tells an
+    operator whether 64 perms / 16 bands is enough for their corpus.
+    Both pair sets, their intersection, and the rounded ratios are
+    replayed end-to-end by the oracle (same md5 hash family, same
+    affine permutations).  The three counts cross-join as 1-row
+    scalars (documented benign-NLJ shape)."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lsh = minhash_near_duplicates(
+        d, num_perm=64, bands=16, threshold=0.5, base_hash="md5"
+    ).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(d, k=5, threshold=0.5).select("id_a", "id_b")
+    ea = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    la = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    ca = lsh.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        ea.crossJoin(la)
+        .crossJoin(ca)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.greatest(F.col("n_lsh"), F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.greatest(F.col("n_exact"), F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )

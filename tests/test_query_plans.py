@@ -43,6 +43,8 @@ NLJ_OK = {
     "q22_idle_customer_balance",  # 1-row broadcast global-average scalar
                                   # (the uncorrelated subquery of TPC-H
                                   # Q22, applied as a cross join)
+    "dedup_lsh_quality",          # three 1-row count scalars cross-joined
+                                  # into the precision/recall summary row
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
