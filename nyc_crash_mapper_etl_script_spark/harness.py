@@ -5224,3 +5224,72 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "txtable_merge_update",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(CASE WHEN o_orderkey % 5 = 0
+                               AND o_orderpriority LIKE '1%'
+                               THEN o_totalprice * 2
+                               ELSE o_totalprice END * 100) AS BIGINT))
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def txtable_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TxTable.merge_update`` -- UPDATE ... FROM on the table
+    format (reference S9/J11: ``UPDATE t SET col = s.col FROM s WHERE
+    t.key = s.key AND cond``, main.py:637-640): a price-doubling
+    update lands ONLY on matched keys passing the row condition;
+    unmatched source rows (phantom negative keys) are ignored
+    (UPDATE, not upsert); untouched partitions carry over.  The
+    oracle is the equivalent CASE projection over the source table,
+    rolled up in exact integer cents."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txupd_")
+    try:
+        t = TxTable(
+            os.path.join(base, "orders_tx"), partition_by=["o_orderstatus"]
+        )
+        t.init(o)
+        src = o.where(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+        phantom = spark.createDataFrame(
+            [(-1, 1.0), (-2, 2.0)], "o_orderkey long, o_totalprice double"
+        )
+        t.merge_update(
+            src.unionByName(phantom),
+            "o_orderkey",
+            set_cols=["o_totalprice"],
+            condition=F.col("o_orderpriority").startswith("1"),
+        )
+        rows = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n long, total_cents long"
+    )

@@ -937,6 +937,85 @@ class TxTable:
         _, mapping = self._stage(merged)
         return mapping, removes
 
+    def merge_update(
+        self,
+        source: DataFrame,
+        key: str,
+        set_cols: list[str],
+        condition=None,
+    ) -> int:
+        """UPDATE ... FROM directly on the table format (the
+        reference's S9/J11 shape, ``UPDATE t SET col = s.col FROM s
+        WHERE t.key = s.key [AND cond]``, main.py:637-640, 944-960 --
+        but as one atomic partition-scoped commit instead of 1 q/s
+        row loops).  Matched rows take ``set_cols`` from the source
+        when ``condition`` (a Column over the joined row; source
+        columns reachable as ``__src_<col>``) holds; every other
+        column keeps its value; UNMATCHED SOURCE ROWS ARE IGNORED --
+        this is UPDATE semantics, not :meth:`merge`'s upsert.  Only
+        partitions holding matched keys rewrite."""
+        from pyspark.sql import functions as FF
+
+        self._recover()
+        base_version = self._snapshot_version()
+        spark = source.sparkSession
+        try:
+            current = self.read(spark)
+            src_keys = source.select(key).where(
+                source[key].isNotNull()
+            ).distinct()
+            if self.partition_by:
+                touched = {
+                    self._partition_rel(r)
+                    for r in current.join(src_keys, on=key, how="left_semi")
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                }
+                if not touched:
+                    return self._snapshot_version()
+                prefixes = tuple(t + os.sep for t in sorted(touched))
+                removes = [
+                    f for f in self._live_files() if f.startswith(prefixes)
+                ]
+                base = self._read_files(
+                    spark, [os.path.join(self.root, f) for f in removes]
+                )
+            else:
+                removes = list(self._live_files())
+                base = current
+            src = source.select(
+                FF.col(key).alias("__src_key"),
+                *[
+                    FF.col(c).alias(f"__src_{c}")
+                    for c in source.columns
+                    if c != key
+                ],
+            )
+            joined = base.join(
+                src, base[key] == src["__src_key"], "left"
+            )
+            matched = FF.col("__src_key").isNotNull()
+            gate = matched if condition is None else (matched & condition)
+            updated = joined.select(
+                *[
+                    (
+                        FF.when(gate, FF.col(f"__src_{c}"))
+                        .otherwise(FF.col(c))
+                        .alias(c)
+                        if c in set_cols
+                        else FF.col(c)
+                    )
+                    for c in base.columns
+                ]
+            ).localCheckpoint()
+            _, mapping = self._stage(updated)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._raise_if_concurrent(e, base_version)
+        return self._commit(
+            mapping, removes, "merge_update", base_version=base_version
+        )
+
     def compact(
         self,
         spark: SparkSession,

@@ -632,3 +632,31 @@ def test_zorder_compact_feeds_commit_log_stats(spark, tmp_path):
     got = t.read_pruned(spark, "y", 10.0, 30.0).count()
     want = t.read(spark).where("y >= 10.0 and y <= 30.0").count()
     assert got == want > 0
+
+
+def test_merge_update_column_subset_and_condition(spark, table):
+    """UPDATE ... FROM semantics: matched rows take only set_cols
+    (other columns keep), the condition gates per row, unmatched
+    source rows are IGNORED (no upsert), and only partitions holding
+    matched keys rewrite."""
+    june_before = {f for f in table._live_files() if f.startswith("ym=2024-06")}
+    src = spark.createDataFrame(
+        [(1, "A1", "zzz"), (2, "A2", "zzz"), (7, "new", "zzz")],
+        "k long, v string, other string",
+    )
+    # condition: only update rows whose current v != 'b' (so k=2 keeps)
+    table.merge_update(
+        src, "k", set_cols=["v"], condition=F.col("v") != "b"
+    )
+    got = _as_dict(table.read(spark))
+    assert got[1] == ("A1", "2024-05")  # updated
+    assert got[2] == ("b", "2024-05")   # condition blocked
+    assert got[3] == ("c", "2024-06")   # unmatched partition untouched
+    assert 7 not in got                 # UPDATE, not upsert
+    # june files carried over untouched (no matched key there)
+    june_after = {f for f in table._live_files() if f.startswith("ym=2024-06")}
+    assert june_before == june_after
+    # unconditional update of both may rows
+    table.merge_update(src, "k", set_cols=["v"])
+    got = _as_dict(table.read(spark))
+    assert got[1] == ("A1", "2024-05") and got[2] == ("A2", "2024-05")
