@@ -1082,6 +1082,52 @@ class TxTable:
             self._raise_if_concurrent(e, base_version)
         return self._commit(mapping, removes, "compact", base_version=base_version)
 
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Predicate DELETE (Delta's ``DELETE FROM t WHERE cond``):
+        rewrite only the partitions that hold a matching row, keeping
+        their non-matching rows; partitions with no match carry over
+        untouched.  ``condition`` is a Column over the table's rows.
+        The doomed-partition probe is one filtered scan collecting
+        DISTINCT partition values -- partition-dimension sized."""
+        self._recover()
+        base_version = self._snapshot_version()
+        try:
+            current = self.read(spark)
+            if self.partition_by:
+                touched = [
+                    self._partition_rel(r)
+                    for r in current.where(condition)
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                ]
+                if not touched:
+                    return self._snapshot_version()
+                prefixes = tuple(t + os.sep for t in sorted(touched))
+                removes = [
+                    f for f in self._live_files() if f.startswith(prefixes)
+                ]
+                base = self._read_files(
+                    spark, [os.path.join(self.root, f) for f in removes]
+                )
+            else:
+                removes = list(self._live_files())
+                base = current
+            # SQL DELETE semantics: a NULL condition KEEPS the row
+            # (only provably-TRUE rows die), so negate through a
+            # coalesce -- a bare ~condition would delete NULLs too
+            from pyspark.sql import functions as FF
+
+            kept = base.where(
+                ~FF.coalesce(condition, FF.lit(False))
+            ).localCheckpoint()
+            _, mapping = self._stage(kept)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._raise_if_concurrent(e, base_version)
+        return self._commit(
+            mapping, removes, "delete_where", base_version=base_version
+        )
+
     def delete(self, keys: DataFrame, key: str) -> int:
         """DELETE-by-key (S10): rewrite only the partitions holding
         doomed rows."""

@@ -660,3 +660,29 @@ def test_merge_update_column_subset_and_condition(spark, table):
     table.merge_update(src, "k", set_cols=["v"])
     got = _as_dict(table.read(spark))
     assert got[1] == ("A1", "2024-05") and got[2] == ("A2", "2024-05")
+
+
+def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
+    """Predicate DELETE: only provably-TRUE rows die (NULL condition
+    keeps, per SQL DELETE); untouched partitions carry over; a
+    no-match predicate is a no-op commit-wise."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["ym"])
+    t.init(
+        spark.createDataFrame(
+            [
+                (1, 10, "2024-05"),
+                (2, None, "2024-05"),  # NULL score: condition NULL
+                (3, 99, "2024-06"),
+                (4, 1, "2024-07"),
+            ],
+            "k long, score int, ym string",
+        )
+    )
+    july_before = {f for f in t._live_files() if f.startswith("ym=2024-07")}
+    v = t.delete_where(spark, F.col("score") >= 10)
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {2, 4}  # 1 and 3 deleted; NULL row kept
+    july_after = {f for f in t._live_files() if f.startswith("ym=2024-07")}
+    assert july_before == july_after  # untouched partition carried over
+    # no-match predicate: version unchanged
+    assert t.delete_where(spark, F.col("score") > 1000) == v
