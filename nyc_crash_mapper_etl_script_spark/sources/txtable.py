@@ -314,12 +314,41 @@ class TxTable:
 
     # -- read -------------------------------------------------------------
 
+    def _read_resolved(self, spark: SparkSession, rels: list[str], schema) -> DataFrame:
+        """Read a set of logged rels wherever they live NOW.  A
+        time-travel or CDC read can legitimately mix still-live files
+        (under the root) with superseded ones (under ``_archive``);
+        one ``basePath`` cannot describe both (Spark raises
+        CONFLICTING_DIRECTORY_STRUCTURES), so the paths group by
+        resolution base and union -- partition columns infer
+        identically in each group because the archive mirrors the
+        hive layout."""
+        groups: dict[str, list[str]] = {}
+        for rel in rels:
+            p = self._resolve(rel)
+            base = (
+                self.root
+                if p == os.path.join(self.root, rel)
+                else os.path.join(self.root, _ARCHIVE_DIR)
+            )
+            groups.setdefault(base, []).append(p)
+        out: DataFrame | None = None
+        for base, paths in sorted(groups.items()):
+            reader = spark.read.option("basePath", base)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*sorted(paths))
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Current table, or -- with ``version`` and
         ``retain_history=True`` -- the table exactly as of that
-        committed version (partition columns included via basePath)."""
+        committed version (partition columns included via basePath;
+        a snapshot whose files now straddle the root and the archive
+        reads correctly -- _read_resolved groups by base)."""
         self._recover()
-        files = [self._resolve(f) for f in self._live_files(version=version)]
+        files = self._live_files(version=version)
         if not files:
             # A fully-deleted table is still a table: its schema rides
             # in the commit log (newest entry that recorded one), so
@@ -338,16 +367,12 @@ class TxTable:
                         [], StructType.fromJson(_json.loads(e["schema"]))
                     )
             raise FileNotFoundError(f"empty tx table at {self.root}")
-        reader = spark.read.option("basePath", self.root)
         # read through the LOGGED schema (as of the requested version):
         # after add-column evolution the live files legitimately carry
         # mixed schemas, and an explicit schema makes older files
         # surface NULL for later columns instead of sampling one file's
         # footer and dropping the rest
-        logged = self.logged_schema(version)
-        if logged is not None:
-            reader = reader.schema(logged)
-        return reader.parquet(*files)
+        return self._read_resolved(spark, files, self.logged_schema(version))
 
     def history(self) -> list[dict]:
         """Commit audit trail, newest first: version, operation, and
@@ -396,10 +421,9 @@ class TxTable:
                 if schema is None:
                     raise FileNotFoundError("no logged schema for empty diff side")
                 return spark.createDataFrame([], schema)
-            reader = spark.read.option("basePath", self.root)
-            if schema is not None:
-                reader = reader.schema(schema)
-            return reader.parquet(*[self._resolve(f) for f in sorted(rels)])
+            # a diff side can mix live and archived files (e.g. after
+            # a restore) -- group by resolution base like read()
+            return self._read_resolved(spark, sorted(rels), schema)
 
         added = _read(after - before)
         removed = _read(before - after)
@@ -410,6 +434,44 @@ class TxTable:
             "_change_type", F.lit("delete")
         )
         return inserts.unionByName(deletes)
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: roll the table back to a committed version
+        AS A NEW COMMIT (history is never rewritten -- the rollback
+        itself is auditable and revertible).  Requires
+        ``retain_history=True`` so the target version's superseded
+        files are still in ``_archive``; they are COPIED back into
+        the root under fresh names (the archived copies stay, so
+        time travel across the restore point keeps working).  Pure
+        file-level operation -- no Spark job, no data rewrite beyond
+        the copies."""
+        self._recover()
+        base_version = self._snapshot_version()
+        if not (1 <= version <= base_version):
+            raise ValueError(f"version {version} has never been committed")
+        target = self._live_files(version=version)
+        current = set(self._live_files())
+        mapping: dict[str, str] = {}
+        staging = os.path.join(self.root, _STAGING_DIR, uuid.uuid4().hex)
+        for rel in target:
+            if rel in current:
+                continue  # still live: carried over by not removing it
+            src = self._resolve(rel)
+            # stage a copy under a fresh name in the same partition dir
+            fresh = f"part-restore-{uuid.uuid4().hex[:8]}.parquet"
+            final_rel = os.path.join(os.path.dirname(rel), fresh) if os.sep in rel else fresh
+            staged_abs = os.path.join(staging, final_rel)
+            os.makedirs(os.path.dirname(staged_abs), exist_ok=True)
+            shutil.copyfile(src, staged_abs)
+            mapping[final_rel] = os.path.relpath(staged_abs, self.root)
+        removes = sorted(current - set(target))
+        schema = self.logged_schema(version)
+        self._staged_schema = schema.json() if schema is not None else None
+        if self._staged_schema is None:
+            self.__dict__.pop("_staged_schema", None)
+        return self._commit(
+            mapping, removes, "restore", base_version=base_version
+        )
 
     def vacuum(self, keep_versions: int = 0) -> int:
         """Drop archived history, with Delta-style RETENTION:

@@ -686,3 +686,57 @@ def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
     assert july_before == july_after  # untouched partition carried over
     # no-match predicate: version unchanged
     assert t.delete_where(spark, F.col("score") > 1000) == v
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE: the table returns to a prior version's exact content
+    via a NEW auditable commit; history is append-only, time travel
+    across the restore point keeps working, and plain parquet readers
+    see the restored state."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["ym"], retain_history=True)
+    v1 = t.init(_rows(spark, [(1, "a", "2024-05"), (2, "b", "2024-06")]))
+    v2 = t.merge(_rows(spark, [(2, "B", "2024-06")]), "k")
+    t.append(_rows(spark, [(3, "c", "2024-07")]))
+
+    t.restore(v1)
+    assert _as_dict(t.read(spark)) == {1: ("a", "2024-05"), 2: ("b", "2024-06")}
+    assert _as_dict(spark.read.parquet(t.root)) == _as_dict(t.read(spark))
+    assert [e["op"] for e in t.history()][:2] == ["restore", "append"]
+    # time travel to the pre-restore state still works
+    assert _as_dict(t.read(spark, version=v2))[2] == ("B", "2024-06")
+    # and restoring forward again (to v2's state) also works
+    t.restore(v2)
+    assert _as_dict(t.read(spark))[2] == ("B", "2024-06")
+
+    with pytest.raises(ValueError, match="never been committed"):
+        t.restore(99)
+
+
+def test_restore_without_history_fails_loudly(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    v1 = t.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.merge(spark.createDataFrame([(1, "b")], "k long, v string"), "k")
+    with pytest.raises(FileNotFoundError, match="archive"):
+        t.restore(v1)
+
+
+def test_time_travel_mixed_root_and_archive_files(spark, tmp_path):
+    """A snapshot whose files now straddle the root and the archive
+    (one partition rewritten since, another still live) must read
+    correctly -- a single-basePath read would raise
+    CONFLICTING_DIRECTORY_STRUCTURES; _read_resolved groups by
+    resolution base."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["ym"], retain_history=True)
+    v1 = t.init(_rows(spark, [(1, "a", "2024-05"), (2, "b", "2024-06")]))
+    t.merge(_rows(spark, [(2, "B", "2024-06")]), "k")  # archives 06 only
+    # v1's 05 file is still LIVE, its 06 file is ARCHIVED
+    assert _as_dict(t.read(spark, version=v1)) == {
+        1: ("a", "2024-05"),
+        2: ("b", "2024-06"),
+    }
+    # the CDC diff across that boundary also mixes bases
+    diff = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changes(spark, v1).collect()
+    )
+    assert diff == [(2, "B", "insert"), (2, "b", "delete")]
