@@ -457,13 +457,14 @@ class TxTable:
             if rel in current:
                 continue  # still live: carried over by not removing it
             src = self._resolve(rel)
-            # stage a copy under a fresh name in the same partition dir
-            fresh = f"part-restore-{uuid.uuid4().hex[:8]}.parquet"
-            final_rel = os.path.join(os.path.dirname(rel), fresh) if os.sep in rel else fresh
-            staged_abs = os.path.join(staging, final_rel)
+            # stage a copy under the ORIGINAL rel name: the root slot
+            # is free (the file was superseded), and keeping the name
+            # preserves bucket-id suffixes on cluster_by tables so
+            # read_clustered keeps working across a restore
+            staged_abs = os.path.join(staging, rel)
             os.makedirs(os.path.dirname(staged_abs), exist_ok=True)
             shutil.copyfile(src, staged_abs)
-            mapping[final_rel] = os.path.relpath(staged_abs, self.root)
+            mapping[rel] = os.path.relpath(staged_abs, self.root)
         removes = sorted(current - set(target))
         schema = self.logged_schema(version)
         self._staged_schema = schema.json() if schema is not None else None

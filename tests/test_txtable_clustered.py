@@ -164,3 +164,19 @@ def test_read_clustered_snapshot_vs_concurrent_writes(spark, tmp_path):
         handle.count()
     # recovery: a fresh clustered read re-lists and is complete
     assert t.read_clustered(spark).count() == tl.count()
+
+
+def test_restore_preserves_clustered_layout(spark, tmp_path):
+    """RESTORE on a cluster_by table copies files back under their
+    ORIGINAL names, so bucket-id suffixes survive and the clustered
+    read (zero-Exchange plan) keeps working across a rollback."""
+    t = TxTable(str(tmp_path / "tl"), cluster_by=SPEC, retain_history=True)
+    tl = _timeline(spark)
+    v1 = t.init(tl)
+    t.overwrite(tl.withColumn("v", F.upper("v")))
+    t.restore(v1)
+    assert all("_000" in f for f in t._live_files())
+    out = asof_fill(t.read_clustered(spark), "k", "ts", "tag", ["v"])
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert _got(out) == _expected(spark)
