@@ -740,3 +740,40 @@ def test_time_travel_mixed_root_and_archive_files(spark, tmp_path):
         for r in t.changes(spark, v1).collect()
     )
     assert diff == [(2, "B", "insert"), (2, "b", "delete")]
+
+
+def test_new_rmw_ops_raise_on_concurrent_commit(spark, tmp_path):
+    """overwrite / merge_update / delete_where / restore are
+    read-modify-write: each records its snapshot version and loses
+    cleanly (ConcurrentWriteError, table untouched by the loser) when
+    another commit lands first -- same contract as merge/delete."""
+    root = str(tmp_path / "t")
+    t = TxTable(root, retain_history=True)
+    t.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    def race_then(op):
+        orig = TxTable._publish
+
+        def racing_publish(self, entry, base_version=None):
+            TxTable._publish = orig  # race exactly once
+            TxTable(root).append(
+                spark.createDataFrame([(9, "z")], "k long, v string")
+            )
+            return orig(self, entry, base_version=base_version)
+
+        TxTable._publish = racing_publish
+        try:
+            with pytest.raises(ConcurrentWriteError):
+                op()
+        finally:
+            TxTable._publish = orig
+
+    race_then(lambda: t.overwrite(
+        spark.createDataFrame([(5, "o")], "k long, v string")))
+    race_then(lambda: t.merge_update(
+        spark.createDataFrame([(1, "U")], "k long, v string"), "k", ["v"]))
+    race_then(lambda: t.delete_where(spark, F.col("k") == 1))
+    race_then(lambda: t.restore(1))
+    # losers left no trace beyond the racing appends
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[1] == "a" and 5 not in got
