@@ -5293,3 +5293,281 @@ def txtable_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderstatus string, n long, total_cents long"
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the canonical
+    pure-pushdown query -- every predicate (date window, discount
+    band, quantity cap) reaches the parquet scan as a pushed filter
+    plus row-group min/max skipping, and the single global aggregate
+    is one map-side-combined reduction.  At 100 TB this query is
+    scan-bandwidth bound by construction; anything else in the plan
+    would be a bug."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH sup_val AS (
+      SELECT l_suppkey, sum(l_extendedprice) AS value
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, round(value, 4) AS value
+    FROM sup_val
+    WHERE value > (SELECT sum(value) * 0.0012 FROM sup_val)
+    ORDER BY value DESC, l_suppkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): a HAVING
+    threshold that is itself a SCALAR SUBQUERY over the same
+    aggregate -- the per-supplier value aggregate computes ONCE, its
+    grand total reduces from the (supplier-dimension-sized) aggregate
+    rows, and the 1-row scalar broadcasts back as a cross join
+    (documented benign-NLJ shape).  The fact table is scanned
+    exactly once; the fraction threshold touches only aggregate
+    rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup_val = li.groupBy("l_suppkey").agg(
+        F.sum("l_extendedprice").alias("value")
+    )
+    total = sup_val.agg((F.sum("value") * 0.0012).alias("__thr"))
+    return (
+        sup_val.join(F.broadcast(total))
+        .where(F.col("value") > F.col("__thr"))
+        .select(
+            "l_suppkey", F.round(F.col("value"), 4).alias("value")
+        )
+        .orderBy(F.col("value").desc(), F.col("l_suppkey").asc())
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs priority; shipmode adapted
+    to returnflag): an IN-list + window filter pushed to the fact
+    scan, one equi join, and the classic PAIRED CONDITIONAL SUMS --
+    both priority tallies computed in the same grouped pass, never
+    two scans or a pivot.  The selective line filter shrinks the
+    join's probe side before it shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier via a revenue view): the view's
+    aggregate computes ONCE, its max reduces from the
+    supplier-dimension-sized aggregate rows, and equality against
+    that max is float-safe AFTER the 4-decimal rounding both sides
+    share (the max IS one of the rounded values -- the same
+    argmax-over-aggregate trick as q2's min-cost tiebreak).  Ties
+    all surface, ordered by key, exactly as the spec's equality
+    semantics demand."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier")), rev["l_suppkey"] == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, three disjunctive
+    brand/size/quantity clauses): the optimizer test for OR-predicate
+    handling -- Catalyst extracts the common join key, pushes the
+    per-side conjuncts it can (p_size bounds to the part scan,
+    l_quantity range union to the fact scan) and evaluates the full
+    disjunction as a residual on the joined row; the dimension
+    broadcasts so the disjunction never forces a shuffle strategy
+    change."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(clause).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT a.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+    FROM late a
+    WHERE a.is_late = 1
+      AND EXISTS (SELECT 1 FROM late b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey
+                        AND c.is_late = 1)
+    GROUP BY a.l_suppkey
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; lateness
+    adapted to ship-vs-orderdate lag): the double
+    EXISTS / NOT EXISTS correlated pair.  Both rewrite to ONE
+    per-order aggregate over the (order, supplier) grain -- counting
+    the order's suppliers and its LATE suppliers -- joined back once:
+    'some other supplier exists' == n_suppliers > 1, 'no other late
+    supplier' == n_late = 1, so the per-row subqueries become two
+    columns of a single map-combined aggregate and the fact table is
+    scanned once."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late_flag = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.make_dt_interval(days=F.lit(60)),
+        1,
+    ).otherwise(0)
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("is_late"))
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum("is_late").alias("n_late"),
+    )
+    return (
+        per_os.join(per_order, per_os["l_orderkey"] == per_order["__ok"])
+        .where(
+            (F.col("is_late") == 1)
+            & (F.col("n_sup") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )

@@ -45,6 +45,10 @@ NLJ_OK = {
                                   # Q22, applied as a cross join)
     "dedup_lsh_quality",          # three 1-row count scalars cross-joined
                                   # into the precision/recall summary row
+    "q11_important_stock",        # 1-row broadcast grand-total threshold
+                                  # (TPC-H Q11's scalar HAVING subquery)
+    "q15_top_supplier",           # 1-row broadcast max-revenue scalar
+                                  # (TPC-H Q15's view-max subquery)
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
