@@ -5571,3 +5571,254 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             strftime(l.l_shipdate, '%Y') AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): a
+    five-way snowflake with a SYMMETRIC nation-pair disjunction.  The
+    nation filter pushes into BOTH dimension branches before their
+    joins (each side's IN-2 list prunes its broadcast build), the
+    pair predicate evaluates as a residual on the joined row, and the
+    year split is derived post-join -- the fact table is scanned
+    once, every dimension broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__nk1"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__nk2"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.date_format("l_shipdate", "yyyy").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT strftime(o.o_orderdate, '%Y') AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the deepest snowflake
+    in the battery -- seven joins, with the region/type filters
+    pruning the dimension branches before they broadcast -- feeding
+    a conditional-share ratio per year (numerator and denominator in
+    ONE grouped pass, the q14 pattern).  Catalyst's join ordering
+    keeps the fact scan single-pass; only order keys and the two
+    aggregate inputs survive the projections."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("__nk2"))
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__nk1"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__nk2"))
+    )
+    return j.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             strftime(o.o_orderdate, '%Y') AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit; supplycost adapted to a
+    retail-price fraction -- the harness schema has no partsupp):
+    profit per (nation, year) over parts matching a substring.  The
+    LIKE filter prunes the part dimension before it broadcasts, the
+    profit expression stays inside whole-stage codegen, and the
+    grouped rollup is one map-combined shuffle over (nation, year) --
+    25 x n_years groups no matter the fact size."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    """
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_max AS (SELECT l_partkey, max(qty) AS mx FROM sp GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey FROM sp JOIN part_max USING (l_partkey)
+      WHERE sp.qty > 0.5 * part_max.mx
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion; availqty adapted to
+    shipped-quantity dominance): the NESTED IN-chain -- parts by name
+    prefix -> per-(supplier, part) quantity aggregate -> a correlated
+    half-of-max threshold -> DISTINCT suppliers -- rewritten as two
+    semi joins and one aggregate-plus-join-back.  No per-row
+    subquery anywhere: the name filter prunes the part dim before
+    its broadcast semi join, the threshold joins aggregate rows to
+    aggregate rows (part-dimension sized), and the final supplier
+    semi join deduplicates by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pmax = sp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.max("qty").alias("mx")
+    )
+    qualifying = (
+        sp.join(pmax, sp["l_partkey"] == pmax["__pk"])
+        .where(F.col("qty") > 0.5 * F.col("mx"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualifying, s["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
