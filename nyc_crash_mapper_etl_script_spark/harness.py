@@ -5822,3 +5822,88 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled power-method oracle: iteration K is a CTE reading
+    iteration K-1 -- the ANSI-SQL replay of the operator's loop."""
+    head = (
+        _SHINGLE_SQL
+        + """
+    , common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(common / CAST(x.n_sh + y.n_sh - common AS DOUBLE), 6) AS j
+        FROM common
+        JOIN sizes x ON id_a = x.doc_id
+        JOIN sizes y ON id_b = y.doc_id
+      ) WHERE j >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    it0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS pr
+            FROM documents)
+    """
+    )
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(
+            f""", it{k} AS (
+      SELECT docs.doc_id AS id,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(s.acc, 0) AS pr
+      FROM documents docs LEFT JOIN (
+        SELECT e.dst AS id, sum(p.pr / deg.d) AS acc
+        FROM edges e
+        JOIN it{k - 1} p ON e.src = p.id
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) s ON docs.doc_id = s.id
+    )"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f" SELECT id AS doc_id, round(pr, 6) AS pagerank FROM it{iterations}"
+    )
+
+
+@register("graph_pagerank_neardup", _pagerank_sql(5))
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetrized) exact near-dup graph
+    (``operators.graph.pagerank``, 5 power iterations, damping 0.85)
+    -- the second ORACLE-CHECKED iterative algorithm beside the
+    connected-components resolution: the oracle unrolls the exact
+    same iterations as chained CTEs, so ranks (not just rows) match
+    at the 6-decimal float-parity grid.  Per iteration: one shuffle
+    joining edges to ranks, one map-combined sum on dst, one join
+    back onto the node set, lineage truncated -- K iterations cost K
+    stages at any graph size."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        ngram_jaccard_pairs,
+    )
+    from nyc_crash_mapper_etl_script_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    prs = ngram_jaccard_pairs(d, k=5, threshold=0.5).select("id_a", "id_b")
+    edges = prs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        prs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(
+        d.select(F.col("doc_id")),
+        edges,
+        id_col="doc_id",
+        iterations=5,
+        damping=0.85,
+    )

@@ -450,3 +450,21 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
         for t in range(12)
     )
     assert hits >= 10  # the 100x row is nearly always drawn
+
+
+def test_pagerank_hand_built_star_graph(spark):
+    """A star (hub with 4 spokes, symmetric edges): the hub's rank
+    strictly dominates the spokes, spokes are identical, an isolated
+    node holds the base rank, and total mass is conserved up to the
+    isolated/dangling leak."""
+    from pyspark.sql import functions as F
+
+    from nyc_crash_mapper_etl_script_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    spokes = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    edges = spark.createDataFrame(spokes, "src long, dst long")
+    pr = {r["id"]: r["pagerank"] for r in pagerank(nodes, edges).collect()}
+    assert pr[0] > pr[1] > pr[5]  # hub > spoke > isolated
+    assert len({pr[i] for i in range(1, 5)}) == 1  # spokes identical
+    assert abs(pr[5] - round((1 - 0.85) / 6, 6)) < 1e-9  # base rank
