@@ -51,6 +51,11 @@ HEADLINE = [
     "dedup_exact_substring",
     "bloom_semi_join_exact",
     "dedup_segment_boilerplate",
+    # the deepest snowflake in the TPC-H battery (7 joins + rollup);
+    # the iterative rows (pagerank, connected components) are NOT
+    # headlined: their per-iteration lazy checkpoints blur the
+    # declaration/execution timing split this harness relies on
+    "q9_product_profit",
 ]
 
 

@@ -13,6 +13,14 @@ rank table is dimension-sized), one map-combined sum on dst, one
 left join back onto the node set; lineage is truncated every
 iteration with a lazy localCheckpoint so K iterations cost K stages,
 not a 2^K plan tree.
+
+AQE caveat (measured, 65 jobs during declaration at sf0.1): creating
+a checkpoint RDD under adaptive execution EXECUTES the subtree's
+shuffle stages eagerly -- AdaptiveSparkPlan must run query stages to
+finalize the physical plan toRdd needs -- so most of an iterative
+declaration's wall time is real stage execution, and only the final
+result stage remains for the first action.  Benchmark iterative
+operators on declare+execute together, never the action alone.
 """
 
 from __future__ import annotations
