@@ -145,10 +145,12 @@ _tx_op = st.one_of(
     st.tuples(st.just("delete"), st.lists(_tx_key, min_size=1, max_size=3)),
     st.tuples(st.just("compact"), st.just(None)),
     st.tuples(st.just("overwrite"), _tx_batch(min_size=0)),
+    st.tuples(st.just("delete_where_k_ge"), _tx_key),
+    st.tuples(st.just("merge_update_v"), _tx_batch()),
 )
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(init=_tx_batch(), ops=st.lists(_tx_op, min_size=1, max_size=4))
 def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, ops):
@@ -197,6 +199,20 @@ def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, o
                 spark.createDataFrame(arg, "k long, v string, ym string")
             )
             model = list(arg)
+        elif op == "delete_where_k_ge":
+            from pyspark.sql import functions as FF
+
+            tx.delete_where(spark, FF.col("k") >= arg)
+            model = [r for r in model if r[0] < arg]
+        elif op == "merge_update_v":
+            # UPDATE semantics: matched keys take v (and ym column
+            # value stays the SOURCE's? no -- only set_cols change);
+            # unmatched source rows ignored
+            tx.merge_update(df_of(arg), "k", set_cols=["v"])
+            vmap = {r[0]: r[1] for r in arg}
+            model = [
+                (k, vmap.get(k, v), ym) for (k, v, ym) in model
+            ]
 
     got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
