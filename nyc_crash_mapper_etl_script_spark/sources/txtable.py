@@ -88,6 +88,7 @@ class TxTable:
         retain_history: bool = False,
         stale_staging_seconds: float = 3600.0,
         cluster_by: tuple[list[str], list[str], int] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> None:
         self.root = root.rstrip("/")
         self.partition_by = list(partition_by or [])
@@ -112,6 +113,18 @@ class TxTable:
             if cluster_by is not None
             else None
         )
+        #: CHECK constraints: name -> SQL boolean expression over a
+        #: row.  Validated on every data-introducing write (init /
+        #: append / merge / overwrite / merge_update source) BEFORE
+        #: anything stages; SQL CHECK semantics -- a row fails only
+        #: when the expression is provably FALSE (NULL passes).
+        #: Persisted in each commit entry like cluster_by, so handles
+        #: opened without the argument still enforce them.  The
+        #: reference analog is its pre-flight sanity gates (key
+        #: uniqueness / nonzero-polygon checks aborting the run,
+        #: initialpolygonlinkage/linkthem.py:52-65) -- moved into the
+        #: storage layer where every writer inherits them.
+        self._constraints = dict(constraints) if constraints else None
         #: recovery only garbage-collects an uncommitted staging dir
         #: once it is at least this old: a CONCURRENT writer's live
         #: staging must survive a peer's recovery pass (the Delta
@@ -528,6 +541,52 @@ class TxTable:
                 return self._cluster_by
         return None
 
+    def constraint_spec(self) -> dict[str, str] | None:
+        """Effective CHECK constraints: the constructor's, or the
+        newest set recorded in the commit log."""
+        if self._constraints is not None:
+            return self._constraints
+        for e in reversed(self._entries()):
+            if "constraints" in e:
+                self._constraints = dict(e["constraints"])
+                return self._constraints
+        return None
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Raise on the first row violating any CHECK constraint --
+        one bounded job (limit-1 over the OR of violations), run
+        before anything stages so a failed write leaves no litter.
+        A constraint referencing columns the incoming frame does not
+        carry (a merge_update source holds only key + set_cols) is
+        skipped for that write -- the untouched columns were
+        validated when they were written."""
+        spec = self.constraint_spec()
+        if not spec:
+            return
+        from pyspark.sql import functions as FF
+
+        fails = []
+        for name, expr in sorted(spec.items()):
+            try:
+                df.select(FF.expr(expr))  # resolvable against this frame?
+            except Exception:  # noqa: BLE001 -- unresolvable -> skip
+                continue
+            fails.append(
+                FF.when(FF.expr(expr) == False, FF.lit(name))  # noqa: E712
+            )
+        if not fails:
+            return
+        viol = (
+            df.select(FF.array_compact(FF.array(*fails)).alias("__viol"))
+            .where(FF.size("__viol") > 0)
+            .limit(1)
+            .collect()
+        )
+        if viol:
+            raise ValueError(
+                f"CHECK constraint violated: {list(viol[0]['__viol'])}"
+            )
+
     def _stage(self, df: DataFrame) -> tuple[str, dict[str, str]]:
         """Write df into _staging/<txn>/ and return (txn, mapping of
         final-relative-path -> staged-relative-path)."""
@@ -761,6 +820,9 @@ class TxTable:
                 "sort_cols": spec[1],
                 "n_buckets": spec[2],
             }
+        cons = self.constraint_spec()
+        if cons:
+            entry["constraints"] = cons
         version = self._publish(entry, base_version=base_version)
         self._finalize(mapping, removes)
         return version
@@ -877,6 +939,7 @@ class TxTable:
 
     def init(self, df: DataFrame) -> int:
         """Create the table from df (version 1)."""
+        self._check_constraints(df)
         _, mapping = self._stage(df)
         return self._commit(mapping, [], "init")
 
@@ -890,6 +953,7 @@ class TxTable:
         self._recover()
         if evolve_schema:
             df = self._evolve(df)
+        self._check_constraints(df)
         _, mapping = self._stage(df)
         return self._commit(mapping, [], "append")
 
@@ -912,6 +976,7 @@ class TxTable:
         Optimistic concurrency like merge/delete: raises
         :class:`ConcurrentWriteError` if another commit lands first."""
         self._recover()
+        self._check_constraints(df)
         base_version = self._snapshot_version()
         try:
             removes = list(self._live_files())
@@ -934,6 +999,7 @@ class TxTable:
         spark = source.sparkSession
         if evolve_schema:
             source = self._evolve(source)
+        self._check_constraints(source)
         try:
             mapping, removes = self._merge_staged(
                 source, key, spark, allow_missing=evolve_schema
@@ -1020,6 +1086,7 @@ class TxTable:
         from pyspark.sql import functions as FF
 
         self._recover()
+        self._check_constraints(source.select(*[c for c in source.columns]))
         base_version = self._snapshot_version()
         spark = source.sparkSession
         try:

@@ -777,3 +777,43 @@ def test_new_rmw_ops_raise_on_concurrent_commit(spark, tmp_path):
     # losers left no trace beyond the racing appends
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got[1] == "a" and 5 not in got
+
+
+def test_check_constraints_gate_writes(spark, tmp_path):
+    """CHECK constraints: violating writes fail BEFORE anything
+    commits (table untouched), NULL passes (SQL CHECK semantics),
+    the spec persists in the log so fresh handles enforce it, and a
+    partial-column merge_update source skips unresolvable checks."""
+    t = TxTable(
+        str(tmp_path / "t"),
+        constraints={"pos_score": "score >= 0", "has_key": "k IS NOT NULL"},
+    )
+    t.init(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None)], "k long, score double"  # NULL passes
+        )
+    )
+    with pytest.raises(ValueError, match="pos_score"):
+        t.append(spark.createDataFrame([(3, -1.0)], "k long, score double"))
+    assert t.read(spark).count() == 2  # nothing committed
+    with pytest.raises(ValueError, match="has_key"):
+        t.append(
+            spark.createDataFrame([(None, 1.0)], "k long, score double")
+        )
+    # fresh handle without the argument inherits the spec from the log
+    fresh = TxTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="pos_score"):
+        fresh.merge(
+            spark.createDataFrame([(1, -9.0)], "k long, score double"), "k"
+        )
+    # valid writes proceed through every op
+    fresh.merge(spark.createDataFrame([(1, 7.0)], "k long, score double"), "k")
+    fresh.overwrite(
+        spark.createDataFrame([(1, 7.0), (4, 0.0)], "k long, score double")
+    )
+    # partial-column update source: pos_score unresolvable -> skipped,
+    # has_key still enforced
+    fresh.merge_update(
+        spark.createDataFrame([(4,)], "k long"), "k", set_cols=[]
+    )
+    assert {r["k"] for r in fresh.read(spark).collect()} == {1, 4}
