@@ -817,3 +817,60 @@ def test_check_constraints_gate_writes(spark, tmp_path):
         spark.createDataFrame([(4,)], "k long"), "k", set_cols=[]
     )
     assert {r["k"] for r in fresh.read(spark).collect()} == {1, 4}
+
+
+def test_two_process_update_delete_race(spark, tmp_path_factory):
+    """Round-4 RMW ops under REAL cross-JVM contention: two separate
+    Spark sessions race merge_update rounds on disjoint key halves
+    plus a delete_where each on their own tombstone range, with a
+    filesystem barrier forcing the first snapshots to collide.
+    Invariants: contiguous log with one winner per version, at least
+    one surfaced conflict, both halves at their final round values,
+    both tombstone ranges gone, untouched rows intact."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    base = tmp_path_factory.mktemp("txrace_upd")
+    root = str(base / "table")
+    barrier = base / "barrier"
+    barrier.mkdir()
+
+    seed = (
+        [(j, "seed") for j in range(20)]
+        + [(1000 + j, "seed") for j in range(20)]
+        + [(8000 + j, "tomb") for j in range(5)]
+        + [(8100 + j, "tomb") for j in range(5)]
+        + [(-1, "keep")]
+    )
+    t = TxTable(root)
+    t.init(spark.createDataFrame(seed, "k long, v string"))
+
+    worker = str(
+        __import__("pathlib").Path(__file__).parent / "txtable_race_worker.py"
+    )
+    procs, outs = {}, {}
+    for wid, peer in [("a", "b"), ("b", "a")]:
+        outs[wid] = str(base / f"out_{wid}.json")
+        procs[wid] = subprocess.Popen(
+            [_sys.executable, worker, root, str(barrier), wid, peer,
+             outs[wid], "update"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    for wid, p in procs.items():
+        assert p.wait(timeout=600) == 0, f"worker {wid} failed"
+
+    results = {w: _json.load(open(outs[w])) for w in ("a", "b")}
+    all_versions = results["a"]["committed"] + results["b"]["committed"]
+    assert len(all_versions) == len(set(all_versions)) == 8  # 2*(3+1)
+    log_versions = sorted(e["version"] for e in t.history())
+    assert log_versions == list(range(1, 10))  # init + 8 commits
+    assert results["a"]["conflicts"] + results["b"]["conflicts"] >= 1
+
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[-1] == "keep"
+    for wid, lo in [("a", 0), ("b", 1000)]:
+        for j in range(20):
+            assert rows[lo + j] == f"{wid}-3", (wid, j, rows.get(lo + j))
+    assert not any(8000 <= k <= 8104 for k in rows)

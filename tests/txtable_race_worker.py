@@ -12,7 +12,12 @@ merge against fresh state (the documented ConcurrentWriteError
 contract).  Appends are blind and never conflict.
 
 Usage: txtable_race_worker.py <table_root> <barrier_dir> <worker_id>
-       <peer_id> <out_json>
+       <peer_id> <out_json> [mode]
+
+``mode="merge"`` (default): racing merges + blind appends.
+``mode="update"``: racing merge_update rounds on each worker's key
+half, then a racing delete_where on each worker's own tombstone
+range -- the round-4 RMW ops under real cross-JVM contention.
 """
 
 from __future__ import annotations
@@ -62,6 +67,7 @@ class BarrierTable(TxTable):
 
 def main() -> None:
     root, barrier_dir, wid, peer, out_json = sys.argv[1:6]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "merge"
     spark = (
         SparkSession.builder.appName(f"txrace-{wid}")
         .master("local[4]")
@@ -73,6 +79,40 @@ def main() -> None:
     lo = 0 if wid == "a" else 1000
     committed: list[int] = []
     conflicts = 0
+
+    if mode == "update":
+        from pyspark.sql import functions as F
+
+        for i in range(1, N_MERGES + 1):
+            src = spark.createDataFrame(
+                [(lo + j, f"{wid}-{i}") for j in range(20)], "k long, v string"
+            )
+            while True:
+                try:
+                    committed.append(
+                        table.merge_update(src, "k", set_cols=["v"])
+                    )
+                    break
+                except ConcurrentWriteError:
+                    conflicts += 1
+        tomb_lo = 8000 + (0 if wid == "a" else 100)
+        while True:
+            try:
+                committed.append(
+                    table.delete_where(
+                        spark, F.col("k").between(tomb_lo, tomb_lo + 4)
+                    )
+                )
+                break
+            except ConcurrentWriteError:
+                conflicts += 1
+        with open(out_json, "w") as fh:
+            json.dump(
+                {"worker": wid, "committed": committed, "conflicts": conflicts},
+                fh,
+            )
+        spark.stop()
+        return
 
     for i in range(1, N_MERGES + 1):
         # upsert this worker's key range with round number i
