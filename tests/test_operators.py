@@ -468,3 +468,29 @@ def test_pagerank_hand_built_star_graph(spark):
     assert pr[0] > pr[1] > pr[5]  # hub > spoke > isolated
     assert len({pr[i] for i in range(1, 5)}) == 1  # spokes identical
     assert abs(pr[5] - round((1 - 0.85) / 6, 6)) < 1e-9  # base rank
+
+
+def test_pagerank_converged_stops_early_and_matches_fixed(spark):
+    """Auto-termination: a small graph converges well before the
+    iteration cap, and the converged ranks agree with a long
+    fixed-iteration run at the rounding grid."""
+    from nyc_crash_mapper_etl_script_spark.operators.graph import (
+        pagerank,
+        pagerank_converged,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    spokes = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    edges = spark.createDataFrame(spokes, "src long, dst long")
+    # convergence rate is ~damping^k, so a low damping converges in
+    # a handful of iterations -- the stopping rule is what's under test
+    got, iters = pagerank_converged(
+        nodes, edges, tol=1e-7, max_iterations=40, damping=0.5
+    )
+    assert 3 <= iters < 40  # stopped by tolerance, not the cap
+    fixed = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(nodes, edges, iterations=25, damping=0.5).collect()
+    }
+    conv = {r["id"]: r["pagerank"] for r in got.collect()}
+    assert all(abs(conv[i] - fixed[i]) <= 2e-6 for i in range(6))
