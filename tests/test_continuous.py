@@ -219,3 +219,52 @@ def test_continuous_nightly_chained_two_streams(spark, tmp_path_factory):
     _feed(feed, "b3.jsonl", [_row(104, lat="1.5", lng="1.5", ped_inj="0")])
     run()
     assert counts() == {1: 2} == full()
+
+
+def test_constraints_gate_the_continuous_pipeline(spark, tmp_path_factory):
+    """CHECK constraints compose with the streaming pipeline with
+    ZERO pipeline changes: the fact table is created with a
+    constraint, the pipeline's fresh handles inherit it from the
+    commit log, and a poisoned batch fails the stream while the
+    table keeps only valid rows."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from nyc_crash_mapper_etl_script_spark.plans.continuous import (
+        continuous_nightly,
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    root = tmp_path_factory.mktemp("cons")
+    feed = root / "feed"
+    feed.mkdir()
+    districts, intersections, crosswalk = _dims(spark)
+    table, rollup, ckpt = str(root / "fact"), str(root / "mv"), str(root / "ck")
+
+    def run():
+        q = continuous_nightly(
+            spark, str(feed), table, rollup, ckpt,
+            districts, intersections, crosswalk,
+        )
+        q.awaitTermination(300)
+
+    # good batch 1 establishes the table -- but FIRST, pin the
+    # constraint into the log by pre-creating the table empty-ish:
+    # run batch 1 normally, then record the constraint via a handle
+    _feed(feed, "b1.jsonl", [_row(101, lat="0.5", lng="0.5")])
+    run()
+    # attach the constraint going forward (spec rides the next commit)
+    guard = TxTable(
+        table,
+        partition_by=["__ym"],
+        constraints={"nonneg_injured": "number_of_persons_injured >= 0"},
+    )
+    guard.append(guard.read(spark).where("1=0"))  # no-op data, logs the spec
+    assert TxTable(table, partition_by=["__ym"]).constraint_spec() is not None
+
+    # batch 2 carries a poisoned row: the sink's append must abort
+    _feed(feed, "b2.jsonl", [_row(102, lat="0.5", lng="0.5", ped_inj="-5")])
+    with pytest.raises(StreamingQueryException, match="nonneg_injured"):
+        run()
+    # the table still holds only the valid row
+    got = {r["socrata_id"] for r in TxTable(table, partition_by=["__ym"]).read(spark).collect()}
+    assert got == {101}
