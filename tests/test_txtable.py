@@ -874,3 +874,49 @@ def test_two_process_update_delete_race(spark, tmp_path_factory):
         for j in range(20):
             assert rows[lo + j] == f"{wid}-3", (wid, j, rows.get(lo + j))
     assert not any(8000 <= k <= 8104 for k in rows)
+
+
+def test_two_process_overwrite_race(spark, tmp_path_factory):
+    """Racing whole-table overwrites across two JVMs: one winner per
+    version, contiguous log, and the final table is EXACTLY the
+    content of whichever worker committed the highest version --
+    last-committed-writer-wins with no interleaved rows."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    base = tmp_path_factory.mktemp("txrace_ow")
+    root = str(base / "table")
+    barrier = base / "barrier"
+    barrier.mkdir()
+    t = TxTable(root)
+    t.init(spark.createDataFrame([(-1, "seed")], "k long, v string"))
+
+    worker = str(
+        __import__("pathlib").Path(__file__).parent / "txtable_race_worker.py"
+    )
+    procs, outs = {}, {}
+    for wid, peer in [("a", "b"), ("b", "a")]:
+        outs[wid] = str(base / f"out_{wid}.json")
+        procs[wid] = subprocess.Popen(
+            [_sys.executable, worker, root, str(barrier), wid, peer,
+             outs[wid], "overwrite"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    for wid, p in procs.items():
+        assert p.wait(timeout=600) == 0, f"worker {wid} failed"
+
+    results = {w: _json.load(open(outs[w])) for w in ("a", "b")}
+    all_versions = results["a"]["committed"] + results["b"]["committed"]
+    assert len(all_versions) == len(set(all_versions)) == 4
+    assert sorted(e["version"] for e in t.history()) == list(range(1, 6))
+    assert results["a"]["conflicts"] + results["b"]["conflicts"] >= 1
+
+    winner = max(
+        ("a", "b"), key=lambda w: max(results[w]["committed"])
+    )
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert set(rows) == set(range(10))  # seed overwritten away
+    assert all(v.startswith(f"ow-{winner}-") for v in rows.values())
+    assert len({v for v in rows.values()}) == 1  # one atomic snapshot

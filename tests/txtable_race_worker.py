@@ -18,6 +18,9 @@ Usage: txtable_race_worker.py <table_root> <barrier_dir> <worker_id>
 ``mode="update"``: racing merge_update rounds on each worker's key
 half, then a racing delete_where on each worker's own tombstone
 range -- the round-4 RMW ops under real cross-JVM contention.
+``mode="overwrite"``: racing whole-table overwrites (last committed
+writer's content must be the final state -- the parent test checks
+the max-version winner's signature).
 """
 
 from __future__ import annotations
@@ -79,6 +82,25 @@ def main() -> None:
     lo = 0 if wid == "a" else 1000
     committed: list[int] = []
     conflicts = 0
+
+    if mode == "overwrite":
+        for i in range(1, 3):
+            df = spark.createDataFrame(
+                [(j, f"ow-{wid}-{i}") for j in range(10)], "k long, v string"
+            )
+            while True:
+                try:
+                    committed.append(table.overwrite(df))
+                    break
+                except ConcurrentWriteError:
+                    conflicts += 1
+        with open(out_json, "w") as fh:
+            json.dump(
+                {"worker": wid, "committed": committed, "conflicts": conflicts},
+                fh,
+            )
+        spark.stop()
+        return
 
     if mode == "update":
         from pyspark.sql import functions as F
