@@ -5907,3 +5907,53 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=5,
         damping=0.85,
     )
+
+
+@register(
+    "txtable_restore_timetravel",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS price
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def txtable_restore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TxTable.restore`` driven through the driver gate: the table
+    is mutated twice past its initial commit (append + price-doubling
+    merge), then ROLLED BACK to version 1 as a new auditable commit;
+    the read after restore must equal the initial subset exactly --
+    which is precisely what the oracle selects from the source table.
+    Archived copies stay in place, so time travel across the restore
+    point (read(version=v2)) keeps working; that path is pinned by
+    tests/test_txtable.py::test_restore_rolls_back_as_new_commit."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="txrestore_")
+    try:
+        t = TxTable(os.path.join(base, "t"), retain_history=True)
+        v1 = t.init(o.where(F.col("o_orderkey") % 3 != 0))
+        t.append(o.where(F.col("o_orderkey") % 3 == 0))
+        t.merge(
+            o.where(F.col("o_orderkey") % 7 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            "o_orderkey",
+        )
+        t.restore(v1)
+        rows = (
+            t.read(spark)
+            .select(
+                "o_orderkey", F.round("o_totalprice", 4).alias("price")
+            )
+            .orderBy("o_orderkey")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderkey long, price double")

@@ -298,3 +298,32 @@ def test_vacuum_retention_vs_lagging_stream(spark, table, tmp_path):
     table.vacuum(keep_versions=0)
     with pytest.raises(Exception, match="(?i)retain_history|unreadable|exist"):
         _drain(spark, table.root, out, ckpt)
+
+
+def test_stream_over_clustered_table(spark, tmp_path):
+    """The txtable-changes source reads cluster_by tables too: bucket
+    filenames resolve like any other, and the signed feed still
+    reduces to table state after a compact (whose rewrite noise
+    cancels)."""
+    t = TxTable(
+        str(tmp_path / "tl"),
+        cluster_by=(["k"], ["k"], 4),
+        retain_history=True,
+    )
+    t.init(spark.createDataFrame([(i, f"v{i}") for i in range(8)], "k long, v string"))
+    t.append(spark.createDataFrame([(100, "x")], "k long, v string"))
+    t.compact(spark)  # full rewrite: every row a cancelling +/- pair
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, t.root, out, ckpt)
+    feed = spark.read.parquet(out)
+    net = (
+        feed.withColumn(
+            "sgn", F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        )
+        .groupBy("k", "v")
+        .agg(F.sum("sgn").alias("n"))
+        .where("n != 0")
+    )
+    got = {(r["k"], r["v"]) for r in net.collect()}
+    want = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == want and len(got) == 9
