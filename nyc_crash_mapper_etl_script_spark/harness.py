@@ -5957,3 +5957,48 @@ def txtable_restore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "o_orderkey long, price double")
+
+
+@register(
+    "txtable_delete_where",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE NOT coalesce(o_totalprice > 250000.0, FALSE)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def txtable_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TxTable.delete_where`` (predicate DELETE, S10 generalized
+    from by-key to by-condition): rows with o_totalprice > 250000
+    die; SQL NULL semantics (a NULL price row would survive) ride the
+    coalesce in BOTH engines; only partitions holding a doomed row
+    rewrite (pytest-pinned).  The oracle applies the identical
+    negated-coalesce filter to the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txdelw_")
+    try:
+        t = TxTable(
+            os.path.join(base, "t"), partition_by=["o_orderstatus"]
+        )
+        t.init(o)
+        t.delete_where(spark, F.col("o_totalprice") > 250000.0)
+        rows = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n long")
