@@ -920,3 +920,52 @@ def test_two_process_overwrite_race(spark, tmp_path_factory):
     assert set(rows) == set(range(10))  # seed overwritten away
     assert all(v.startswith(f"ow-{winner}-") for v in rows.values())
     assert len({v for v in rows.values()}) == 1  # one atomic snapshot
+
+
+def test_two_process_restore_vs_append_race(spark, tmp_path_factory):
+    """restore(1) racing blind appends across two JVMs: restores are
+    RMW (lose cleanly and retry), appends never conflict, and the
+    final state is exactly v1's content plus the appends whose
+    commit version is GREATER than the last restore's -- the
+    append-or-wipe order is reconstructible from the version
+    numbers, so the outcome is fully checkable despite the race."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    base = tmp_path_factory.mktemp("txrace_rs")
+    root = str(base / "table")
+    barrier = base / "barrier"
+    barrier.mkdir()
+    t = TxTable(root, retain_history=True)
+    t.init(spark.createDataFrame([(1, "v1"), (2, "v1")], "k long, v string"))
+
+    worker = str(
+        __import__("pathlib").Path(__file__).parent / "txtable_race_worker.py"
+    )
+    procs, outs = {}, {}
+    for wid, peer in [("a", "b"), ("b", "a")]:
+        outs[wid] = str(base / f"out_{wid}.json")
+        procs[wid] = subprocess.Popen(
+            [_sys.executable, worker, root, str(barrier), wid, peer,
+             outs[wid], "restore"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    for wid, p in procs.items():
+        assert p.wait(timeout=600) == 0, f"worker {wid} failed"
+
+    results = {w: _json.load(open(outs[w])) for w in ("a", "b")}
+    all_versions = results["a"]["committed"] + results["b"]["committed"]
+    assert len(all_versions) == len(set(all_versions)) == 6
+    assert sorted(e["version"] for e in t.history()) == list(range(1, 8))
+
+    last_restore = max(results["a"]["committed"])
+    surviving = {
+        7000 + i
+        for i, v in enumerate(results["b"]["committed"])
+        if v > last_restore
+    }
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[1] == "v1" and rows[2] == "v1"
+    assert {k for k in rows if k >= 7000} == surviving

@@ -21,6 +21,9 @@ range -- the round-4 RMW ops under real cross-JVM contention.
 ``mode="overwrite"``: racing whole-table overwrites (last committed
 writer's content must be the final state -- the parent test checks
 the max-version winner's signature).
+``mode="restore"``: worker a races restore(1) against worker b's
+blind appends; the parent reconstructs which appends survive from
+the version order.
 """
 
 from __future__ import annotations
@@ -82,6 +85,34 @@ def main() -> None:
     lo = 0 if wid == "a" else 1000
     committed: list[int] = []
     conflicts = 0
+
+    if mode == "restore":
+        if wid == "b":
+            # blind appends never take a snapshot, so signal the
+            # barrier explicitly or the peer waits out its deadline
+            with open(os.path.join(barrier_dir, f"snap_{wid}"), "w"):
+                pass
+        if wid == "a":
+            for i in range(3):
+                while True:
+                    try:
+                        committed.append(BarrierTable.restore(table, 1))
+                        break
+                    except ConcurrentWriteError:
+                        conflicts += 1
+        else:
+            for i in range(3):
+                df = spark.createDataFrame(
+                    [(7000 + i, f"app-{i}")], "k long, v string"
+                )
+                committed.append(table.append(df))
+        with open(out_json, "w") as fh:
+            json.dump(
+                {"worker": wid, "committed": committed, "conflicts": conflicts},
+                fh,
+            )
+        spark.stop()
+        return
 
     if mode == "overwrite":
         for i in range(1, 3):
