@@ -59,6 +59,92 @@ HEADLINE = [
 ]
 
 
+def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
+    """SECOND TIER: the TxTable storage layer's RMW / pruned-scan /
+    stream-rollup latency, timed on the OPERATION itself (each op is
+    an eager atomic commit, so the headline tier's declare-then-noop
+    split would time an already-materialized result).  Fresh table
+    per rep, min-of-reps like the headline tier.  Input: ``orders``
+    at the bench SF, partitioned by o_orderstatus -- merge_update and
+    delete_where rewrite only touched partitions, the pruned scan
+    skips files via commit-log stats, and the stream rollup drains
+    the three RMW commits through the txtable-changes source."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyc_crash_mapper_etl_script_spark.schemas import load_table
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        CHANGE_COL,
+        read_txtable_stream,
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    upd = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    lo, hi = "1994-01-01", "1994-12-31"
+    samples: dict[str, list[float]] = {}
+
+    def rec(name, fn):
+        t0 = time.time()
+        fn()
+        samples.setdefault(name, []).append(time.time() - t0)
+
+    for _ in range(reps):
+        base = tempfile.mkdtemp(prefix="benchtx_")
+        try:
+            t = TxTable(
+                os.path.join(base, "orders_tx"),
+                partition_by=["o_orderstatus"],
+                retain_history=True,
+            )
+            rec("tx_init", lambda: t.init(orders))
+            rec(
+                "tx_merge_update",
+                lambda: t.merge_update(
+                    upd, "o_orderkey", set_cols=["o_totalprice"]
+                ),
+            )
+            rec(
+                "tx_delete_where",
+                lambda: t.delete_where(
+                    spark, F.col("o_orderkey") % 97 == 0
+                ),
+            )
+            rec(
+                "tx_pruned_scan",
+                lambda: t.read_pruned(spark, "o_orderdate", lo, hi)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+
+            def drain():
+                out = os.path.join(base, "feed")
+                q = (
+                    read_txtable_stream(spark, t.root)
+                    .groupBy("o_orderstatus", CHANGE_COL)
+                    .agg(F.count("*").alias("rows"))
+                    .writeStream.format("noop")
+                    .outputMode("complete")
+                    .option("checkpointLocation", out + "_ck")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+                shutil.rmtree(out + "_ck", ignore_errors=True)
+
+            rec("tx_stream_drain", drain)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return {k: round(min(v), 3) for k, v in samples.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -126,6 +212,8 @@ def main() -> None:
     for name in names:
         release_cached()
         timings[name] = round(min(runq(name) for _ in range(reps)), 3)
+    release_cached()
+    timings.update(bench_storage(spark, sf_dir, reps))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

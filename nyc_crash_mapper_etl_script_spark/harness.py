@@ -2880,6 +2880,58 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_token_budget",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT source, doc_id, tokens, rn,
+             CAST(1 AS BIGINT) AS pack_id, tokens AS pack_fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.tokens, d.rn,
+             CASE WHEN p.pack_fill + d.tokens > 250
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.pack_fill + d.tokens > 250
+                  THEN d.tokens ELSE p.pack_fill + d.tokens END
+      FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, tokens, pack_id, pack_fill FROM p
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing against a TOKEN budget (r4 VERDICT item 3):
+    the injectable tokenizer hook (functions/tokenizer.py) computes
+    ``tokens`` -- registry-pinned to the STUB backend (the BPE-ish
+    regex, a pure codegen Column expression DuckDB replays with
+    regexp_extract_all) so the oracle twin is exact; a caller with a
+    real tokenizer installed or injected gets true token budgets
+    through the identical plan shape (one Arrow-batched count column
+    feeding the same grouped pack stage)."""
+    from nyc_crash_mapper_etl_script_spark.functions.tokenizer import (
+        with_token_budget,
+    )
+    from nyc_crash_mapper_etl_script_spark.operators.packing import pack_greedy
+
+    d = _t(spark, sf_dir, "documents")
+    sized = with_token_budget(d, "text", backend="stub").select(
+        "source", "doc_id", F.col("tokens").cast("long").alias("tokens")
+    )
+    return pack_greedy(
+        sized,
+        group_col="source",
+        order_col="doc_id",
+        size_col="tokens",
+        budget=250,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rolling time windows, pack materialization, incremental MV,
 # temperature sampling

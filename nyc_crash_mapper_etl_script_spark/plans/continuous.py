@@ -37,6 +37,8 @@ no longer required for correctness.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -297,7 +299,17 @@ def chain_rollup_stream(
     +/- pairs cancel in signed arithmetic), and the result replaces
     the rollup table in one atomic ``overwrite`` commit.  Work per
     batch is O(changed files) + O(rollup dimension), never O(fact
-    table)."""
+    table).
+
+    Exactly-once: the sink is BATCH-ID-AWARE (Delta's
+    ``txnAppId``/``txnVersion`` idempotent-writes pattern).  Each
+    rollup commit records ``(app_id, batch_id)``; when Spark replays
+    a micro-batch after a crash that landed BETWEEN the rollup
+    commit and the streaming checkpoint's commit, the sink sees
+    ``batch_id <= last_txn_version`` and no-ops instead of folding
+    the same signed deltas twice.  The app_id is derived from the
+    checkpoint location, so independent queries over the same rollup
+    track their own positions."""
     from nyc_crash_mapper_etl_script_spark.operators.mv import (
         refresh_signed_mv,
         signed_mv_init,
@@ -307,7 +319,12 @@ def chain_rollup_stream(
         read_txtable_stream,
     )
 
+    app_id = f"chain_rollup:{os.path.abspath(checkpoint_dir)}"
+
     def sink(batch: DataFrame, batch_id: int) -> None:
+        last = rollup.last_txn_version(app_id) if rollup.exists() else None
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: deltas already folded
         if transform is not None:
             # derive the rollup's input rows from the raw change feed
             # (e.g. a spatial circle-match join); the transform MUST
@@ -324,9 +341,9 @@ def chain_rollup_stream(
             cur, ins, dels, group_cols, count_col=count_col, sum_cols=sum_cols
         )
         if rollup.exists():
-            rollup.overwrite(nxt)
+            rollup.overwrite(nxt, app_txn=(app_id, batch_id))
         else:
-            rollup.init(nxt)
+            rollup.init(nxt, app_txn=(app_id, batch_id))
 
     writer = (
         read_txtable_stream(

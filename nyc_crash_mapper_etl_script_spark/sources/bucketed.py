@@ -49,3 +49,65 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet(path)`` of the same files would lose it and
     re-shuffle on the next join)."""
     return spark.table(table)
+
+
+def bucket_local_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_col: str | None = "n",
+) -> DataFrame:
+    """Per-key aggregation with ZERO Exchange, valid ONLY when the
+    input's partitioning already co-locates keys: a bucketed catalog
+    scan (one Spark partition per bucket) or the bucket-aware
+    ``txtable-changes`` micro-batch (partition index == bucket id,
+    ``sources/txstream.py``).  Partition-local grouping is then the
+    GLOBAL grouping -- no row of a key lives anywhere else -- so the
+    plan is a single narrow ``mapInPandas`` stage where a plain
+    ``groupBy`` would put an Exchange in every micro-batch.  Arrow
+    batches in, one pandas groupby per partition, output bounded by
+    distinct keys per bucket.  The caller owns the precondition; on a
+    non-co-located input the result has per-partition partial rows
+    (same contract as Spark's own partial aggregation, never silent
+    wrong totals IF the consumer re-aggregates -- but don't: assert
+    the layout instead, tests/test_txstream.py pins it)."""
+    import pandas as pd  # noqa: F401 -- worker-side dependency
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sums = dict(sum_cols or {})
+    by_name = {f.name: f for f in df.schema.fields}
+    out_fields = [by_name[k] for k in key_cols]
+    if count_col:
+        out_fields.append(StructField(count_col, LongType(), False))
+    for out, src in sums.items():
+        out_fields.append(StructField(out, by_name[src].dataType, True))
+    schema = StructType(out_fields)
+    in_cols = list(key_cols) + sorted(set(sums.values()))
+
+    def fold(batches):
+        import pandas as pd
+
+        parts = []
+        for pdf in batches:
+            g = pdf[in_cols].groupby(key_cols, dropna=False, sort=False)
+            agg = {}
+            if count_col:
+                agg[count_col] = g.size()
+            for out, src in sums.items():
+                agg[out] = g[src].sum(min_count=1)
+            parts.append(pd.DataFrame(agg))
+        if not parts:
+            return
+        merged = pd.concat(parts)
+        g = merged.groupby(level=list(range(len(key_cols))), sort=False)
+        out = {}
+        if count_col:
+            out[count_col] = g[count_col].sum()
+        for o in sums:
+            out[o] = g[o].sum(min_count=1)
+        res = pd.DataFrame(out).reset_index()
+        res.columns = list(key_cols) + list(out)
+        yield res
+
+    return df.mapInPandas(fold, schema)

@@ -52,6 +52,7 @@ source never nests a Spark job inside a stream planner.
 from __future__ import annotations
 
 import os
+import re
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,27 @@ class _ChangeFilePartition(InputPartition):
         self.part_values = part_values
 
 
+class _BucketChangesPartition(InputPartition):
+    """ALL changed files of ONE BUCKET across the batch's commits
+    (bucket-aware reads over a cluster_by table): Spark partition
+    index == bucket id, so a batch always has exactly n_buckets
+    partitions and every row of a bucket key lands in the same one --
+    the co-partitioning a downstream stateful consumer inherits
+    from the table layout (see ``sources.bucketed.bucket_local_agg``
+    for the zero-Exchange aggregation it enables)."""
+
+    def __init__(
+        self, bucket: int, files: list[_ChangeFilePartition]
+    ) -> None:
+        self.bucket = bucket
+        self.files = files
+
+
+#: Spark bucketed-write filename: ``part-00000-<uuid>_00003.c000...``
+#: -- the ``_NNNNN`` before the extension dot is the bucket id.
+_BUCKET_RE = re.compile(r"_(\d{5})\.")
+
+
 def _partition_values(rel: str) -> dict[str, str | None]:
     """Parse hive-style ``col=val`` components out of a relative file
     path (Spark URL-escapes special chars on write)."""
@@ -126,42 +148,61 @@ class TxTableStreamReader(DataSourceStreamReader):
         self.starting_version = int(options.get("startingversion", 0))
         #: bound on commits per micro-batch (the ReadLimit /
         #: maxFilesPerTrigger analog -- the Python DataSource API has
-        #: no ReadLimit hook, so the cap lives in latestOffset, which
-        #: Spark calls BEFORE initialOffset at query start).  Pacing
-        #: seeds at starting_version so a fresh query's FIRST batch is
-        #: already bounded; every partitions() call then advances it
-        #: to that batch's range, so a RESTARTED query (whose
-        #: checkpointed start may be far past starting_version) jumps
-        #: to the true position after at most one empty micro-batch.
+        #: no ReadLimit hook, so the cap lives in latestOffset).
+        #: Pacing position: ``_paced_from`` starts ``None`` and is
+        #: seeded by initialOffset (fresh query) or partitions()
+        #: (restart).  A cap anchored at starting_version when the
+        #: query's checkpointed offset is already PAST it would hand
+        #: Spark an offset BELOW the committed one, which Spark WALs
+        #: and the next batch re-delivers (regressed, head] -- so the
+        #: anchor must be the true position.  Call-order invariant
+        #: (probed on Spark 4.1, pinned by
+        #: tests/test_txstream.py::test_restart_with_max_versions_*):
+        #: on EVERY restart Spark calls partitions() before the first
+        #: latestOffset -- partitions(start, end) to re-run an
+        #: uncommitted batch, or partitions(end, end) as the
+        #: position-re-init hook when the last batch committed (the
+        #: DSv2 analog of the legacy Source.getBatch(end, end)
+        #: convention) -- and either call seeds the true position.
+        #: Hence ``_paced_from is None`` inside latestOffset implies a
+        #: FRESH query, where starting_version IS the position and a
+        #: first-batch cap is safe (initial-backlog catch-up is the
+        #: headline use of pacing).
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv is not None else None
-        self._paced_from: int | None = self.starting_version
+        #: bucket-aware reads over cluster_by tables (default on):
+        #: partitions() groups changed files by bucket id -- see there
+        self.bucket_aware = (
+            str(options.get("bucketaware", "true")).lower() != "false"
+        )
+        self._paced_from: int | None = None
         self.schema = schema
 
     def _table(self) -> TxTable:
         return TxTable(self.root)
 
-    def _dbg(self, *a):
-        import os as _os
-        p = _os.environ.get("TXSTREAM_DEBUG_LOG")
-        if p:
-            with open(p, "a") as f:
-                f.write(" ".join(map(str, a)) + f" pid={_os.getpid()}\n")
-
     def initialOffset(self) -> dict:
+        # only called for FRESH queries (a restart resumes from the
+        # checkpointed offset without consulting us), so seeding here
+        # is safe: the position IS starting_version.
         self._paced_from = self.starting_version
-        self._dbg("initialOffset", self.starting_version, "mv=", self.max_versions)
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         current = self._table()._snapshot_version()
-        if self.max_versions is None or self._paced_from is None:
-            self._dbg("latestOffset uncapped", current, "mv=", self.max_versions, "paced=", self._paced_from)
+        if self.max_versions is None:
             return {"version": current}
-        end = min(current, self._paced_from + self.max_versions)
-        end = max(end, self._paced_from)  # never step backwards
-        self._dbg("latestOffset capped", end, "paced=", self._paced_from)
-        return {"version": end}
+        # None here => fresh query (see the __init__ call-order
+        # invariant: any restart seeds via partitions() first), so
+        # starting_version is the true position and capping the first
+        # batch from it is safe.
+        anchor = (
+            self._paced_from
+            if self._paced_from is not None
+            else self.starting_version
+        )
+        end = min(current, anchor + self.max_versions)
+        return {"version": max(end, anchor)}  # never step backwards
 
     def partitions(
         self, start: dict, end: dict
@@ -171,7 +212,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         # the checkpointed offset starting_version knows nothing about
         self._paced_from = max(self._paced_from or 0, lo, hi)
         t = self._table()
-        parts: list[InputPartition] = []
+        parts: list[_ChangeFilePartition] = []
         for e in t._entries():
             v = e["version"]
             if v <= lo or v > hi:
@@ -189,9 +230,38 @@ class TxTableStreamReader(DataSourceStreamReader):
                             _partition_values(rel),
                         )
                     )
-        return parts
+        spec = t.cluster_spec() if self.bucket_aware else None
+        if spec is None or not parts:
+            return parts
+        # BUCKET-AWARE layout (cluster_by tables): group the batch's
+        # changed files by the bucket id in their filename and emit
+        # exactly n_buckets partitions, index == bucket id (untouched
+        # buckets ride as empty partitions so the partition->bucket
+        # mapping is stable across batches).  A filename without a
+        # bucket tag (shouldn't exist under a cluster spec) falls the
+        # whole batch back to per-file partitions -- layout is an
+        # optimization, never a correctness gate.
+        n_buckets = spec[2]
+        grouped: list[list[_ChangeFilePartition]] = [
+            [] for _ in range(n_buckets)
+        ]
+        for p in parts:
+            m = _BUCKET_RE.search(os.path.basename(p.candidates[0]))
+            if m is None or int(m.group(1)) >= n_buckets:
+                return parts
+            grouped[int(m.group(1))].append(p)
+        return [
+            _BucketChangesPartition(b, files) for b, files in enumerate(grouped)
+        ]
 
-    def read(self, partition: _ChangeFilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
+        if isinstance(partition, _BucketChangesPartition):
+            for f in partition.files:
+                yield from self._read_file(f)
+            return
+        yield from self._read_file(partition)
+
+    def _read_file(self, partition: _ChangeFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -258,6 +328,7 @@ def read_txtable_stream(
     root: str,
     starting_version: int = 0,
     max_versions_per_batch: int | None = None,
+    bucket_aware: bool = True,
 ) -> DataFrame:
     """Register the source (idempotent) and open the change stream.
     ``starting_version=0`` replays from the init commit (the initial
@@ -267,12 +338,17 @@ def read_txtable_stream(
     ``max_versions_per_batch`` bounds each micro-batch to that many
     commits (backlog catch-up in right-sized pieces; pair with a
     processing-time trigger -- availableNow snapshots the capped
-    offset at start and would stop early)."""
+    offset at start and would stop early).  Over a ``cluster_by``
+    table, each micro-batch arrives as exactly n_buckets partitions
+    with partition index == bucket id (``bucket_aware=False`` for the
+    per-file layout), so per-bucket-key work needs no shuffle --
+    ``sources.bucketed.bucket_local_agg``."""
     spark.dataSource.register(TxTableChangesDataSource)
     reader = (
         spark.readStream.format("txtable-changes")
         .option("path", root)
         .option("startingVersion", str(starting_version))
+        .option("bucketAware", "true" if bucket_aware else "false")
     )
     if max_versions_per_batch is not None:
         reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))

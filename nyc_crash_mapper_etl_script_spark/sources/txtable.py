@@ -59,6 +59,9 @@ _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"
 _ARCHIVE_DIR = "_archive"
 
+#: sentinel distinguishing "conf never captured" from "conf was unset"
+_UNSET = object()
+
 
 class ConcurrentWriteError(RuntimeError):
     """A read-modify-write commit (merge/delete/compact) lost the
@@ -132,6 +135,11 @@ class TxTable:
         #: files).  Crashed transactions' staging lingers at most this
         #: long before the next recovery sweeps it.
         self.stale_staging_seconds = stale_staging_seconds
+        #: read_clustered bookkeeping, reversed by drop_clustered:
+        #: catalog names this handle registered, and the bucketed-scan
+        #: ordering conf's value before this handle first flipped it.
+        self._clustered_names: set[str] = set()
+        self._prior_bucket_conf = _UNSET
 
     # -- log plumbing -----------------------------------------------------
 
@@ -557,9 +565,9 @@ class TxTable:
         one bounded job (limit-1 over the OR of violations), run
         before anything stages so a failed write leaves no litter.
         A constraint referencing columns the incoming frame does not
-        carry (a merge_update source holds only key + set_cols) is
-        skipped for that write -- the untouched columns were
-        validated when they were written."""
+        carry is skipped for that write (merge_update instead
+        validates the post-join MERGED rows, where every column is
+        present -- see there)."""
         spec = self.constraint_spec()
         if not spec:
             return
@@ -659,16 +667,27 @@ class TxTable:
         partitioning claim stays); ``compact()`` restores the
         one-file-per-bucket sorted layout.
 
-        Requires ``spark.sql.legacy.bucketedTableScan.outputOrdering``
-        (set here, session-level) for the sorted-scan claim; the
-        planning-time file listing it implies is bounded by the
-        table's file count."""
+        SESSION-LEVEL SIDE EFFECTS (both reversed by
+        :meth:`drop_clustered` when the handle is done): (1) sets
+        ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` and
+        leaves it set -- planning is LAZY, so restoring it here would
+        silently drop the no-Sort claim for any downstream query
+        planned after this call returns; it also affects other
+        bucketed scans in the session (they gain a planning-time file
+        listing, bounded by their file counts).  (2) registers a
+        catalog table (md5-of-root name by default) pointing at the
+        table directory; Spark's catalog cannot express a TEMPORARY
+        bucketed table, so the entry persists until dropped."""
         spec = self.cluster_spec()
         if spec is None:
             raise ValueError("read_clustered requires a cluster_by spec")
         bucket_cols, sort_cols, n_buckets = spec
         self._recover()
-        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        prior = spark.conf.get(conf_key, None)
+        if prior != "true" and self._prior_bucket_conf is _UNSET:
+            self._prior_bucket_conf = prior
+        spark.conf.set(conf_key, "true")
         schema = self.logged_schema()
         if schema is None:
             raise FileNotFoundError(f"no logged schema at {self.root}")
@@ -686,7 +705,27 @@ class TxTable:
             f"INTO {n_buckets} BUCKETS "
             f"LOCATION '{self.root}'"
         )
+        self._clustered_names.add(name)
         return spark.table(f"`{name}`")
+
+    def drop_clustered(self, spark: SparkSession) -> None:
+        """Undo :meth:`read_clustered`'s session side effects: drop
+        every catalog entry this handle registered (so no dangling
+        table outlives the directory) and restore the bucketed-scan
+        ordering conf to its pre-read value when this handle was the
+        one to flip it.  Call when done with the clustered scans --
+        any DataFrame already PLANNED stays valid; unplanned ones
+        lose the catalog table they reference."""
+        for name in sorted(self._clustered_names):
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        self._clustered_names.clear()
+        if self._prior_bucket_conf is not _UNSET:
+            conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+            if self._prior_bucket_conf is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, self._prior_bucket_conf)
+            self._prior_bucket_conf = _UNSET
 
     def _finalize(self, mapping: dict[str, str], removes: list[str]) -> None:
         for final_rel, staged_rel in mapping.items():
@@ -800,6 +839,7 @@ class TxTable:
         removes: list[str],
         op: str,
         base_version: int | None = None,
+        app_txn: "tuple[str, int] | None" = None,
     ) -> int:
         entry = {
             "op": op,
@@ -807,6 +847,8 @@ class TxTable:
             "remove": sorted(removes),
             "staged": mapping,
         }
+        if app_txn is not None:
+            entry["txn"] = {"app_id": app_txn[0], "version": int(app_txn[1])}
         stats = self._file_stats(mapping)
         if stats:
             entry["stats"] = stats
@@ -937,11 +979,25 @@ class TxTable:
         cols += [F.col(n) for n in by_name]  # new columns appended
         return df.select(*cols)
 
-    def init(self, df: DataFrame) -> int:
+    def last_txn_version(self, app_id: str) -> "int | None":
+        """Latest application transaction version committed under
+        ``app_id`` (Delta's SetTransaction / ``txnAppId``+``txnVersion``
+        idempotent-writes analog): commits made with ``app_txn=(app_id,
+        v)`` record v in the log; a batch-id-aware sink no-ops any
+        replayed micro-batch whose id is <= this.  Pure log read."""
+        for e in reversed(self._entries()):
+            txn = e.get("txn")
+            if txn is not None and txn.get("app_id") == app_id:
+                return int(txn["version"])
+        return None
+
+    def init(
+        self, df: DataFrame, app_txn: "tuple[str, int] | None" = None
+    ) -> int:
         """Create the table from df (version 1)."""
         self._check_constraints(df)
         _, mapping = self._stage(df)
-        return self._commit(mapping, [], "init")
+        return self._commit(mapping, [], "init", app_txn=app_txn)
 
     def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
         """Blind append (S7 chunked-INSERT analog): new files only,
@@ -966,7 +1022,9 @@ class TxTable:
             ]
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, app_txn: "tuple[str, int] | None" = None
+    ) -> int:
         """Replace the whole table's contents in one atomic commit
         (the full-refresh analog of the reference's MV rebuild,
         refresh_intersections_highestcrashes.py:39-57 -- but readable
@@ -974,7 +1032,10 @@ class TxTable:
         this very table (read-transform-overwrite): the rows are
         pinned with a localCheckpoint before any file is touched.
         Optimistic concurrency like merge/delete: raises
-        :class:`ConcurrentWriteError` if another commit lands first."""
+        :class:`ConcurrentWriteError` if another commit lands first.
+        ``app_txn=(app_id, version)`` records an application
+        transaction in the commit entry for idempotent sinks (see
+        :meth:`last_txn_version`)."""
         self._recover()
         self._check_constraints(df)
         base_version = self._snapshot_version()
@@ -985,7 +1046,11 @@ class TxTable:
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
         return self._commit(
-            mapping, removes, "overwrite", base_version=base_version
+            mapping,
+            removes,
+            "overwrite",
+            base_version=base_version,
+            app_txn=app_txn,
         )
 
     def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
@@ -1086,7 +1151,6 @@ class TxTable:
         from pyspark.sql import functions as FF
 
         self._recover()
-        self._check_constraints(source.select(*[c for c in source.columns]))
         base_version = self._snapshot_version()
         spark = source.sparkSession
         try:
@@ -1127,18 +1191,23 @@ class TxTable:
             )
             matched = FF.col("__src_key").isNotNull()
             gate = matched if condition is None else (matched & condition)
-            updated = joined.select(
-                *[
-                    (
-                        FF.when(gate, FF.col(f"__src_{c}"))
-                        .otherwise(FF.col(c))
-                        .alias(c)
-                        if c in set_cols
-                        else FF.col(c)
-                    )
-                    for c in base.columns
-                ]
-            ).localCheckpoint()
+            proj = [
+                (
+                    FF.when(gate, FF.col(f"__src_{c}"))
+                    .otherwise(FF.col(c))
+                    .alias(c)
+                    if c in set_cols
+                    else FF.col(c)
+                )
+                for c in base.columns
+            ]
+            # CHECK constraints validate the MERGED RESULT, and only
+            # the rows this update actually touches: an unmatched or
+            # condition-false source row that would never apply cannot
+            # abort the commit, and a constraint spanning a set_col
+            # and an untouched column sees the full post-update row.
+            self._check_constraints(joined.where(gate).select(*proj))
+            updated = joined.select(*proj).localCheckpoint()
             _, mapping = self._stage(updated)
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)

@@ -61,6 +61,8 @@ ARROW_OK = {
     "dedup_simhash",      # numpy simhash, same rationale
     "sim_ivf_topk",       # numpy matmul centroid argmax (replaces a
                           # full-corpus groupBy-argmax shuffle)
+    "pack_token_budget",  # the same grouped pack stage over the
+                          # stub token-count column
     "pack_sequences",     # greedy packing is sequential within a
                           # group by definition; applyInPandas over
                           # bounded groups is the distributed shape

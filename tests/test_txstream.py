@@ -239,6 +239,61 @@ def test_chain_rollup_stream_table_to_table(spark, tmp_path):
     assert "x" not in {g for g, _, _ in rolled()}
 
 
+def test_chain_rollup_replayed_batch_is_not_double_counted(
+    spark, tmp_path
+):
+    """Exactly-once under micro-batch replay: crash BETWEEN the
+    rollup's overwrite commit and the streaming checkpoint's commit
+    (simulated by deleting the checkpoint's last commit marker) makes
+    Spark re-run the batch on restart; the batch-id-aware sink must
+    no-op instead of folding the same signed deltas twice."""
+    from nyc_crash_mapper_etl_script_spark.operators.mv import signed_mv_view
+    from nyc_crash_mapper_etl_script_spark.plans.continuous import (
+        chain_rollup_stream,
+    )
+
+    fact = TxTable(str(tmp_path / "fact"), retain_history=True)
+    fact.init(
+        spark.createDataFrame(
+            [(1, "x", 10.0), (2, "y", 20.0)], "k long, grp string, val double"
+        )
+    )
+    rollup = TxTable(str(tmp_path / "rollup"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = chain_rollup_stream(
+            spark, fact, rollup, ["grp"], ckpt, sum_cols={"total": "val"}
+        )
+        q.awaitTermination(300)
+
+    def rolled():
+        return {
+            (r["grp"], r["n"], r["total"])
+            for r in signed_mv_view(
+                rollup.read(spark), ["grp"], sum_cols={"total": "val"}
+            ).collect()
+        }
+
+    drain()
+    fact.append(
+        spark.createDataFrame([(3, "x", 5.0)], "k long, grp string, val double")
+    )
+    drain()
+    want = rolled()
+    assert ("x", 2, 15.0) in want
+
+    # simulate the crash window: rollup committed, stream commit lost
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # hadoop checksum sidecar blocks re-commit
+        os.remove(crc)
+    drain()  # Spark re-runs the last micro-batch
+    assert rolled() == want, "replayed batch was folded twice"
+
+
 def test_max_versions_per_batch_paces_the_backlog(spark, table, tmp_path):
     """maxVersionsPerBatch=1: a 4-version backlog drains as four
     single-commit micro-batches (the ReadLimit analog), and the union
@@ -264,6 +319,66 @@ def test_max_versions_per_batch_paces_the_backlog(spark, table, tmp_path):
     q.stop()
     non_empty = [b for b in batches if b]
     assert non_empty == [[1], [2], [3], [4]]
+
+
+def test_restart_with_max_versions_never_regresses_offset(
+    spark, table, tmp_path
+):
+    """Restart + maxVersionsPerBatch together: the pacing cap must not
+    anchor at starting_version when the checkpointed offset is already
+    past it -- a capped latestOffset below the committed offset would
+    WAL a regressed offset and the next batch would re-deliver
+    versions the sink already processed.  Spark's restart re-init call
+    (partitions(end, end) / the uncommitted-batch re-run) seeds the
+    true position BEFORE the first latestOffset, so pacing stays
+    engaged across the restart with no regression and no loss."""
+    ckpt = str(tmp_path / "ckpt")
+    table.append(_rows(spark, [(4, "d", "2024-06")]))  # v2
+    table.append(_rows(spark, [(5, "e", "2024-06")]))  # v3
+    table.append(_rows(spark, [(6, "f", "2024-07")]))  # v4
+
+    batches: list[list[int]] = []
+
+    def sink(batch_df, batch_id):
+        batches.append(
+            sorted({r["_commit_version"] for r in batch_df.collect()})
+        )
+
+    def run(drains_after=()):
+        q = (
+            read_txtable_stream(
+                spark, table.root, max_versions_per_batch=1
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        for mutate in drains_after:
+            mutate()
+            q.processAllAvailable()
+        q.stop()
+
+    run()  # fresh query: paced 1 commit per batch up to v4
+    assert [b for b in batches if b] == [[1], [2], [3], [4]]
+
+    # backlog builds while the query is down; checkpoint sits at v4,
+    # far past starting_version=0
+    table.append(_rows(spark, [(7, "g", "2024-07")]))  # v5
+    table.append(_rows(spark, [(8, "h", "2024-07")]))  # v6
+    batches.clear()
+    run(
+        drains_after=[
+            lambda: table.append(_rows(spark, [(9, "i", "2024-08")]))  # v7
+        ]
+    )
+    got = [b for b in batches if b]
+    delivered = [v for b in got for v in b]
+    assert delivered == sorted(delivered), f"offset regressed: {got}"
+    assert delivered == [5, 6, 7], f"lost or duplicated versions: {got}"
+    # the restart re-init seeded the position, so every post-restart
+    # batch is still paced at one commit each
+    assert got == [[5], [6], [7]], f"pacing lost across restart: {got}"
 
 
 def test_vacuum_retention_vs_lagging_stream(spark, table, tmp_path):
@@ -298,6 +413,108 @@ def test_vacuum_retention_vs_lagging_stream(spark, table, tmp_path):
     table.vacuum(keep_versions=0)
     with pytest.raises(Exception, match="(?i)retain_history|unreadable|exist"):
         _drain(spark, table.root, out, ckpt)
+
+
+def test_bucket_aware_stream_layout_and_local_agg(spark, tmp_path):
+    """Bucket-aware reads over a cluster_by table: every micro-batch
+    arrives as EXACTLY n_buckets partitions with partition index ==
+    bucket id (murmur3-pmod of the bucket key), so bucket_local_agg
+    computes exact per-key aggregates in a plan with ZERO Exchange."""
+    from nyc_crash_mapper_etl_script_spark.sources.bucketed import (
+        bucket_local_agg,
+    )
+
+    n_buckets = 4
+    t = TxTable(
+        str(tmp_path / "tl"),
+        cluster_by=(["k"], ["k"], n_buckets),
+        retain_history=True,
+    )
+    t.init(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "k long, val double"
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, 100.0) for i in range(0, 40, 3)], "k long, val double"
+        )
+    )
+    t.merge(spark.createDataFrame([(7, -1.0)], "k long, val double"), "k")
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        n_parts = batch_df.rdd.getNumPartitions()
+        misplaced = (
+            batch_df.withColumn("__pid", F.spark_partition_id())
+            .where(
+                F.col("__pid") != F.pmod(F.hash("k"), F.lit(n_buckets))
+            )
+            .count()
+        )
+        agg = bucket_local_agg(
+            batch_df.withColumn(
+                "sgn_val",
+                F.when(F.col("_change_type") == "insert", F.col("val")).otherwise(
+                    -F.col("val")
+                ),
+            ),
+            ["k"],
+            sum_cols={"net": "sgn_val"},
+            count_col="n",
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        got = {(r["k"], r["n"], r["net"]) for r in agg.collect()}
+        want = {
+            (r["k"], r["n"], r["net"])
+            for r in batch_df.withColumn(
+                "sgn_val",
+                F.when(F.col("_change_type") == "insert", F.col("val")).otherwise(
+                    -F.col("val")
+                ),
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("sgn_val").alias("net"))
+            .collect()
+        }
+        seen.append((n_parts, misplaced, "Exchange" in plan, got == want))
+
+    q = (
+        read_txtable_stream(spark, t.root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert seen, "no non-empty micro-batch arrived"
+    for n_parts, misplaced, has_exchange, agg_ok in seen:
+        assert n_parts == n_buckets  # stable partition->bucket mapping
+        assert misplaced == 0  # partition index IS the bucket id
+        assert not has_exchange  # zero-shuffle per-key aggregation
+        assert agg_ok  # and it's exact, not partial
+
+    # layout is an optimization, not a row-set change: the per-file
+    # layout (bucketAware=false) delivers the same multiset
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for out, aware in ((out_a, True), (out_b, False)):
+        q = (
+            read_txtable_stream(spark, t.root, bucket_aware=aware)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    rows = lambda p: sorted(  # noqa: E731
+        (r["k"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows(out_a) == rows(out_b)
 
 
 def test_stream_over_clustered_table(spark, tmp_path):

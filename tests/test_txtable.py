@@ -811,12 +811,70 @@ def test_check_constraints_gate_writes(spark, tmp_path):
     fresh.overwrite(
         spark.createDataFrame([(1, 7.0), (4, 0.0)], "k long, score double")
     )
-    # partial-column update source: pos_score unresolvable -> skipped,
-    # has_key still enforced
+    # partial-column update source: validation happens on the merged
+    # result (full columns), so a no-op update still passes
     fresh.merge_update(
         spark.createDataFrame([(4,)], "k long"), "k", set_cols=[]
     )
     assert {r["k"] for r in fresh.read(spark).collect()} == {1, 4}
+
+
+def test_merge_update_constraints_validate_merged_result(spark, tmp_path):
+    """merge_update CHECK semantics: (a) a violating source row that
+    is UNMATCHED or condition-false never applies, so it must not
+    abort; (b) a constraint spanning a set_col and an UNTOUCHED
+    column is enforced against the merged row, so an update that
+    violates it through the combination aborts."""
+    from pyspark.sql import functions as F
+
+    t = TxTable(
+        str(tmp_path / "t"),
+        constraints={
+            "pos_score": "score >= 0",
+            "cap": "score <= cap_col",  # spans set_col + untouched col
+        },
+    )
+    t.init(
+        spark.createDataFrame(
+            [(1, 5.0, 10.0), (2, 3.0, 4.0)],
+            "k long, score double, cap_col double",
+        )
+    )
+    # violating value on an UNMATCHED key (99): ignored, commit lands
+    t.merge_update(
+        spark.createDataFrame(
+            [(1, 6.0), (99, -50.0)], "k long, score double"
+        ),
+        "k",
+        set_cols=["score"],
+    )
+    assert {r["k"]: r["score"] for r in t.read(spark).collect()} == {
+        1: 6.0,
+        2: 3.0,
+    }
+    # violating value gated out by condition=false: ignored
+    t.merge_update(
+        spark.createDataFrame([(2, -7.0)], "k long, score double"),
+        "k",
+        set_cols=["score"],
+        condition=F.col("__src_score") > 0,
+    )
+    assert {r["k"]: r["score"] for r in t.read(spark).collect()} == {
+        1: 6.0,
+        2: 3.0,
+    }
+    # cross-column violation only visible on the MERGED row:
+    # score=7 passes pos_score but breaks score <= cap_col (cap 4.0)
+    with pytest.raises(ValueError, match="cap"):
+        t.merge_update(
+            spark.createDataFrame([(2, 7.0)], "k long, score double"),
+            "k",
+            set_cols=["score"],
+        )
+    assert {r["k"]: r["score"] for r in t.read(spark).collect()} == {
+        1: 6.0,
+        2: 3.0,
+    }  # nothing committed
 
 
 def test_two_process_update_delete_race(spark, tmp_path_factory):

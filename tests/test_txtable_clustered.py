@@ -180,3 +180,37 @@ def test_restore_preserves_clustered_layout(spark, tmp_path):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert _got(out) == _expected(spark)
+
+
+def test_drop_clustered_reverses_session_side_effects(spark, tmp_path):
+    """drop_clustered: the catalog entry read_clustered registered is
+    dropped (no dangling table outlives the directory) and the
+    bucketed-scan ordering conf returns to its pre-read value when
+    this handle flipped it."""
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "false")  # a deliberate caller setting
+    try:
+        t = TxTable(str(tmp_path / "tl"), cluster_by=SPEC)
+        t.init(_timeline(spark))
+        df = t.read_clustered(spark)
+        name = t.read_clustered(spark, name="txc_explicit")
+        assert spark.conf.get(conf_key) == "true"
+        assert spark.catalog.tableExists("txc_explicit")
+        df.count(), name.count()
+        import hashlib
+
+        default_name = (
+            "txc_" + hashlib.md5(t.root.encode()).hexdigest()[:10]
+        )
+        assert spark.catalog.tableExists(default_name)
+        t.drop_clustered(spark)
+        # both the default-named and explicit entries are gone
+        assert not spark.catalog.tableExists("txc_explicit")
+        assert not spark.catalog.tableExists(default_name)
+        assert spark.conf.get(conf_key) == "false"  # caller value back
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
