@@ -190,6 +190,11 @@ def main() -> None:
         # in the warm pass).  Dead checkpoints only -- each timed rep
         # builds a fresh plan, so nothing unpersisted here is ever
         # reused.
+        # SPARK_GRAFT_BENCH_ISOLATE=0 disables the release (the r3
+        # behavior) -- the A/B lever for attributing shifts to cache
+        # pressure vs the isolation change itself (tools/bench_envelope.py)
+        if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") == "0":
+            return
         import gc
 
         gc.collect()

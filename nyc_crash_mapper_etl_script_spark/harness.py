@@ -924,6 +924,147 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared oracle CTE: the model-quality feature vector + logit score
+#: (operators/quality_model.py's exact arithmetic, same association
+#: order, rounded on the 1e-6 grid)
+_QMODEL_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, source, coalesce(text, '') AS txt,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS words,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+             END AS ntok
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source, ntok,
+             least(1.0, length(txt) / 20000.0) AS len_norm,
+             CASE WHEN length(txt) > 0
+                  THEN (length(txt) - length(regexp_replace(txt, '[^\w\s]', '', 'g')))
+                       / CAST(length(txt) AS DOUBLE)
+                  ELSE 0.0 END AS punct,
+             CASE WHEN len(words) > 0
+                  THEN len(list_filter(words,
+                       x -> list_contains(['the','and','of','to','is'], x)))
+                       / CAST(len(words) AS DOUBLE)
+                  ELSE 0.0 END AS stop,
+             least(1.0, ntok / 5000.0) AS ntok_norm
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, source, ntok,
+             round(-0.5 + 2.0 * len_norm + -3.0 * punct + 4.0 * stop
+                   + 1.0 * ntok_norm, 6) AS q_logit
+      FROM f
+    )
+"""
+
+
+@register(
+    "quality_model_gate",
+    _QMODEL_SQL
+    + """
+    SELECT doc_id, q_logit FROM s WHERE q_logit >= -0.35
+    """,
+)
+def quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality gating through the ARROW INFERENCE HOOK
+    (operators/quality_model.py, r4 VERDICT item 4): a caller-supplied
+    scorer receives the feature frame in Arrow batches via mapInPandas
+    and returns the score -- here a deterministic linear model
+    (sequential pandas arithmetic, exactly the Column backend's
+    association order) standing in for the ML runtimes this container
+    doesn't ship, so the DuckDB twin replays it bit for bit and the
+    driver gate proves the Arrow plumbing, not just the fast path."""
+    from nyc_crash_mapper_etl_script_spark.operators.quality_model import (
+        gate_quality,
+    )
+
+    def linear_scorer(feats):
+        import numpy as np
+
+        z = (
+            -0.5
+            + 2.0 * feats["len_norm"]
+            + -3.0 * feats["punct"]
+            + 4.0 * feats["stop"]
+            + 1.0 * feats["ntok_norm"]
+        )
+        return np.round(z.to_numpy(), 6)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gate_quality(
+        d, threshold_logit=-0.35, scorer=linear_scorer
+    ).select("doc_id", "q_logit")
+
+
+@register(
+    "pipeline_corpus_prep_scored",
+    _QMODEL_SQL
+    + """
+    , kept AS (
+      SELECT s.doc_id, s.source, s.ntok, s.q_logit,
+             md5(regexp_replace(lower(trim(coalesce(d.text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM s JOIN documents d USING (doc_id)
+      WHERE s.q_logit >= -0.35
+    ),
+    dd AS (
+      SELECT * FROM (
+        SELECT kept.*,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(floor(sum(CAST(round(q_logit * 1000000) AS BIGINT))
+                      / count(*)) AS BIGINT) AS avg_logit_e6
+    FROM dd GROUP BY source
+    """,
+)
+def pipeline_corpus_prep_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_corpus_prep with the MODEL gate in place of the
+    heuristic threshold (the composition r4 VERDICT item 4 asks for;
+    the original row is kept unchanged for bench comparability):
+    model-score (Column backend -- the gate inlines into the scan
+    projection, zero Python) -> gate at logit -0.35 (the corpus median band) -> exact dedup ->
+    per-source stats, average logit reported in exact 1e-6 grid
+    units (sum of scaled integers, floor-divided)."""
+    from pyspark.sql import Window as W
+
+    from nyc_crash_mapper_etl_script_spark.operators.quality_model import (
+        gate_quality,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gated = gate_quality(d, threshold_logit=-0.35).select(
+        "doc_id",
+        "source",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        whitespace_token_count(F.col("text")).cast("long").alias("ntok"),
+        "q_logit",
+    )
+    dd = (
+        gated.withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("fp").orderBy(F.col("doc_id").asc())),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return dd.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.floor(
+            F.sum(F.round(F.col("q_logit") * 1000000).cast("long"))
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("avg_logit_e6"),
+    )
+
+
 @register(
     "text_fingerprint",
     """
@@ -1446,6 +1587,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(e, dim=64, threshold=0.4, num_planes=6, seed=42)
+
+
+def _semantic_dedup_sql(
+    n_cells: int = 8, threshold: float = 0.4, max_cluster: int = 64
+) -> str:
+    """DuckDB twin of the md5/column semantic-dedup configuration:
+    md5-ordered centroids, round-6 cosine argmax assignment with
+    smallest-cell tie-break (the _ivf_topk_sql conventions), then the
+    keep-lowest-id prune against the capped candidate set."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"round(list_dot_product({x}, {y})"
+            f" / nullif(sqrt(list_dot_product({x}, {x}))"
+            f" * sqrt(list_dot_product({y}, {y})), 0.0), 6)"
+        )
+
+    by_hash = "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER ({by_hash}) - 1 AS INT) AS cell_id, v AS cv
+      FROM e QUALIFY row_number() OVER ({by_hash}) <= {n_cells}
+    ),
+    assign AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT e.vec_id, e.v, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos("e.v", "c.cv")} DESC,
+                                           c.cell_id ASC) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT assign.*,
+               row_number() OVER (PARTITION BY cell_id
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS w
+        FROM assign
+      ) WHERE w <= {max_cluster}
+    )
+    SELECT a.vec_id, a.cell_id FROM assign a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cand b
+      WHERE b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+        AND {cos("a.v", "b.v")} >= {threshold}
+    )
+    """
+
+
+@register("dedup_semantic_clusters", _semantic_dedup_sql())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (r4 VERDICT item 7): IVF
+    cluster assignment (md5-deterministic centroids, the
+    oracle-parity column path) + within-cluster keep-lowest-id
+    cosine pruning with the candidate cap wired
+    (``semantic_dedup``, operators/similarity.py) -- the semantic
+    family the hash/shingle rows don't cover.  The DuckDB twin
+    replays centroid selection, assignment, cap, and prune exactly."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e,
+        n_cells=8,
+        threshold=0.4,
+        impl="column",
+        hash_fn="md5",
+        max_cluster=64,
+    )
 
 
 def _lsh_topk_sql(k: int = 5, num_planes: int = 8, probe_hamming: int = 0) -> str:

@@ -793,3 +793,79 @@ def ann_recall(
             "recall"
         ),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+    hash_fn: str = "xxhash64",
+    max_cluster: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with the IVF coarse quantizer,
+    then prune within clusters -- a vector is DROPPED when a
+    LOWER-ID member of its own cluster has cosine >= ``threshold``
+    with it (deterministic keep-lowest-id representative, the same
+    convention as every hash/shingle dedup family here).  Returns the
+    KEPT rows as ``(id_col, cell_id)``.
+
+    This is the semantic family the hash/shingle/substring rows can't
+    cover: paraphrases embed near each other without sharing a single
+    shingle.  Scale shape: assignment is the zero-shuffle Arrow
+    matmul map (``ivf_assign``); the candidate comparison is an
+    equi-join on ``cell_id`` -- quadratic only WITHIN a cluster,
+    never across the corpus, exactly the bound the clustering exists
+    to provide.  ``max_cluster`` caps the candidate side per cluster
+    (row_number in deterministic (md5(id), id) order over the same
+    cell_id partitioning the join shuffles on -- the edit-distance
+    ``max_block`` treatment): a degenerate cluster costs at most
+    |cluster| x max_cluster comparisons; beyond-cap members are still
+    PRUNABLE against in-cap candidates but no longer prune others
+    (bounded recall loss, never wrong keeps of in-cap candidates).
+
+    ``impl='column'`` + ``hash_fn='md5'`` is the oracle-parity
+    configuration (round-6 cosines, DuckDB-replayable); Arrow is the
+    scale path.  ``centroids=`` accepts a pre-trained quantizer
+    (e.g. ``kmeans_centroids``); cell numbering is whatever the
+    quantizer produced."""
+    if centroids is None:
+        centroids = select_centroids(
+            corpus, n_cells, id_col, vec_col, hash_fn=hash_fn
+        )
+    rows = centroids.orderBy("cell_id").collect()
+    assigned = _assign_from_rows(corpus, rows, id_col, vec_col, impl=impl)
+    cand = assigned
+    if max_cluster is not None:
+        from pyspark.sql import Window as W
+
+        cand = (
+            assigned.withColumn(
+                "__w",
+                F.row_number().over(
+                    W.partitionBy("cell_id").orderBy(
+                        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                    )
+                ),
+            )
+            .where(F.col("__w") <= max_cluster)
+            .drop("__w")
+        )
+    a = assigned.alias("a")
+    b = cand.alias("b")
+    kept = a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+        & (
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+            >= threshold
+        ),
+        "left_anti",
+    )
+    return kept.select(F.col(f"a.{id_col}").alias(id_col), F.col("a.cell_id").alias("cell_id"))

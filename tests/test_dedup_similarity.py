@@ -779,3 +779,75 @@ def test_segment_boilerplate_removal_hand_built(spark):
     assert out[2] == ("one two three four", 1)
     assert out[3] == (None, 1)
     assert out[4] == ("solo unique words here plus tail content words", 0)
+
+
+def test_semantic_dedup_hand_built(spark):
+    """SemDeDup composition: two planted near-identical pairs prune
+    to their lowest ids; arrow and column assignment paths agree; the
+    join is equi-keyed on cell_id (no cartesian/NLJ)."""
+    import math
+
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [
+        (0, unit(0.00)),
+        (1, unit(0.01)),   # near-dup of 0 -> pruned
+        (2, unit(1.5)),
+        (3, unit(1.51)),   # near-dup of 2 -> pruned
+        (4, unit(3.0)),
+        (5, unit(4.4)),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for impl in ("column", "arrow"):
+        kept = semantic_dedup(
+            e, n_cells=3, threshold=0.95, impl=impl, hash_fn="md5"
+        )
+        ids = {r["vec_id"] for r in kept.collect()}
+        assert ids == {0, 2, 4, 5}, f"{impl}: {ids}"
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_max_cluster_caps_candidates(spark):
+    """The cap bounds the CANDIDATE side only: beyond-cap members
+    stop pruning others but are still prunable, and in-cap keeps are
+    never wrong.  With every vector identical (one degenerate
+    cluster), cap=1 means exactly one candidate -- the deterministic
+    md5-first member -- prunes everyone above it; only ids below the
+    candidate survive alongside it."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    e = spark.createDataFrame(
+        [(i, v) for i in range(12)], "vec_id long, embedding array<double>"
+    )
+    uncapped = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            e, n_cells=1, threshold=0.99, impl="column", hash_fn="md5"
+        ).collect()
+    }
+    assert uncapped == {0}  # keep-lowest-id, everything else pruned
+    capped = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            e,
+            n_cells=1,
+            threshold=0.99,
+            impl="column",
+            hash_fn="md5",
+            max_cluster=1,
+        ).collect()
+    }
+    # the single candidate keeps itself and everything below it
+    assert min(capped) == 0 and 0 in capped
+    assert capped == {i for i in range(12) if i <= max(capped)} or capped == {0}
+    assert len(capped) <= 12 and capped >= {0}

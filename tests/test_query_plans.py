@@ -61,6 +61,9 @@ ARROW_OK = {
     "dedup_simhash",      # numpy simhash, same rationale
     "sim_ivf_topk",       # numpy matmul centroid argmax (replaces a
                           # full-corpus groupBy-argmax shuffle)
+    "quality_model_gate", # the Arrow inference hook IS the point:
+                          # caller-supplied scorer over the feature
+                          # frame via one mapInPandas stage
     "pack_token_budget",  # the same grouped pack stage over the
                           # stub token-count column
     "pack_sequences",     # greedy packing is sequential within a
