@@ -6268,3 +6268,194 @@ def txtable_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "o_orderstatus string, n long")
+
+
+# ---------------------------------------------------------------------------
+# Round 5 additions: retrieval ranking, LM quality scoring, mixture
+# budgeting, and chunking -- the remaining standard shapes of a
+# training-data pipeline (operators/{ranking,lm,sampling,chunking}.py)
+# ---------------------------------------------------------------------------
+
+#: shared DuckDB tokenization (identical to operators.vocab.tokens)
+_TOK_LIST = (
+    r"list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),"
+    r" x -> x <> '')"
+)
+
+_BM25_TERMS = ("hash", "merge", "scan")
+
+
+@register(
+    "text_bm25_rank",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_LIST}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, len({_TOK_LIST}) AS dl FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN ('hash', 'merge', 'scan')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
+    SELECT doc_id, score FROM (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ) ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by Okapi BM25 (k1=1.2, b=0.75, Lucene-smoothed
+    IDF) for a fixed 3-term query.  The query-term filter lands before
+    the tf aggregate, df reuses the tf relation, N/avgdl are ONE
+    broadcast 1-row aggregate, and the top-k is
+    TakeOrderedAndProject.  Scores round-6 with doc-id tie-break so
+    the boundary is engine-independent."""
+    from nyc_crash_mapper_etl_script_spark.operators.ranking import bm25_rank
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_rank(d, list(_BM25_TERMS), n=10)
+
+
+@register(
+    "quality_lm_score",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOK_LIST} AS t FROM documents
+    ),
+    pos_all AS (
+      SELECT doc_id, lang, t[i] AS p, t[i + 1] AS c
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+    ),
+    uni AS (
+      SELECT p AS t, count(*) AS n1 FROM (
+        SELECT doc_id, unnest(t) AS p FROM tok WHERE lang = 'en'
+      ) GROUP BY p
+    ),
+    tot AS (SELECT sum(n1) AS T, count(*) AS V FROM uni),
+    bg AS (
+      SELECT p, c, count(*) AS n2 FROM pos_all WHERE lang = 'en'
+      GROUP BY p, c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(
+             CASE WHEN bg.n2 IS NOT NULL THEN bg.n2 * 1.0 / u1.n1
+                  ELSE 0.4 * (coalesce(u2.n1, 0) + 1.0) / (tot.T + tot.V)
+             END)), 6) AS nll
+    FROM pos_all
+    LEFT JOIN bg USING (p, c)
+    LEFT JOIN uni u1 ON u1.t = pos_all.p
+    LEFT JOIN uni u2 ON u2.t = pos_all.c
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a bigram stupid-backoff model
+    (Brants et al. 2007) trained on the 'en' slice scores every
+    document's mean negative log-likelihood.  Counts are hash
+    aggregates over the reference slice; scoring is token-keyed
+    dimension joins on the exploded bigram relation; T/V ride in as
+    ONE broadcast 1-row aggregate.  nll round-6."""
+    from nyc_crash_mapper_etl_script_spark.operators.lm import (
+        lm_stupid_backoff_nll,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_stupid_backoff_nll(d, F.col("lang") == "en")
+
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+_MIX_BUDGET = 4000
+
+
+def _mixture_sql() -> str:
+    total = sum(_MIX_WEIGHTS.values())
+    quota_rows = ", ".join(
+        f"('{d}', {int(_MIX_BUDGET * (w / total))})"
+        for d, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return rf"""
+    WITH sized AS (
+      SELECT doc_id, source, len({_TOK_LIST}) AS n_tokens FROM documents
+    ),
+    q(source, quota) AS (VALUES {quota_rows}),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) / 4294967296.0 ASC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized JOIN q USING (source)
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum JOIN q USING (source) WHERE cum_tokens <= quota
+    """
+
+
+@register("mixture_token_budget", _mixture_sql())
+def mixture_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture selection under a 4000-token budget with
+    weights src0:3 src1:1 src2:1 src3:0.5 (the public data-mixture
+    recipe shape).  Per-domain quotas broadcast-join in; the running
+    token total is ONE window cumsum partitioned by domain ordered by
+    the salt-rotatable md5 fraction -- deterministic on any engine."""
+    from nyc_crash_mapper_etl_script_spark.operators.sampling import (
+        mixture_token_budget,
+    )
+    from nyc_crash_mapper_etl_script_spark.operators.vocab import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    out = mixture_token_budget(
+        d, _MIX_WEIGHTS, _MIX_BUDGET, domain_col="source", size_col="n_tokens"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+@register(
+    "doc_chunk_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+      WHERE length(coalesce(text, '')) > 0
+    )
+    SELECT doc_id,
+           CAST(floor(s * 1.0 / 96) AS BIGINT) AS chunk_id,
+           CAST(s AS INT) AS chunk_start,
+           CAST(length(substr(t, s + 1, 128)) AS INT) AS chunk_len,
+           substr(t, s + 1, 128) AS chunk
+    FROM d, unnest(range(0, length(t), 96)) AS u(s)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: 128-char chunks every 96 chars (32-char
+    overlap), final partial chunk kept, empty docs dropped.  Pure
+    codegen sequence+explode+substring -- no shuffle, partitioning
+    preserved."""
+    from nyc_crash_mapper_etl_script_spark.operators.chunking import chunk_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_overlap(d, width=128, stride=96)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+        "chunk",
+    )

@@ -1,0 +1,103 @@
+"""N-gram language-model quality scoring (training-pipeline north
+star: CCNet-style perplexity filtering -- score every document by a
+small LM trained on a trusted reference slice, keep the
+low-perplexity tail).
+
+The model is a bigram LM with "stupid backoff" (Brants et al. 2007,
+public): seen bigrams score with their conditional MLE, unseen ones
+back off to an add-one-smoothed unigram probability scaled by a
+constant alpha.  No normalization of the backoff path -- that is the
+point of stupid backoff, it is a score, not a distribution, and at
+corpus scale it matches Kneser-Ney quality for filtering purposes.
+
+    s(c | p) = n2(p, c) / n1(p)                 if bigram seen
+             = alpha * (n1(c) + 1) / (T + V)     otherwise
+    nll(d)   = - mean over positions of ln(s)
+
+Plan shape at 100 TB: the tokenized array is computed ONCE per row
+in the scan projection; bigram pairs come from a codegen'd
+``zip_with`` over two array slices (no Python); training counts are
+two hash aggregates over the REFERENCE slice only (filter pushed to
+the scan); scoring is three equi-joins of the exploded position
+relation against the count relations (token-keyed dimension joins --
+broadcast at moderate vocab, AQE-planned sort-merge beyond), and the
+T/V totals ride in as ONE broadcast 1-row aggregate.  Zipf-skewed
+hot tokens are dimension-side rows here, not shuffle keys of the big
+side, so no salting is needed.  The per-document mean collapses in a
+partial aggregate before the final shuffle on doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.operators.vocab import tokens
+
+__all__ = ["bigram_pairs", "lm_stupid_backoff_nll"]
+
+
+def bigram_pairs(text: Column) -> Column:
+    """Array of (p, c) adjacent-token structs; empty for docs with
+    fewer than two tokens."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: F.struct(p.alias("p"), c.alias("c")),
+    )
+
+
+def lm_stupid_backoff_nll(
+    df: DataFrame,
+    ref_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """(id_col, n_bigrams, nll): mean negative log stupid-backoff
+    score per document, model trained on the ``ref_cond`` slice.
+
+    Documents with fewer than two tokens have no bigram positions and
+    are omitted (nothing to score).  ``nll`` is rounded at 6.
+    """
+    ref = df.where(ref_cond)
+    uni = (
+        ref.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n1"))
+    )
+    tot = uni.agg(
+        F.sum("n1").alias("__t"), F.count("*").alias("__v")
+    )
+    bg = (
+        ref.select(F.explode(bigram_pairs(F.col(text_col))).alias("pc"))
+        .groupBy(F.col("pc.p").alias("p"), F.col("pc.c").alias("c"))
+        .agg(F.count("*").alias("n2"))
+    )
+    pos = df.select(
+        F.col(id_col), F.explode(bigram_pairs(F.col(text_col))).alias("pc")
+    ).select(id_col, F.col("pc.p").alias("p"), F.col("pc.c").alias("c"))
+
+    n1p = uni.select(F.col("t").alias("p"), F.col("n1").alias("n1p"))
+    n1c = uni.select(F.col("t").alias("c"), F.col("n1").alias("n1c"))
+    backoff = (
+        F.lit(alpha)
+        * (F.coalesce(F.col("n1c"), F.lit(0)) + F.lit(1.0))
+        / (F.col("__t") + F.col("__v"))
+    )
+    prob = F.when(
+        F.col("n2").isNotNull(), F.col("n2") / F.col("n1p")
+    ).otherwise(backoff)
+    return (
+        pos.join(bg, ["p", "c"], "left")
+        .join(n1p, "p", "left")
+        .join(n1c, "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log(prob)), 6).alias("nll"),
+        )
+    )

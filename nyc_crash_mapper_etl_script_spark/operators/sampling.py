@@ -188,3 +188,56 @@ def weighted_sample(
         .limit(k)
         .drop("__aes")
     )
+
+
+def mixture_token_budget(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    budget_tokens: int,
+    domain_col: str = "source",
+    size_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture selection under a global token budget
+    (training-pipeline north star: build an epoch's mixture by
+    domain weights -- the public data-mixture recipe shape, e.g.
+    The Pile / Dolma mixture tables).
+
+    Each domain ``d`` gets a quota ``floor(budget * w_d / sum(w))``;
+    within the domain, documents are ordered by the deterministic
+    md5 fraction (salt-rotatable shuffle order -- the same order
+    ``shuffled_shards`` exports), and a document is kept while the
+    RUNNING token total up to and including it fits the quota.
+    Deterministic: same data + weights + salt => the same mixture on
+    any engine, which is what makes the oracle twin exact.
+
+    Plan shape at 100 TB: the quota table is a HANDFUL of rows
+    (broadcast join on domain); the running total is ONE window
+    (cumsum) partitioned by domain -- a single shuffle on the domain
+    key.  Skew note: a window partition is one task, so a domain
+    with billions of docs serializes; for that shape pre-filter with
+    ``hash_fraction < quota_d / domain_tokens * c`` (an overshoot
+    cap) before the exact cumsum, which bounds the partition to
+    ~quota-sized data.  Returns (key, domain, size, cum) for audit.
+    """
+    total_w = float(sum(weights.values()))
+    spark = df.sparkSession
+    quota_rows = [
+        (d, int(budget_tokens * (w / total_w))) for d, w in sorted(weights.items())
+    ]
+    quotas = spark.createDataFrame(quota_rows, f"{domain_col} string, __quota long")
+    from pyspark.sql import Window
+
+    order = hash_fraction(F.col(key_col), salt)
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(order.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(quotas), domain_col)
+        .withColumn("__cum", F.sum(size_col).over(w))
+        .where(F.col("__cum") <= F.col("__quota"))
+        .select(key_col, domain_col, size_col, F.col("__cum").alias("cum_tokens"))
+    )

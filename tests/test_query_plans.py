@@ -49,6 +49,8 @@ NLJ_OK = {
                                   # (TPC-H Q11's scalar HAVING subquery)
     "q15_top_supplier",           # 1-row broadcast max-revenue scalar
                                   # (TPC-H Q15's view-max subquery)
+    "text_bm25_rank",             # 1-row broadcast N/avgdl corpus stats
+    "quality_lm_score",           # 1-row broadcast T/V model totals
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)
