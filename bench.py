@@ -56,6 +56,13 @@ HEADLINE = [
     # headlined: their per-iteration lazy checkpoints blur the
     # declaration/execution timing split this harness relies on
     "q9_product_profit",
+    # round-5 additions: the remaining training-pipeline shapes
+    "quality_model_gate",
+    "dedup_semantic_clusters",
+    "text_bm25_rank",
+    "quality_lm_score",
+    "mixture_token_budget",
+    "doc_chunk_overlap",
 ]
 
 

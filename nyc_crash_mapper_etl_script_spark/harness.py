@@ -1641,8 +1641,9 @@ def _semantic_dedup_sql(
 @register("dedup_semantic_clusters", _semantic_dedup_sql())
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (r4 VERDICT item 7): IVF
-    cluster assignment (md5-deterministic centroids, the
-    oracle-parity column path) + within-cluster keep-lowest-id
+    cluster assignment (md5-deterministic centroids, Arrow matmul --
+    the scale path; round-6-before-compare keeps it bit-identical to
+    the column path, pytest-pinned) + within-cluster keep-lowest-id
     cosine pruning with the candidate cap wired
     (``semantic_dedup``, operators/similarity.py) -- the semantic
     family the hash/shingle rows don't cover.  The DuckDB twin
@@ -1656,7 +1657,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         n_cells=8,
         threshold=0.4,
-        impl="column",
+        impl="arrow",
         hash_fn="md5",
         max_cluster=64,
     )

@@ -27,6 +27,7 @@ from nyc_crash_mapper_etl_script_spark.functions.partitioning import (
     ensure_parallelism,
 )
 from nyc_crash_mapper_etl_script_spark.functions.vectors import cosine, dot
+from nyc_crash_mapper_etl_script_spark.functions.vectors import norm as vnorm
 
 
 def brute_force_topk(
@@ -835,11 +836,19 @@ def semantic_dedup(
     (e.g. ``kmeans_centroids``); cell numbering is whatever the
     quantizer produced."""
     if centroids is None:
-        centroids = select_centroids(
-            corpus, n_cells, id_col, vec_col, hash_fn=hash_fn
-        )
-    rows = centroids.orderBy("cell_id").collect()
-    assigned = _assign_from_rows(corpus, rows, id_col, vec_col, impl=impl)
+        # memoized on the corpus plan (plancache), like every IVF
+        # caller: re-declaring the dedup does not re-run the
+        # quantizer job
+        rows = _centroid_rows(corpus, n_cells, id_col, vec_col, hash_fn=hash_fn)
+    else:
+        rows = centroids.orderBy("cell_id").collect()
+    # per-ROW norm precompute: the pair predicate then needs ONE
+    # array aggregate (the dot) instead of three (dot + both norms)
+    # -- identical float arithmetic (same per-row norm expression,
+    # same d / (na * nb) order), so round-6 parity is preserved
+    assigned = _assign_from_rows(corpus, rows, id_col, vec_col, impl=impl).withColumn(
+        "__nrm", vnorm(F.col(vec_col))
+    )
     cand = assigned
     if max_cluster is not None:
         from pyspark.sql import Window as W
@@ -858,14 +867,22 @@ def semantic_dedup(
         )
     a = assigned.alias("a")
     b = cand.alias("b")
+    # norm guards FIRST: zero-norm vectors never match (the original
+    # cosine() returned NULL there), and the AND keeps the 0/0 = NaN
+    # division result from ever deciding the predicate (Spark orders
+    # NaN above every number)
+    pair_cos = F.round(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")),
+        6,
+    )
     kept = a.join(
         b,
         (F.col("a.cell_id") == F.col("b.cell_id"))
         & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
-        & (
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
-            >= threshold
-        ),
+        & (F.col("a.__nrm") > 0)
+        & (F.col("b.__nrm") > 0)
+        & (pair_cos >= threshold),
         "left_anti",
     )
     return kept.select(F.col(f"a.{id_col}").alias(id_col), F.col("a.cell_id").alias("cell_id"))

@@ -73,6 +73,10 @@ ARROW_OK = {
                           # bounded groups is the distributed shape
     "pack_concat_text",   # composes pack_sequences' grouped stage
     "pipeline_training_mix",  # ends in the same grouped pack stage
+    "dedup_semantic_clusters",  # numpy matmul centroid assignment
+                                # (the same ivf_assign Arrow stage as
+                                # sim_ivf_topk); the prune join itself
+                                # is an equi join on cell_id
 }
 
 
