@@ -63,6 +63,7 @@ HEADLINE = [
     "quality_lm_score",
     "mixture_token_budget",
     "doc_chunk_overlap",
+    "dedup_tfidf_cosine",
 ]
 
 

@@ -6460,3 +6460,66 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_len").cast("int").alias("chunk_len"),
         "chunk",
     )
+
+
+@register(
+    "dedup_tfidf_cosine",
+    r"""
+    WITH w0 AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 5
+                    THEN [array_to_string(words[i:i+4], ' ') FOR i IN range(1, len(words) - 3)]
+                  WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+                  ELSE [] END AS shs
+      FROM w0
+    ),
+    occ AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    tf AS (SELECT doc_id, sh, count(*) AS tf FROM occ GROUP BY doc_id, sh),
+    dfq AS (SELECT sh, count(*) AS df FROM tf GROUP BY sh),
+    n AS (SELECT count(*) AS nd FROM documents),
+    w AS (
+      SELECT doc_id, sh, dfq.df,
+             tf.tf * (ln((n.nd + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
+      FROM tf JOIN dfq USING (sh) CROSS JOIN n
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      WHERE a.df <= 40
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM cand c
+    JOIN dots d ON d.id_a = c.id_a AND d.id_b = c.id_b
+    JOIN nrm na ON na.doc_id = c.id_a
+    JOIN nrm nb ON nb.doc_id = c.id_b
+    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted shingle-cosine near-dup pairs (threshold 0.5,
+    posting cap 40) -- the weighted sibling of dedup_ngram_jaccard:
+    rare shared shingles dominate the score.  Candidates from the
+    capped inverted index; every candidate's dot is verified over
+    the FULL weight maps, so values match the uncapped path exactly
+    (pytest-pinned).  The oracle replays weights, norms, capped
+    candidates, and full-vector dots."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        tfidf_cosine_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.5, max_posting=40)

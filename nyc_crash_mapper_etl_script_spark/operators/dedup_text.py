@@ -969,3 +969,115 @@ def exact_substring_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """TF-IDF-weighted cosine near-dup pairs over word k-shingles --
+    the WEIGHTED sibling of :func:`ngram_jaccard_pairs`: Jaccard
+    treats every shared shingle equally, cosine lets rare (high-IDF)
+    shared shingles dominate, which separates boilerplate-heavy
+    near-dups from topically-similar-but-distinct docs.
+
+    Weights: ``w = tf * (ln((N + 1) / (df + 1)) + 1)`` (the same
+    smoothed IDF as ``operators.vocab.tf_idf``); per-doc norms over
+    the FULL weight vector; ``cosine = dot / (norm_a * norm_b)``
+    rounded at 6 before the threshold compare.
+
+    Uncapped path: the inverted-index self-join on shingle feeds ONE
+    (id_a, id_b) hash aggregate summing ``w_a * w_b`` -- two
+    shuffles total, exactly the jaccard family's shape plus a
+    multiply.
+
+    ``max_posting`` is the 100 TB lever, with the jaccard family's
+    exact-verify contract: shingles whose df exceeds the cap are
+    dropped from CANDIDATE GENERATION only (the filter is free --
+    df is already joined in for the weights), and every surviving
+    candidate's dot product is then computed over the two docs'
+    COMPLETE weight maps (a map_from_entries join, no second
+    inverted-index pass), so reported cosines are identical to the
+    uncapped path, never estimates.  Same caveat as jaccard: a pair
+    whose every shared shingle is hotter than the cap loses its
+    candidates; high-cosine pairs share rare shingles by
+    construction (rare = high IDF = dominates the score), so the
+    miss window is pairs that were mostly below threshold anyway.
+    """
+    sh = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k=k)).alias("sh")
+    )
+    tf = sh.groupBy("id", "sh").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("sh").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("__n"))
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    # lazy localCheckpoint: the weighted posting relation feeds the
+    # candidate self-join (both sides), the norms, and (capped path)
+    # the full-vector maps -- without the checkpoint each consumer
+    # re-runs the explode + two aggregates (the minhash-LSH signature
+    # treatment, dedup_minhash_pairs above; measured 2.5 s -> 1.0 s
+    # at sf0.1).  Storage cost is the posting list itself, the same
+    # thing the inverted index shuffles anyway.
+    w = (
+        tf.join(dfreq, "sh")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "sh", "df", (F.col("tf") * idf).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+
+    def finish(dots: DataFrame) -> DataFrame:
+        na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("__na"))
+        nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("__nb"))
+        return (
+            dots.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(
+                "cos", F.round(F.col("dot") / (F.col("__na") * F.col("__nb")), 6)
+            )
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
+    if max_posting is None:
+        a, b = w.alias("a"), w.alias("b")
+        dots = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        )
+        return finish(dots)
+
+    pairing = w.where(F.col("df") <= max_posting)
+    a, b = pairing.alias("a"), pairing.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = w.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("sh", "w"))).alias("vec")
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("__va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb"))
+    dots = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.map_entries(F.col("__va")),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + F.coalesce(
+                    F.element_at(F.col("__vb"), e["key"]) * e["value"], F.lit(0.0)
+                ),
+            ).alias("dot"),
+        )
+    )
+    return finish(dots)

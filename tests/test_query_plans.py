@@ -51,6 +51,7 @@ NLJ_OK = {
                                   # (TPC-H Q15's view-max subquery)
     "text_bm25_rank",             # 1-row broadcast N/avgdl corpus stats
     "quality_lm_score",           # 1-row broadcast T/V model totals
+    "dedup_tfidf_cosine",         # 1-row broadcast doc-count N (IDF)
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)

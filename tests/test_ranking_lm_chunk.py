@@ -237,3 +237,58 @@ def test_chunk_overlap_rejects_bad_params(spark):
         chunk_overlap(df, width=0, stride=3)
     with pytest.raises(ValueError):
         chunk_overlap(df, width=4, stride=0)
+
+
+# ------------------------------------------- tf-idf cosine near-dup
+
+
+def test_tfidf_cosine_hand_computed(spark):
+    """Two docs sharing their full shingle set score cosine 1.0; an
+    unrelated doc pairs with nothing at a 0.5 threshold; k=2 keeps
+    the hand arithmetic small."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (1, "a b c"),   # shingles(k=2): "a b", "b c"
+        (2, "a b c"),   # identical -> cosine 1.0 with 1
+        (3, "x y z"),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(df, k=2, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_tfidf_cosine_cap_preserves_values(spark):
+    """The posting cap restricts candidates only: every surviving
+    pair's cosine equals the uncapped value exactly (the full-vector
+    verify), and the capped pair set is a subset."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (i, f"common common2 rare{i % 3} tail{i % 3} end{i % 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    un = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(df, k=2, threshold=0.3).collect()
+    }
+    cap = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(
+            df, k=2, threshold=0.3, max_posting=5
+        ).collect()
+    }
+    assert set(cap) <= set(un)
+    for pair, c in cap.items():
+        assert c == un[pair], pair
+    # the planted same-suffix groups survive the cap (rare shingles)
+    assert (0, 3) in cap
