@@ -6523,3 +6523,39 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, threshold=0.5, max_posting=40)
+
+
+@register(
+    "corpus_profile",
+    rf"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len({_TOK_LIST})) AS BIGINT) AS tokens,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (the pipeline-monitoring shape: doc
+    and token inventories, mean size, language spread, empty-doc
+    audit).  ONE hash aggregate with map-side partial combine; the
+    count-distinct is per-group over a 5-value lang column (Spark
+    expands it to a two-phase aggregate, still one logical shuffle).
+    At 100 TB this is the cheapest full-corpus pass there is --
+    every metric folds in the partial aggregate."""
+    from nyc_crash_mapper_etl_script_spark.operators.vocab import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(
+            F.when(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, 1)
+            .otherwise(0)
+        ).cast("long").alias("empty_docs"),
+    )

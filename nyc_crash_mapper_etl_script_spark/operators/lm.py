@@ -63,10 +63,18 @@ def lm_stupid_backoff_nll(
     are omitted (nothing to score).  ``nll`` is rounded at 6.
     """
     ref = df.where(ref_cond)
+    # lazy localCheckpoint: the unigram model table feeds three
+    # consumers (totals, the p-side join, the c-side join) -- without
+    # it each re-runs the reference explode + aggregate, i.e. three
+    # full reference-corpus scans at scale.  The cached relation is
+    # vocab-sized, the cheapest possible checkpoint (sf0.1-neutral in
+    # the bench -- the win is the avoided rescans, which grow with
+    # the reference slice, not with the vocab).
     uni = (
         ref.select(F.explode(tokens(F.col(text_col))).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("n1"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(
         F.sum("n1").alias("__t"), F.count("*").alias("__v")
