@@ -64,6 +64,7 @@ HEADLINE = [
     "mixture_token_budget",
     "doc_chunk_overlap",
     "dedup_tfidf_cosine",
+    "pipeline_rag_prep",
 ]
 
 

@@ -6559,3 +6559,64 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("long").alias("empty_docs"),
     )
+
+
+@register(
+    "pipeline_rag_prep",
+    r"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+      WHERE length(coalesce(text, '')) > 0
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST(floor(s * 1.0 / 96) AS BIGINT) AS chunk_id,
+             substr(t, s + 1, 128) AS chunk
+      FROM d, unnest(range(0, length(t), 96)) AS u(s)
+    ),
+    fp AS (
+      SELECT doc_id, chunk_id, md5(chunk) AS fp,
+             len(list_filter(string_split_regex(lower(trim(chunk)), '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             count(*) OVER (PARTITION BY md5(chunk)) AS n_copies,
+             row_number() OVER (
+               PARTITION BY md5(chunk) ORDER BY doc_id, chunk_id) AS rn
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, fp, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM fp WHERE rn = 1
+    """,
+)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RAG-prep pipeline: overlap-chunk every document
+    (128/96), exact-dedup the chunks by md5 fingerprint
+    (keep-lowest (doc_id, chunk_id), copy count retained for
+    weighting), and inventory token counts per surviving chunk --
+    chunk -> dedup -> count, the retrieval-corpus build.  Plan: the
+    chunk explode is zero-shuffle codegen; the dedup is ONE window
+    over the fingerprint (count + row_number share the partition);
+    token counts ride the scan projection."""
+    from nyc_crash_mapper_etl_script_spark.functions.text import (
+        whitespace_token_count,
+    )
+    from nyc_crash_mapper_etl_script_spark.operators.chunking import chunk_overlap
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_overlap(d, width=128, stride=96).select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk").alias("fp"),
+        whitespace_token_count(F.col("chunk")).cast("long").alias("n_tokens"),
+    )
+    wnd = Window.partitionBy("fp")
+    ranked = ch.withColumn("n_copies", F.count(F.lit(1)).over(wnd)).withColumn(
+        "rn",
+        F.row_number().over(
+            wnd.orderBy(F.col("doc_id").asc(), F.col("chunk_id").asc())
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id", "chunk_id", "fp", "n_tokens", F.col("n_copies").cast("long").alias("n_copies")
+    )
