@@ -6620,3 +6620,66 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rn") == 1).select(
         "doc_id", "chunk_id", "fp", "n_tokens", F.col("n_copies").cast("long").alias("n_copies")
     )
+
+
+def _lm_model_sql(suffix: str, ref_where: str) -> str:
+    """CTE block scoring every doc's stupid-backoff NLL under a model
+    trained on the ``ref_where`` slice (twin of lm_stupid_backoff_nll;
+    suffix avoids CTE collisions when two models compose, as in DSIR)."""
+    return f"""
+    uni{suffix} AS (
+      SELECT p AS t, count(*) AS n1 FROM (
+        SELECT doc_id, unnest(t) AS p FROM tok {ref_where}
+      ) GROUP BY p
+    ),
+    tot{suffix} AS (SELECT sum(n1) AS T, count(*) AS V FROM uni{suffix}),
+    bg{suffix} AS (
+      SELECT p, c, count(*) AS n2 FROM pos_all {ref_where}
+      GROUP BY p, c
+    ),
+    score{suffix} AS (
+      SELECT doc_id,
+             round(-avg(ln(
+               CASE WHEN b.n2 IS NOT NULL THEN b.n2 * 1.0 / u1.n1
+                    ELSE 0.4 * (coalesce(u2.n1, 0) + 1.0) / (t0.T + t0.V)
+               END)), 6) AS nll
+      FROM pos_all
+      LEFT JOIN bg{suffix} b USING (p, c)
+      LEFT JOIN uni{suffix} u1 ON u1.t = pos_all.p
+      LEFT JOIN uni{suffix} u2 ON u2.t = pos_all.c
+      CROSS JOIN tot{suffix} t0
+      GROUP BY doc_id
+    )"""
+
+
+@register(
+    "sample_dsir_select",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOK_LIST} AS t FROM documents
+    ),
+    pos_all AS (
+      SELECT doc_id, lang, t[i] AS p, t[i + 1] AS c
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+    ),
+    {_lm_model_sql('_t', "WHERE lang = 'en'")},
+    {_lm_model_sql('_b', '')}
+    SELECT s_t.doc_id,
+           s_t.nll AS nll_target,
+           s_b.nll AS nll_background,
+           round(s_b.nll - s_t.nll, 6) AS importance
+    FROM score_t s_t JOIN score_b s_b USING (doc_id)
+    ORDER BY importance DESC, doc_id ASC LIMIT 25
+    """,
+)
+def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023): top-25 docs by
+    importance = nll_background - nll_target, both bigram
+    stupid-backoff NLLs (target model: the 'en' slice; background:
+    the whole corpus).  Deterministic top-k replaces Gumbel
+    resampling; the oracle replays BOTH model trainings and both
+    scoring passes."""
+    from nyc_crash_mapper_etl_script_spark.operators.lm import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(d, F.col("lang") == "en", k=25)

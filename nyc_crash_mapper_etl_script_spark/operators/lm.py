@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from nyc_crash_mapper_etl_script_spark.operators.vocab import tokens
 
-__all__ = ["bigram_pairs", "lm_stupid_backoff_nll"]
+__all__ = ["bigram_pairs", "lm_stupid_backoff_nll", "dsir_select"]
 
 
 def bigram_pairs(text: Column) -> Column:
@@ -109,3 +109,49 @@ def lm_stupid_backoff_nll(
             F.round(-F.avg(F.log(prob)), 6).alias("nll"),
         )
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_cond: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" -- public): rank
+    every document by the importance score
+
+        importance = nll_background - nll_target
+
+    where both sides are the bigram stupid-backoff NLL of
+    :func:`lm_stupid_backoff_nll`, the target model trained on the
+    ``target_cond`` slice and the background model on the WHOLE
+    corpus.  A document that looks much more like the target than
+    like the average corpus scores high; top-k selection with
+    deterministic id tie-break replaces the paper's Gumbel resampling
+    so the result is engine-replayable (the ranking is the same).
+
+    Plan shape: two passes of the LM scorer over one shared bigram
+    relation shape; the final top-k is TakeOrderedAndProject.  Only
+    docs with at least one bigram participate (both scorers omit
+    shorter docs).
+    """
+    tgt = lm_stupid_backoff_nll(df, target_cond, id_col, text_col, alpha).select(
+        F.col(id_col), F.col("nll").alias("nll_target")
+    )
+    bkg = lm_stupid_backoff_nll(
+        df, F.lit(True), id_col, text_col, alpha
+    ).select(F.col(id_col), F.col("nll").alias("nll_background"))
+    scored = tgt.join(bkg, id_col).select(
+        id_col,
+        "nll_target",
+        "nll_background",
+        F.round(F.col("nll_background") - F.col("nll_target"), 6).alias(
+            "importance"
+        ),
+    )
+    from nyc_crash_mapper_etl_script_spark.operators.topk import top_k
+
+    return top_k(scored, "importance", k, id_col)

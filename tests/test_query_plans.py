@@ -52,6 +52,8 @@ NLJ_OK = {
     "text_bm25_rank",             # 1-row broadcast N/avgdl corpus stats
     "quality_lm_score",           # 1-row broadcast T/V model totals
     "dedup_tfidf_cosine",         # 1-row broadcast doc-count N (IDF)
+    "sample_dsir_select",         # two 1-row broadcast T/V totals
+                                  # (target + background LM passes)
 }
 
 #: queries that legitimately run vectorized Python (Arrow batches)

@@ -292,3 +292,37 @@ def test_tfidf_cosine_cap_preserves_values(spark):
         assert c == un[pair], pair
     # the planted same-suffix groups survive the cap (rare shingles)
     assert (0, 3) in cap
+
+
+# ------------------------------------------------------ DSIR selection
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Docs matching the target slice's bigram distribution get
+    higher importance than corpus-typical docs; importance equals
+    the hand-joined difference of the two NLL passes."""
+    from nyc_crash_mapper_etl_script_spark.operators.lm import (
+        dsir_select,
+        lm_stupid_backoff_nll,
+    )
+
+    rows = [
+        (1, "a b a b", "tgt"),
+        (2, "a b a b a b", "tgt"),
+        (3, "x y x y", "other"),
+        (4, "a b x y", "other"),
+        (5, "a b a b", "other"),   # looks like target -> high importance
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = dsir_select(df, F.col("grp") == "tgt", k=5).collect()
+    imp = {r["doc_id"]: r["importance"] for r in out}
+    # target-like docs outrank the off-distribution one
+    assert imp[5] > imp[3]
+    assert imp[1] > imp[3]
+    # cross-check against the two scorer passes joined by hand
+    t = {r["doc_id"]: r["nll"] for r in
+         lm_stupid_backoff_nll(df, F.col("grp") == "tgt").collect()}
+    b = {r["doc_id"]: r["nll"] for r in
+         lm_stupid_backoff_nll(df, F.lit(True)).collect()}
+    for d, i in imp.items():
+        assert i == pytest.approx(round(b[d] - t[d], 6), abs=1e-6), d
