@@ -65,6 +65,9 @@ HEADLINE = [
     "doc_chunk_overlap",
     "dedup_tfidf_cosine",
     "pipeline_rag_prep",
+    "dedup_substring_spans",
+    "gopher_quality_rules",
+    "sketch_kmv_overlap",
 ]
 
 

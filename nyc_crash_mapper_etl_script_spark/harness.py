@@ -6683,3 +6683,223 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return dsir_select(d, F.col("lang") == "en", k=25)
+
+
+# ---------------------------------------------------------------------------
+# Round 5 tail: span-level substring dedup, Gopher rules, sketch set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+    w AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             md5(substr(tx, CAST(u.i AS INT), 40)) AS wh
+      FROM t CROSS JOIN LATERAL unnest(range(1, len(tx) - 38)) AS u(i)
+      WHERE len(tx) >= 40
+    ),
+    f AS (
+      SELECT wh, doc_id AS fid, pos AS fpos
+      FROM (SELECT wh, doc_id, pos,
+                   row_number() OVER (PARTITION BY wh
+                                      ORDER BY doc_id, pos) AS rn
+            FROM w)
+      WHERE rn = 1
+    ),
+    d AS (
+      SELECT w.doc_id, w.pos, w.pos + 40 AS e
+      FROM w JOIN f USING (wh)
+      WHERE w.doc_id <> f.fid OR w.pos <> f.fpos
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, pos, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pm
+            FROM d)
+    ),
+    sp AS (
+      SELECT doc_id, g, min(pos) AS s, max(e) AS e2, count(*) AS nw
+      FROM isl GROUP BY doc_id, g
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e2 - s) AS BIGINT) AS removed_chars,
+             CAST(sum(nw) AS BIGINT) AS n_dup_windows
+      FROM sp GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(tx) AS BIGINT) AS n_chars,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(removed_chars, 0) AS removed_chars,
+           CAST(len(tx) AS BIGINT) - coalesce(removed_chars, 0) AS kept_chars
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-LEVEL exact-substring dedup accounting (suffix-array-style
+    "remove the duplicated span, keep the first occurrence", Lee et
+    al. 2022): per doc, merge every 40-char window whose text occurred
+    earlier (smaller (doc_id, pos)) into maximal duplicated spans and
+    report window/span/char accounting.  LINEAR, no posting cap
+    needed: first-occurrence is a map-combinable min(struct) hash agg,
+    the probe join is N-to-1, and the interval merge windows over each
+    doc's own positions only (operators/dedup_text.py
+    ``substring_span_stats``)."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        substring_span_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_span_stats(d, k=40)
+
+
+@register(
+    "gopher_quality_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS words,
+             string_split(coalesce(text, ''), chr(10)) AS lines
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CASE WHEN len(words) > 0
+             THEN round(list_sum(list_transform(words, x -> len(x))) * 1.0
+                        / len(words), 4)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(words) > 0
+             THEN round((CAST(len(t) - len(replace(t, '#', '')) AS BIGINT)
+                         + CAST((len(t) - len(replace(t, '...', ''))) / 3
+                                AS BIGINT)
+                         + CAST(len(t) - len(replace(t, chr(8230), ''))
+                                AS BIGINT)) * 1.0 / len(words), 4)
+             ELSE 0.0 END AS symbol_word_ratio,
+        round(len(list_filter(lines,
+                              l -> substr(ltrim(l), 1, 1) IN ('-', '*',
+                                                              chr(8226))))
+              * 1.0 / len(lines), 4) AS bullet_line_ratio,
+        round(len(list_filter(lines,
+                              l -> regexp_matches(rtrim(l),
+                                                  '(\.\.\.|' || chr(8230)
+                                                  || ')$')))
+              * 1.0 / len(lines), 4) AS ellipsis_line_ratio,
+        CASE WHEN len(words) > 0
+             THEN round(len(list_filter(words,
+                                        x -> regexp_matches(x, '[A-Za-z]')))
+                        * 1.0 / len(words), 4)
+             ELSE 0.0 END AS alpha_word_ratio,
+        CAST((CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'the') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'be') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'to') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'of') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'and') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'that') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'have') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+                                      'with') THEN 1 ELSE 0 END)
+             AS BIGINT) AS stopword_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+           stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND alpha_word_ratio >= 0.8
+            AND stopword_hits >= 2) AS keep
+    FROM feat
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher heuristic rule battery (Rae et al. 2021
+    A1.1): word-count bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stopword
+    presence -- all as codegen Columns folded into the scan
+    projection, zero shuffles (operators/quality_rules.py)."""
+    from nyc_crash_mapper_etl_script_spark.operators.quality_rules import (
+        gopher_rules,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(d)
+
+
+@register(
+    "sketch_kmv_overlap",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text,
+                                                                         ''))),
+                                                     '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 5
+                    THEN [array_to_string(words[i:i+4], ' ')
+                          FOR i IN range(1, len(words) - 3)]
+                  WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+                  ELSE [] END AS shs
+      FROM w
+    ),
+    ea AS (SELECT DISTINCT unnest(shs) AS el FROM s WHERE doc_id % 2 = 0),
+    eb AS (SELECT DISTINCT unnest(shs) AS el FROM s WHERE doc_id % 2 = 1),
+    ha AS (SELECT CAST(('0x' || substr(md5(el), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS h,
+                  1 AS ia, 0 AS ib FROM ea),
+    hb AS (SELECT CAST(('0x' || substr(md5(el), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS h,
+                  0 AS ia, 1 AS ib FROM eb),
+    u AS (SELECT h, max(ia) AS ia, max(ib) AS ib
+          FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb) GROUP BY h),
+    topk AS (SELECT * FROM u ORDER BY h LIMIT 256)
+    SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+           round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 255 / max(h) END, 4) AS est_union,
+           round(sum(ia * ib) * 1.0 / count(*), 4) AS est_jaccard,
+           round((sum(ia * ib) * 1.0 / count(*))
+                 * (CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                         ELSE 255 / max(h) END), 4) AS est_intersection
+    FROM topk
+    """,
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set operations: estimated union size, Jaccard and
+    intersection between the 5-shingle sets of two corpus halves
+    (even vs odd doc_id) -- corpus-overlap estimation WITHOUT a
+    corpus-sized join, O(k) memory, shard-mergeable
+    (operators/sketches.py ``kmv_set_overlap``).  The md5 hash family
+    makes the estimate bit-reproducible on any engine."""
+    from nyc_crash_mapper_etl_script_spark.functions.text import shingles
+    from nyc_crash_mapper_etl_script_spark.operators.sketches import (
+        kmv_set_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"), k=5)).alias("el")
+    )
+    a = sh.where(F.col("doc_id") % 2 == 0).select("el")
+    b = sh.where(F.col("doc_id") % 2 == 1).select("el")
+    return kmv_set_overlap(a, b, "el", k=256)

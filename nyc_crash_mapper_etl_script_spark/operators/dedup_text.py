@@ -1081,3 +1081,105 @@ def tfidf_cosine_pairs(
         )
     )
     return finish(dots)
+
+
+def substring_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+) -> DataFrame:
+    """Span-LEVEL exact-substring dedup accounting (the "remove the
+    duplicated span, keep the first occurrence" semantics of
+    suffix-array training-data dedup, Lee et al. 2022): every
+    k-char window whose text occurred earlier in the corpus --
+    earlier = smaller (doc_id, pos) lexicographically -- marks its
+    [pos, pos+k) char range as duplicated; per doc the marked ranges
+    are merged into maximal spans and accounted.
+
+    Unlike pair generation (:func:`exact_substring_pairs`) this is
+    LINEAR, with no quadratic hot-window hazard and hence no posting
+    cap: the first-occurrence computation is a map-side-combining
+    ``min(struct(id, pos))`` aggregate (partial SortAggregate -- a
+    boilerplate window shared by half the corpus still folds to ONE
+    row per partition before the exchange), and the join back is
+    N-to-1 on the window hash: AQE broadcasts the aggregated firsts
+    when they fit (the observed sf0.01 plan probes with ZERO extra
+    shuffle), else a sort-merge join on wh.  The only per-doc state is the
+    interval merge: a cumulative-max window over each doc's own
+    duplicated positions -- bounded by doc length, never by corpus
+    size.  At 100 TB this is the same O(total chars) bill the
+    distributed suffix array pays, in three bounded shuffles
+    (window hash, window hash, doc id).
+
+    Output, one row per input doc: (doc_id, n_chars, n_dup_windows,
+    n_spans, removed_chars, kept_chars).  Docs shorter than ``k``
+    or with no duplicated window report zeros and keep everything.
+
+    Reference analog: none in the ETL script -- north-star extension
+    for LLM corpus prep (SURVEY.md LLM-pipeline section).
+    """
+    from pyspark.sql.window import Window
+
+    d = _ensure_parallelism(docs)
+    base = d.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    )
+    tl = F.length(F.col("__t"))
+    idx = F.when(
+        tl >= k, F.sequence(F.lit(1), tl - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    windows = base.select(
+        "id",
+        F.posexplode(F.transform(idx, lambda i: F.substring(F.col("__t"), i, k))),
+    ).select("id", (F.col("pos") + 1).alias("pos"), F.md5("col").alias("wh"))
+    # first occurrence per window text: lexicographic min over
+    # (doc_id, pos) -- partial-agg friendly, skew-immune
+    firsts = windows.groupBy("wh").agg(F.min(F.struct("id", "pos")).alias("__f"))
+    dups = (
+        windows.join(firsts, "wh")
+        .where(
+            (F.col("id") != F.col("__f.id")) | (F.col("pos") != F.col("__f.pos"))
+        )
+        .select("id", "pos", (F.col("pos") + F.lit(k)).alias("__end"))
+    )
+    # merge overlapping [pos, pos+k) ranges per doc: gaps-and-islands
+    # on the cumulative max end over the doc's sorted duplicate
+    # positions (state bounded by the doc's own length)
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("__end").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dups.withColumn(
+        "__isl",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        ).over(w_doc),
+    )
+    spans = (
+        islands.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").alias("__s"),
+            F.max("__end").alias("__e"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("__e") - F.col("__s")).cast("long").alias("removed_chars"),
+            F.sum("__n").cast("long").alias("n_dup_windows"),
+        )
+    )
+    lens = base.select("id", F.length("__t").cast("long").alias("n_chars"))
+    return (
+        lens.join(spans, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_chars",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
+            (F.col("n_chars") - F.coalesce("removed_chars", F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )

@@ -100,3 +100,65 @@ def kmv_distinct_grouped(
             4,
         ).alias("est_distinct"),
     )
+
+
+def kmv_set_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    k: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """KMV sketch SET OPERATIONS between two element sets: one-row
+    estimate of |A union B|, Jaccard(A, B) and |A intersect B| from
+    the k minimum hashes of the UNION (Beyer et al. 2007 / the theta-
+    sketch construction).  The k smallest union hashes are a uniform
+    sample of A union B, so the fraction of them present in BOTH
+    sides estimates Jaccard, and intersection = jaccard x union.
+
+    This answers "how much do two 100 TB corpora overlap?" WITHOUT a
+    corpus-sized join: each side folds to distinct md5 fractions
+    (map-side-combined hash agg), membership flags merge on the hash
+    value, and the k-smallest selection is Spark's TakeOrdered path
+    (per-partition top-k, k rows per partition of merge traffic).
+    Memory O(k) everywhere; sketches of shards union + re-min into
+    the same estimate, so per-shard sketches are computed once and
+    merged forever.
+
+    Deterministic bit-for-bit on any engine with md5 -- the oracle
+    replays estimate arithmetic exactly (round 4).
+
+    Output (one row): n_hashes, est_union, est_jaccard,
+    est_intersection.
+    """
+    ha = (
+        a.where(F.col(col).isNotNull())
+        .select(md5_fraction(F.col(col), salt).alias("__h"))
+        .distinct()
+        .withColumn("__in_a", F.lit(1))
+        .withColumn("__in_b", F.lit(0))
+    )
+    hb = (
+        b.where(F.col(col).isNotNull())
+        .select(md5_fraction(F.col(col), salt).alias("__h"))
+        .distinct()
+        .withColumn("__in_a", F.lit(0))
+        .withColumn("__in_b", F.lit(1))
+    )
+    elems = (
+        ha.unionByName(hb)
+        .groupBy("__h")
+        .agg(F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b"))
+    )
+    topk = elems.orderBy(F.col("__h").asc()).limit(k)
+    n = F.count("*")
+    est_union = F.when(n < F.lit(k), n.cast("double")).otherwise(
+        (F.lit(k) - 1) / F.max("__h")
+    )
+    jac = F.sum(F.col("__in_a") * F.col("__in_b")).cast("double") / n
+    return topk.agg(
+        n.cast("long").alias("n_hashes"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(jac, 4).alias("est_jaccard"),
+        F.round(jac * est_union, 4).alias("est_intersection"),
+    )
