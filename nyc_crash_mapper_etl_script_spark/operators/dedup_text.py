@@ -1088,6 +1088,7 @@ def substring_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 40,
+    single_pass: bool = False,
 ) -> DataFrame:
     """Span-LEVEL exact-substring dedup accounting (the "remove the
     duplicated span, keep the first occurrence" semantics of
@@ -1099,18 +1100,25 @@ def substring_span_stats(
 
     Unlike pair generation (:func:`exact_substring_pairs`) this is
     LINEAR, with no quadratic hot-window hazard and hence no posting
-    cap: the first-occurrence computation is a map-side-combining
-    ``min(struct(id, pos))`` aggregate (partial SortAggregate -- a
-    boilerplate window shared by half the corpus still folds to ONE
-    row per partition before the exchange), and the join back is
-    N-to-1 on the window hash: AQE broadcasts the aggregated firsts
-    when they fit (the observed sf0.01 plan probes with ZERO extra
-    shuffle), else a sort-merge join on wh.  The only per-doc state is the
-    interval merge: a cumulative-max window over each doc's own
-    duplicated positions -- bounded by doc length, never by corpus
-    size.  At 100 TB this is the same O(total chars) bill the
-    distributed suffix array pays, in three bounded shuffles
-    (window hash, window hash, doc id).
+    cap.  Default (skew-safe) plan: first occurrence per window is a
+    map-side-combining HashAggregate over a fixed-width
+    (doc_id, pos) digit encoding -- a boilerplate window shared by
+    half the corpus still folds to ONE row per partition before the
+    exchange -- and the join back is N-to-1 on the window hash (AQE
+    broadcasts the aggregated firsts when they fit; the observed
+    sf0.01 plan probes with ZERO extra shuffle).  The only per-doc
+    state is the interval merge: a cumulative-max window over each
+    doc's own duplicated positions -- bounded by doc length, never
+    by corpus size.  At 100 TB this is the same O(total chars) bill
+    the distributed suffix array pays, in bounded shuffles with no
+    single-key sort anywhere.
+
+    ``single_pass=True`` swaps the agg+probe for ONE row_number
+    window over (h1, h2): half the explode/shuffle work (sf0.1 A/B:
+    1.24 s vs 2.05 s) but a hot-key hazard -- a degenerate window
+    repeated by millions of docs sorts its whole posting list in one
+    task.  Use it when corpus duplication is known bounded; the
+    default stays the skew-immune plan.
 
     Output, one row per input doc: (doc_id, n_chars, n_dup_windows,
     n_spans, removed_chars, kept_chars).  Docs shorter than ``k``
@@ -1130,20 +1138,50 @@ def substring_span_stats(
     idx = F.when(
         tl >= k, F.sequence(F.lit(1), tl - F.lit(k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    windows = base.select(
+    # NO shared checkpoint here, deliberately: the window relation is
+    # consumed twice on the default path (first-occurrence agg +
+    # probe side), but an A/B at sf0.1 measured recompute FASTER than
+    # materializing the 1.3M wide rows (no-ckpt 2.43 s vs
+    # lazy-localCheckpoint 2.66 s steady / 8.5 s first-run) -- the
+    # explode + hash stays fused in codegen under each consumer's
+    # partial aggregate.  The substring itself runs AFTER the explode
+    # (codegen) rather than inside the sequence-transform lambda
+    # (interpreted): another ~9% at sf0.1.
+    # Window key: a 128-bit xxhash64 pair, not md5 -- half the
+    # shuffle-key bytes of the hex digest and a cheaper JVM hash;
+    # collision-safe at corpus scale (2^128 space), and the oracle
+    # never sees the key (its outputs are char counts).
+    win = F.col("__t").substr(F.col("pos"), F.lit(k))
+    windows = base.select("id", "__t", F.explode(idx).alias("pos")).select(
         "id",
-        F.posexplode(F.transform(idx, lambda i: F.substring(F.col("__t"), i, k))),
-    ).select("id", (F.col("pos") + 1).alias("pos"), F.md5("col").alias("wh"))
-    # first occurrence per window text: lexicographic min over
-    # (doc_id, pos) -- partial-agg friendly, skew-immune
-    firsts = windows.groupBy("wh").agg(F.min(F.struct("id", "pos")).alias("__f"))
-    dups = (
-        windows.join(firsts, "wh")
-        .where(
-            (F.col("id") != F.col("__f.id")) | (F.col("pos") != F.col("__f.pos"))
-        )
-        .select("id", "pos", (F.col("pos") + F.lit(k)).alias("__end"))
+        "pos",
+        F.xxhash64(win).alias("h1"),
+        F.xxhash64(F.lit("\x01"), win).alias("h2"),
     )
+    if single_pass:
+        w_first = Window.partitionBy("h1", "h2").orderBy("id", "pos")
+        dups = (
+            windows.withColumn("__rn", F.row_number().over(w_first))
+            .where(F.col("__rn") > 1)
+            .select("id", "pos", (F.col("pos") + F.lit(k)).alias("__end"))
+        )
+    else:
+        # first occurrence per window text: lexicographic min over
+        # (doc_id, pos), encoded as a fixed-width digit string so the
+        # aggregate plans as a map-side-combining HashAggregate
+        # (min(struct) falls back to SortAggregate) -- skew-immune
+        # either way, but hash-agg skips the per-partition sort
+        enc = F.concat(
+            F.lpad(F.col("id").cast("string"), 19, "0"),
+            F.lpad(F.col("pos").cast("string"), 10, "0"),
+        )
+        keyed = windows.withColumn("__e", enc)
+        firsts = keyed.groupBy("h1", "h2").agg(F.min("__e").alias("__f"))
+        dups = (
+            keyed.join(firsts, ["h1", "h2"])
+            .where(F.col("__e") != F.col("__f"))
+            .select("id", "pos", (F.col("pos") + F.lit(k)).alias("__end"))
+        )
     # merge overlapping [pos, pos+k) ranges per doc: gaps-and-islands
     # on the cumulative max end over the doc's sorted duplicate
     # positions (state bounded by the doc's own length)

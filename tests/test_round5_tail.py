@@ -73,6 +73,25 @@ def test_substring_spans_short_and_clean_docs(spark):
     assert out[2]["kept_chars"] == 1
 
 
+def test_substring_spans_single_pass_parity(spark):
+    """The row_number single-pass plan and the skew-safe agg+probe
+    plan produce identical accounting."""
+    a = "abcdefghijklmnopqrstuvwxyz0123456789"
+    b = a[:12] + "ZZZZYYYYXXXXWWWW" + a[20:32]
+    seg = "0123456789ABCDEF"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, seg + "qqqq" + seg), (4, "x" * 50), (5, None)],
+        ["doc_id", "text"],
+    )
+    safe = sorted(
+        map(tuple, substring_span_stats(docs, k=8).collect())
+    )
+    fast = sorted(
+        map(tuple, substring_span_stats(docs, k=8, single_pass=True).collect())
+    )
+    assert safe == fast
+
+
 # ---------------------------------------------------------------- gopher
 
 
