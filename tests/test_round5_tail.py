@@ -4,6 +4,8 @@ Gopher rule battery, KMV sketch set operations."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
@@ -167,3 +169,77 @@ def test_kmv_overlap_disjoint_and_identical(spark):
     row2 = kmv_set_overlap(a, a, "v", k=64).collect()[0]
     assert row2["est_jaccard"] == 1.0
     assert row2["est_union"] == row2["est_intersection"]
+
+
+# ------------------------------------------------------- span property
+
+
+def _span_reference(corpus: list[tuple[int, str]], k: int):
+    """Brute-force python reference for substring_span_stats: mark
+    every k-window instance whose text occurred at a smaller
+    (doc_id, pos), merge intervals, account chars."""
+    first: dict[str, tuple[int, int]] = {}
+    for did, text in sorted(corpus):
+        t = text or ""
+        for p in range(len(t) - k + 1):
+            w = t[p : p + k]
+            if w not in first:
+                first[w] = (did, p)
+    out = {}
+    for did, text in corpus:
+        t = text or ""
+        marks = []
+        for p in range(len(t) - k + 1):
+            if first[t[p : p + k]] != (did, p):
+                marks.append(p)
+        spans = []
+        for p in marks:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        removed = sum(e - s for s, e in spans)
+        out[did] = (
+            len(t),
+            len(marks),
+            len(spans),
+            removed,
+            len(t) - removed,
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=2, max_value=6),
+)
+def test_substring_spans_match_python_reference(spark, texts, k):
+    """Tiny alphabet + short windows force heavy duplication within
+    and across docs; both engine paths must match the brute-force
+    reference exactly."""
+    corpus = list(enumerate(texts))
+    ref = _span_reference(corpus, k)
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    for single_pass in (False, True):
+        got = {
+            r["doc_id"]: (
+                r["n_chars"],
+                r["n_dup_windows"],
+                r["n_spans"],
+                r["removed_chars"],
+                r["kept_chars"],
+            )
+            for r in substring_span_stats(
+                docs, k=k, single_pass=single_pass
+            ).collect()
+        }
+        assert got == ref
