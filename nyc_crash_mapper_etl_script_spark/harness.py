@@ -6903,3 +6903,79 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.where(F.col("doc_id") % 2 == 0).select("el")
     b = sh.where(F.col("doc_id") % 2 == 1).select("el")
     return kmv_set_overlap(a, b, "el", k=256)
+
+
+_CANON_SQL = _CC_SQL.replace(
+    "SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id",
+    r"""
+    , cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+    qt AS (
+      SELECT doc_id, coalesce(text, '') AS txt,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+')
+               AS qwords
+      FROM documents
+    ),
+    qm AS (
+      SELECT doc_id,
+             CASE WHEN length(txt) >= 50 AND length(txt) <= 20000 THEN 1.0
+                  WHEN length(txt) > 0 THEN 0.3 ELSE 0.0 END AS len_ok,
+             1.0 - least(1.0,
+               (CASE WHEN length(txt) > 0
+                     THEN (length(txt)
+                           - length(regexp_replace(txt, '[^\w\s]', '', 'g')))
+                          / CAST(length(txt) AS DOUBLE)
+                     ELSE 0.0 END) * 4) AS punct_ok,
+             least(1.0,
+               (CASE WHEN len(qwords) > 0
+                     THEN len(list_filter(qwords,
+                          x -> list_contains(['the','and','of','to','is'], x)))
+                          / CAST(len(qwords) AS DOUBLE)
+                     ELSE 0.0 END) * 10) AS stop_ok
+      FROM qt
+    ),
+    ql AS (
+      SELECT doc_id,
+             floor(((len_ok + punct_ok + stop_ok) / 3) * 10000) / 10000.0 AS q
+      FROM qm
+    ),
+    j AS (SELECT cl.doc_id, cl.cluster, ql.q FROM cl JOIN ql USING (doc_id)),
+    canon AS (
+      SELECT cluster, doc_id AS canonical_id FROM (
+        SELECT cluster, doc_id,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY q DESC, doc_id ASC) AS rn
+        FROM j)
+      WHERE rn = 1
+    ),
+    csize AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM j GROUP BY cluster
+    )
+    SELECT j.doc_id, j.cluster, j.q, canon.canonical_id, csize.cluster_size,
+           j.doc_id = canon.canonical_id AS keep
+    FROM j JOIN canon USING (cluster) JOIN csize USING (cluster)
+    """,
+)
+
+
+@register("dedup_cluster_canonical", _CANON_SQL)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup END GAME, composed end to end: n-gram jaccard
+    pairs -> connected-component clusters -> KEEP THE BEST-QUALITY
+    doc per cluster (ties -> lowest id), drop the rest
+    (operators/dedup_text.py ``select_canonical``).  "Keep best"
+    beats "keep first" because crawl order is not a quality signal;
+    this is the decision table a production corpus dedup ships.  The
+    oracle replays pairs, the recursive-CTE reachability, the quality
+    score, and the per-cluster argmax."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+        select_canonical,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=5, threshold=0.5)
+    clusters = duplicate_clusters(d, pairs)
+    quality = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    return select_canonical(clusters, quality)

@@ -1221,3 +1221,44 @@ def substring_span_stats(
             .alias("kept_chars"),
         )
     )
+
+
+def select_canonical(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    q_col: str = "q",
+) -> DataFrame:
+    """The near-dedup END GAME: turn resolved clusters
+    (:func:`duplicate_clusters`) plus a per-doc quality score into
+    keep/drop decisions -- per cluster keep the HIGHEST-QUALITY doc
+    (ties -> lowest id), drop the rest.  This is what production
+    corpus dedup actually ships: "keep first" biases toward crawl
+    order; "keep best" retains the cleanest copy of each near-dup
+    family.
+
+    Shape: one equi-join on id, one map-side-combining
+    ``max(struct(q, -id))`` aggregate per cluster (cluster cardinality
+    is bounded by corpus duplication, and the partial agg folds each
+    partition's members to one row before the exchange), one N-to-1
+    join back on the cluster label (AQE broadcasts the per-cluster
+    winners when they fit).  No windows, no single-task sorts.
+
+    Output: (id, cluster, q, canonical_id, cluster_size, keep).
+    """
+    j = clusters.join(quality, id_col)
+    best = j.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(F.col(q_col).alias("__q"), (-F.col(id_col)).alias("__nid"))
+        ).alias("__b"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return j.join(best, cluster_col).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(q_col),
+        (-F.col("__b.__nid")).cast("long").alias("canonical_id"),
+        "cluster_size",
+        (F.col(id_col) == -F.col("__b.__nid")).alias("keep"),
+    )

@@ -243,3 +243,37 @@ def test_substring_spans_match_python_reference(spark, texts, k):
             ).collect()
         }
         assert got == ref
+
+
+# ----------------------------------------------------- canonical select
+
+
+def test_select_canonical_keeps_best_quality(spark):
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        select_canonical,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        ["doc_id", "cluster"],
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.7), (6, 0.7)],
+        ["doc_id", "q"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in select_canonical(clusters, quality).collect()
+    }
+    # cluster 1: docs 2 and 3 tie at 0.9 -> lowest id (2) wins
+    assert out[1]["canonical_id"] == 2 and out[1]["keep"] is False
+    assert out[2]["keep"] is True
+    assert out[3]["keep"] is False
+    assert out[1]["cluster_size"] == 3
+    # singleton keeps itself
+    assert out[4]["keep"] is True and out[4]["cluster_size"] == 1
+    # cluster 5: tie at 0.7 -> doc 5
+    assert out[5]["keep"] is True and out[6]["keep"] is False
+    # exactly one keeper per cluster
+    keepers = [d for d, r in out.items() if r["keep"]]
+    assert sorted(keepers) == [2, 4, 5]
