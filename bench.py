@@ -68,6 +68,11 @@ HEADLINE = [
     "dedup_substring_spans",
     "gopher_quality_rules",
     "sketch_kmv_overlap",
+    # round-6 additions: incremental SemDeDup (continuous-ingest
+    # regime) and the keep-best-per-cluster core on a non-iterative
+    # clustering (select_canonical's own perf record)
+    "dedup_semantic_incremental",
+    "canonical_keep_best",
 ]
 
 

@@ -1663,6 +1663,198 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_sql_parts(n_cells: int, cents_where: str = "") -> str:
+    """Shared CTE block for the semantic-dedup family twins: md5-
+    ordered centroid selection (optionally over a subset --
+    ``cents_where`` -- the incremental row trains on the OLD corpus
+    only) and round-6 argmax assignment of EVERY vector."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"round(list_dot_product({x}, {y})"
+            f" / nullif(sqrt(list_dot_product({x}, {x}))"
+            f" * sqrt(list_dot_product({y}, {y})), 0.0), 6)"
+        )
+
+    by_hash = "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER ({by_hash}) - 1 AS INT) AS cell_id, v AS cv
+      FROM e {cents_where}
+      QUALIFY row_number() OVER ({by_hash}) <= {n_cells}
+    ),
+    assign AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT e.vec_id, e.v, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos("e.v", "c.cv")} DESC,
+                                           c.cell_id ASC) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )"""
+
+
+_SEM_COS = (
+    "round(list_dot_product(a.v, b.v)"
+    " / nullif(sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)"
+)
+
+
+def _semantic_incremental_sql(
+    n_cells: int = 8, threshold: float = 0.4, max_cluster: int = 64
+) -> str:
+    """DuckDB twin of the incremental contract: centroids trained on
+    the OLD three-quarters only, every vector assigned with them, the
+    cap over the FULL pool (index ∪ batch, same (md5, id) order), and
+    the keep-lowest-id prune restricted to NEW (last-quarter) ids --
+    exactly full-corpus-with-stored-centroids filtered to the batch,
+    which is what ``semantic_dedup_incremental`` computes."""
+    split = "(SELECT 3 * count(*) // 4 FROM embeddings)"
+    return (
+        _semantic_sql_parts(n_cells, cents_where=f"WHERE vec_id < {split}")
+        + f""",
+    cand AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT assign.*,
+               row_number() OVER (PARTITION BY cell_id
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS w
+        FROM assign
+      ) WHERE w <= {max_cluster}
+    )
+    SELECT a.vec_id, a.cell_id FROM assign a
+    WHERE a.vec_id >= {split}
+      AND NOT EXISTS (
+        SELECT 1 FROM cand b
+        WHERE b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+          AND {_SEM_COS} >= {threshold}
+      )
+    """
+    )
+
+
+@register("dedup_semantic_incremental", _semantic_incremental_sql())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (r5 VERDICT item 3): the last quarter of
+    the embeddings table arrives as a NEW batch against the first
+    three quarters stored as an assignment index, with the quantizer
+    trained on the old corpus only and never re-trained
+    (``semantic_dedup_incremental``, operators/similarity.py).  The
+    oracle replays quantizer training on the old subset, assignment
+    of everything, the pool-wide candidate cap, and the prune
+    restricted to batch ids -- pinning incremental == full-corpus
+    semantic_dedup (stored centroids) minus old×old."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_assign,
+        select_centroids,
+        semantic_dedup_incremental,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    split = 3 * n // 4
+    old = e.where(F.col("vec_id") < split).select("vec_id", "embedding")
+    new = e.where(F.col("vec_id") >= split).select("vec_id", "embedding")
+    cents = select_centroids(old, 8, hash_fn="md5")
+    index = ivf_assign(old, cents, impl="arrow")
+    return semantic_dedup_incremental(
+        new, index, cents, threshold=0.4, impl="arrow", max_cluster=64
+    )
+
+
+def _semantic_quality_sql(
+    n_cells: int = 8, threshold: float = 0.4, max_cluster: int = 16
+) -> str:
+    """Oracle for the cap-recall metric: both prune passes (capped
+    candidate set vs uncapped) replayed end to end, then the count
+    scalars and the rounded recall ratio."""
+    return (
+        _semantic_sql_parts(n_cells)
+        + f""",
+    cand AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT assign.*,
+               row_number() OVER (PARTITION BY cell_id
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS w
+        FROM assign
+      ) WHERE w <= {max_cluster}
+    ),
+    dropped_full AS (
+      SELECT a.vec_id FROM assign a
+      WHERE EXISTS (
+        SELECT 1 FROM assign b
+        WHERE b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+          AND {_SEM_COS} >= {threshold}
+      )
+    ),
+    dropped_cap AS (
+      SELECT a.vec_id FROM assign a
+      WHERE EXISTS (
+        SELECT 1 FROM cand b
+        WHERE b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+          AND {_SEM_COS} >= {threshold}
+      )
+    ),
+    m AS (SELECT count(*) AS n_common
+          FROM dropped_cap JOIN dropped_full USING (vec_id))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dropped_full) AS n_dropped_full,
+           (SELECT CAST(count(*) AS BIGINT) FROM dropped_cap) AS n_dropped_capped,
+           (SELECT CAST(n_common AS BIGINT) FROM m) AS n_common,
+           round(CAST((SELECT n_common FROM m) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM dropped_full), 1), 6) AS recall
+    """
+    )
+
+
+@register("dedup_semantic_quality", _semantic_quality_sql())
+def dedup_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-recall acceptance metric for the semantic family (r5
+    VERDICT item 4), mirroring ``dedup_lsh_quality``: how much of the
+    UNCAPPED prune set a ``max_cluster=16`` run recovers at the same
+    threshold.  The capped drop set is a subset of the full one by
+    construction (fewer candidates can only satisfy fewer EXISTS), so
+    precision is structurally 1 and recall is the one number that
+    measures what the cap costs -- the docstring's "bounded recall
+    loss" claim as a measured registry metric.  The three counts
+    cross-join as 1-row scalars (documented benign-NLJ shape)."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    kept_full = semantic_dedup(
+        e, n_cells=8, threshold=0.4, impl="arrow", hash_fn="md5"
+    ).select("vec_id")
+    kept_cap = semantic_dedup(
+        e, n_cells=8, threshold=0.4, impl="arrow", hash_fn="md5", max_cluster=16
+    ).select("vec_id")
+    ids = e.select("vec_id")
+    dropped_full = ids.join(kept_full, "vec_id", "left_anti")
+    dropped_cap = ids.join(kept_cap, "vec_id", "left_anti")
+    fa = dropped_full.agg(F.count(F.lit(1)).cast("long").alias("n_dropped_full"))
+    ca = dropped_cap.agg(F.count(F.lit(1)).cast("long").alias("n_dropped_capped"))
+    ma = dropped_cap.join(dropped_full, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        fa.crossJoin(ca)
+        .crossJoin(ma)
+        .select(
+            "n_dropped_full",
+            "n_dropped_capped",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.greatest(F.col("n_dropped_full"), F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def _lsh_topk_sql(k: int = 5, num_planes: int = 8, probe_hamming: int = 0) -> str:
     """DuckDB twin of the hyperplane-LSH ANN probe: the deterministic
     planes are inlined as literals (like ``_embedding_neardup_sql``),
@@ -6905,10 +7097,11 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_overlap(a, b, "el", k=256)
 
 
-_CANON_SQL = _CC_SQL.replace(
-    "SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id",
-    r"""
-    , cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+#: quality-score + keep-best-per-cluster CTE tail shared by the two
+#: canonical-selection twins -- expects a ``cl (doc_id, cluster)`` CTE
+#: upstream, replays ``functions.text.quality_score`` and
+#: ``operators.dedup_text.select_canonical`` exactly.
+_CANON_TAIL_SQL = r"""
     qt AS (
       SELECT doc_id, coalesce(text, '') AS txt,
              string_split_regex(lower(trim(coalesce(text, ''))), '\s+')
@@ -6954,7 +7147,13 @@ _CANON_SQL = _CC_SQL.replace(
     SELECT j.doc_id, j.cluster, j.q, canon.canonical_id, csize.cluster_size,
            j.doc_id = canon.canonical_id AS keep
     FROM j JOIN canon USING (cluster) JOIN csize USING (cluster)
-    """,
+    """
+
+_CANON_SQL = _CC_SQL.replace(
+    "SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id",
+    """
+    , cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),"""
+    + _CANON_TAIL_SQL,
 )
 
 
@@ -6977,5 +7176,45 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=5, threshold=0.5)
     clusters = duplicate_clusters(d, pairs)
+    quality = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    return select_canonical(clusters, quality)
+
+
+_PREFIX_CANON_SQL = (
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(substr(coalesce(text, ''), 1, 64)) AS fp
+      FROM documents
+    ),
+    g AS (SELECT fp, min(doc_id) AS cluster FROM fp GROUP BY fp),
+    cl AS (SELECT fp.doc_id, g.cluster FROM fp JOIN g USING (fp)),"""
+    + _CANON_TAIL_SQL
+)
+
+
+@register("canonical_keep_best", _PREFIX_CANON_SQL)
+def canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-best-per-cluster CORE on a bench-able (non-iterative)
+    clustering, so ``select_canonical``'s aggregation gets its own
+    perf record (r5 VERDICT item 7): clusters here are 64-char PREFIX
+    fingerprint groups (md5 of the document head -- the cheap
+    template/boilerplate-copy grouping, one hash + one groupBy; the
+    full near-dup composition with iterative connected components
+    stays in ``dedup_cluster_canonical``, excluded from the bench by
+    the same rule as pagerank).  Downstream is exactly the production
+    keep-best shape: per-cluster map-side ``max(struct(q, -id))``
+    argmax, N-to-1 join back, no windows, no single-task sorts."""
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        select_canonical,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 64)).alias("fp"),
+    )
+    clusters = fp.join(
+        fp.groupBy("fp").agg(F.min("doc_id").alias("cluster")), "fp"
+    ).select("doc_id", "cluster")
     quality = d.select("doc_id", quality_score(F.col("text")).alias("q"))
     return select_canonical(clusters, quality)

@@ -849,12 +849,31 @@ def semantic_dedup(
     assigned = _assign_from_rows(corpus, rows, id_col, vec_col, impl=impl).withColumn(
         "__nrm", vnorm(F.col(vec_col))
     )
-    cand = assigned
+    return _semantic_prune(assigned, assigned, threshold, id_col, vec_col, max_cluster)
+
+
+def _semantic_prune(
+    probe: DataFrame,
+    pool: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_cluster: int | None,
+) -> DataFrame:
+    """The within-cluster keep-lowest-id prune shared by
+    :func:`semantic_dedup` (probe == pool == the whole corpus) and
+    :func:`semantic_dedup_incremental` (probe = the new batch, pool =
+    stored index ∪ new batch).  Both sides carry
+    ``(id_col, vec_col, cell_id, __nrm)``; the candidate cap is a
+    row_number per cell over the POOL in deterministic (md5(id), id)
+    order -- computed on the same cell_id partitioning the join
+    shuffles on, so capping adds no extra exchange."""
+    cand = pool
     if max_cluster is not None:
         from pyspark.sql import Window as W
 
         cand = (
-            assigned.withColumn(
+            pool.withColumn(
                 "__w",
                 F.row_number().over(
                     W.partitionBy("cell_id").orderBy(
@@ -865,7 +884,7 @@ def semantic_dedup(
             .where(F.col("__w") <= max_cluster)
             .drop("__w")
         )
-    a = assigned.alias("a")
+    a = probe.alias("a")
     b = cand.alias("b")
     # norm guards FIRST: zero-norm vectors never match (the original
     # cosine() returned NULL there), and the AND keeps the 0/0 = NaN
@@ -886,3 +905,59 @@ def semantic_dedup(
         "left_anti",
     )
     return kept.select(F.col(f"a.{id_col}").alias(id_col), F.col("a.cell_id").alias("cell_id"))
+
+
+def semantic_dedup_incremental(
+    new_batch: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup for continuous corpus ingest: dedup a NEW
+    batch against a stored corpus WITHOUT re-touching one old pair --
+    the embedding-family analog of ``minhash_dedup_incremental``
+    (dedup_text.py) and ``ivf_append``.
+
+    ``index`` is the stored ASSIGNMENT INDEX: ``(id_col, vec_col,
+    cell_id)`` for every previously-ingested vector (kept or not --
+    the prune rule is "a lower-id cluster member above threshold
+    exists", membership not kept-ness, so the index must carry all
+    assigned rows exactly as the full-corpus run would see them; it
+    is append-only, each batch appends its own assignment).
+    ``centroids`` is the STORED quantizer (``(cell_id, cv)``, e.g.
+    ``select_centroids``/``kmeans_centroids`` output read back from
+    storage) -- the batch is assigned with it, never re-trained, so
+    cluster geometry is stable across batches.
+
+    EXACT CONTRACT (pytest-pinned): with ids monotone across batches
+    (new ids > all index ids -- the append regime), the result equals
+    ``semantic_dedup(old ∪ new, centroids=C, ...)`` restricted to the
+    new ids: same keep-lowest-id rule, same ``max_cluster`` cap
+    computed over index ∪ new in the same (md5(id), id) order.  The
+    kept set is strictly additive: old kept rows can never be
+    un-kept (pruning is by LOWER id only).
+
+    Scale shape: assignment is the zero-shuffle Arrow matmul over the
+    BATCH only; the prune is one cell_id equi-join of |batch| probe
+    rows against (index ∪ batch) -- cost scales with |batch| x
+    cluster density, never corpus x corpus.  At 100 TB the index
+    lives partitioned by cell_id so the join's pool side is a
+    partition-pruned scan of only the cells the batch touched.
+
+    Returns the batch's KEPT rows as ``(id_col, cell_id)``.
+    """
+    rows = centroids.orderBy("cell_id").collect()
+    new_assigned = _assign_from_rows(
+        new_batch, rows, id_col, vec_col, impl=impl
+    ).withColumn("__nrm", vnorm(F.col(vec_col)))
+    idx = index.select(
+        F.col(id_col), F.col(vec_col), F.col("cell_id").cast("int").alias("cell_id")
+    ).withColumn("__nrm", vnorm(F.col(vec_col)))
+    pool = idx.unionByName(new_assigned.select(id_col, vec_col, "cell_id", "__nrm"))
+    return _semantic_prune(
+        new_assigned, pool, threshold, id_col, vec_col, max_cluster
+    )

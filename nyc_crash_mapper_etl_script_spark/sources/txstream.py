@@ -20,9 +20,11 @@ start+1..end as FILE-level changes: each file an entry ADDED yields
 its rows tagged ``_change_type='insert'`` / each file REMOVED yields
 its rows tagged ``'delete'``, both carrying ``_commit_version``.
 Planning is pure log arithmetic -- cost is O(changed files in the
-range), never O(table) -- and each file is one input partition, so a
-large commit scans in parallel while untouched partitions are never
-read.  The log is append-only and versions are immutable, so a batch
+range), never O(table) -- and changed files map to input partitions
+with Spark's file-scan size packing (small files bin-pack to
+~maxBytesPerPartition per task, large files parallelize), so a large
+commit scans in parallel while untouched partitions are never read
+and a many-small-files commit is not a task-per-file scheduler storm.  The log is append-only and versions are immutable, so a batch
 replayed after a restart (Spark re-runs the last unCOMMITted batch
 from its checkpointed offset) produces byte-identical rows --
 exactly-once composes with any idempotent / batch-id-aware sink.
@@ -91,6 +93,23 @@ class _ChangeFilePartition(InputPartition):
         self.part_values = part_values
 
 
+class _PackedChangesPartition(InputPartition):
+    """Several changed files bin-packed into ONE input partition --
+    Spark's ``FilePartition`` size packing applied to the change
+    feed.  A commit that touched many small files (partition rewrites
+    under merge_update/delete_where produce task-count x
+    partition-count small parquet files) would otherwise cost one
+    task + one Python-worker invocation PER FILE, which is pure
+    scheduler overhead at micro-batch scale; packing bounds the batch
+    at ~maxBytesPerPartition of real data per task with an
+    openCostBytes floor per file (tiny files cannot collapse into one
+    serial task).  Large files still get their own partition, so a
+    big commit scans in parallel exactly as before."""
+
+    def __init__(self, files: list[_ChangeFilePartition]) -> None:
+        self.files = files
+
+
 class _BucketChangesPartition(InputPartition):
     """ALL changed files of ONE BUCKET across the batch's commits
     (bucket-aware reads over a cluster_by table): Spark partition
@@ -125,16 +144,33 @@ def _partition_values(rel: str) -> dict[str, str | None]:
     return out
 
 
-def stream_schema(table: TxTable) -> StructType:
+def stream_schema(
+    table: TxTable, columns: Sequence[str] | None = None
+) -> StructType:
     """The source schema: the table's logged schema plus the change
-    tag and commit version."""
+    tag and commit version.  ``columns`` prunes the data columns (a
+    consumer that rolls up two columns should not ship the whole row
+    through Arrow -- the Python DataSource API has no automatic
+    column-pushdown hook, so the projection rides an explicit
+    option); the two metadata columns always ride along, and unknown
+    names fail fast here on the driver."""
     logged = table.logged_schema()
     if logged is None:
         raise ValueError(
             f"{table.root}: no logged schema -- write through TxTable first"
         )
+    fields = list(logged.fields)
+    if columns is not None:
+        want = set(columns)
+        unknown = want - {f.name for f in fields}
+        if unknown:
+            raise ValueError(
+                f"{table.root}: unknown columns {sorted(unknown)} -- "
+                f"table has {[f.name for f in fields]}"
+            )
+        fields = [f for f in fields if f.name in want]
     return StructType(
-        list(logged.fields)
+        fields
         + [
             StructField(CHANGE_COL, StringType(), False),
             StructField(VERSION_COL, LongType(), False),
@@ -175,6 +211,20 @@ class TxTableStreamReader(DataSourceStreamReader):
         self.bucket_aware = (
             str(options.get("bucketaware", "true")).lower() != "false"
         )
+        #: size packing of small changed files (default on, Spark's
+        #: maxPartitionBytes/openCostInBytes analog for the change
+        #: feed); 0 disables (one partition per file, the r5 layout)
+        self.max_bytes_per_partition = int(
+            options.get("maxbytesperpartition", 128 * 1024 * 1024)
+        )
+        self.open_cost_bytes = int(
+            options.get("opencostbytes", 4 * 1024 * 1024)
+        )
+        #: the cluster's core count, passed by read_txtable_stream --
+        #: the packer's bytesPerCore clamp (FilePartition's
+        #: minPartitionNum) so packing never shrinks a batch below
+        #: the available parallelism
+        self.min_partitions = int(options.get("minpartitions", 1))
         self._paced_from: int | None = None
         self.schema = schema
 
@@ -231,8 +281,10 @@ class TxTableStreamReader(DataSourceStreamReader):
                         )
                     )
         spec = t.cluster_spec() if self.bucket_aware else None
-        if spec is None or not parts:
+        if not parts:
             return parts
+        if spec is None:
+            return self._pack(parts)
         # BUCKET-AWARE layout (cluster_by tables): group the batch's
         # changed files by the bucket id in their filename and emit
         # exactly n_buckets partitions, index == bucket id (untouched
@@ -254,8 +306,60 @@ class TxTableStreamReader(DataSourceStreamReader):
             _BucketChangesPartition(b, files) for b, files in enumerate(grouped)
         ]
 
+    def _pack(
+        self, parts: list[_ChangeFilePartition]
+    ) -> Sequence[InputPartition]:
+        """Greedy size packing of the batch's changed files in their
+        deterministic (version, path) build order -- a replayed batch
+        re-plans the identical layout, preserving the byte-identical-
+        replay contract.  The bin target mirrors FilePartition's
+        maxSplitBytes: ``min(maxBytes, max(openCost, (totalBytes +
+        openCost x nFiles) / minPartitions))`` -- so a tiny-file storm
+        packs down to ~core-count partitions while a batch with fewer,
+        larger files keeps one task per file (packing never SHRINKS
+        available parallelism, it only caps scheduler overhead).
+        Sizes come from one driver stat call per file (O(changed
+        files), same cost class as the log read that listed them); a
+        vanished file costs the open floor here and fails properly in
+        read()."""
+        if self.max_bytes_per_partition <= 0:
+            return parts
+        sizes: list[int] = []
+        for p in parts:
+            sz = 0
+            for c in p.candidates:
+                try:
+                    sz = os.path.getsize(c)
+                    break
+                except OSError:
+                    continue
+            sizes.append(sz)
+        total_cost = sum(sizes) + self.open_cost_bytes * len(parts)
+        target = min(
+            self.max_bytes_per_partition,
+            max(
+                self.open_cost_bytes,
+                total_cost // max(1, self.min_partitions),
+            ),
+        )
+        bins: list[list[_ChangeFilePartition]] = []
+        cur: list[_ChangeFilePartition] = []
+        cur_bytes = 0
+        for p, sz in zip(parts, sizes):
+            cost = sz + self.open_cost_bytes
+            if cur and cur_bytes + cost > target:
+                bins.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(p)
+            cur_bytes += cost
+        if cur:
+            bins.append(cur)
+        return [
+            b[0] if len(b) == 1 else _PackedChangesPartition(b) for b in bins
+        ]
+
     def read(self, partition) -> Iterator:
-        if isinstance(partition, _BucketChangesPartition):
+        if isinstance(partition, (_BucketChangesPartition, _PackedChangesPartition)):
             for f in partition.files:
                 yield from self._read_file(f)
             return
@@ -276,16 +380,28 @@ class TxTableStreamReader(DataSourceStreamReader):
                 "the table created with retain_history=True (and not vacuumed "
                 "past this version)?"
             )
-        raw = pq.read_table(path)
-        n = raw.num_rows
         target = to_arrow_schema(self.schema)
+        pf = pq.ParquetFile(path)
+        n = pf.metadata.num_rows
+        # read ONLY the projected data columns (the source schema may
+        # be column-pruned via the `columns` option): parquet is
+        # columnar, so unselected columns cost zero I/O and zero
+        # Arrow transport
+        avail = set(pf.schema_arrow.names)
+        want = [
+            f.name
+            for f in target
+            if f.name not in (CHANGE_COL, VERSION_COL) and f.name in avail
+        ]
+        raw = pf.read(columns=want)
         arrays = []
         for field in target:
             name = field.name
             if name == CHANGE_COL:
-                arrays.append(pa.array([partition.change] * n, type=field.type))
+                # pa.repeat: C-level constant column, no python list
+                arrays.append(pa.repeat(pa.scalar(partition.change, field.type), n))
             elif name == VERSION_COL:
-                arrays.append(pa.array([partition.version] * n, type=field.type))
+                arrays.append(pa.repeat(pa.scalar(partition.version, field.type), n))
             elif name in raw.column_names:
                 col = raw.column(name)
                 if col.type != field.type:
@@ -297,7 +413,7 @@ class TxTableStreamReader(DataSourceStreamReader):
                     arrays.append(pa.nulls(n, type=field.type))
                 else:
                     arrays.append(
-                        pa.array([v] * n, type=pa.string()).cast(field.type)
+                        pa.repeat(pa.scalar(v, pa.string()), n).cast(field.type)
                     )
             else:
                 # evolved column absent from this (older) file
@@ -316,7 +432,12 @@ class TxTableChangesDataSource(DataSource):
         return "txtable-changes"
 
     def schema(self) -> StructType:
-        return stream_schema(TxTable(self.options["path"].rstrip("/")))
+        opts = {k.lower(): v for k, v in dict(self.options).items()}
+        cols = opts.get("columns")
+        return stream_schema(
+            TxTable(opts["path"].rstrip("/")),
+            columns=[c.strip() for c in cols.split(",")] if cols else None,
+        )
 
     def streamReader(self, schema: StructType) -> TxTableStreamReader:
         opts = {k.lower(): v for k, v in dict(self.options).items()}
@@ -329,6 +450,8 @@ def read_txtable_stream(
     starting_version: int = 0,
     max_versions_per_batch: int | None = None,
     bucket_aware: bool = True,
+    max_bytes_per_partition: int | None = None,
+    columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """Register the source (idempotent) and open the change stream.
     ``starting_version=0`` replays from the init commit (the initial
@@ -342,14 +465,29 @@ def read_txtable_stream(
     table, each micro-batch arrives as exactly n_buckets partitions
     with partition index == bucket id (``bucket_aware=False`` for the
     per-file layout), so per-bucket-key work needs no shuffle --
-    ``sources.bucketed.bucket_local_agg``."""
+    ``sources.bucketed.bucket_local_agg``.  Over non-clustered tables
+    small changed files bin-pack into size-targeted input partitions
+    (``max_bytes_per_partition``, default 128 MiB; 0 = one partition
+    per file) so a partition-rewrite commit of many small files costs
+    a few tasks, not one per file.  ``columns`` prunes the DATA
+    columns at the source (the metadata columns always ride): the
+    Python DataSource API has no automatic projection pushdown, so a
+    rollup consumer that needs two columns should say so and skip the
+    parquet I/O and Arrow transport of the rest."""
     spark.dataSource.register(TxTableChangesDataSource)
     reader = (
         spark.readStream.format("txtable-changes")
         .option("path", root)
         .option("startingVersion", str(starting_version))
         .option("bucketAware", "true" if bucket_aware else "false")
+        .option("minPartitions", str(spark.sparkContext.defaultParallelism))
     )
     if max_versions_per_batch is not None:
         reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
+    if max_bytes_per_partition is not None:
+        reader = reader.option(
+            "maxBytesPerPartition", str(max_bytes_per_partition)
+        )
+    if columns is not None:
+        reader = reader.option("columns", ",".join(columns))
     return reader.load()

@@ -999,19 +999,27 @@ class TxTable:
         _, mapping = self._stage(df)
         return self._commit(mapping, [], "init", app_txn=app_txn)
 
-    def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        evolve_schema: bool = False,
+        app_txn: "tuple[str, int] | None" = None,
+    ) -> int:
         """Blind append (S7 chunked-INSERT analog): new files only,
         nothing rewritten, nothing removed.  ``evolve_schema=True``
         allows the batch to ADD columns (older rows read back NULL for
         them) and to omit stored columns (NULL-filled); the logged
         schema advances with the commit and reads use it, so mixed
-        file schemas stay readable."""
+        file schemas stay readable.  ``app_txn=(app_id, version)``
+        records an application transaction for batch-id-aware
+        idempotent streaming sinks (see :meth:`last_txn_version`),
+        same contract as :meth:`init`/:meth:`overwrite`."""
         self._recover()
         if evolve_schema:
             df = self._evolve(df)
         self._check_constraints(df)
         _, mapping = self._stage(df)
-        return self._commit(mapping, [], "append")
+        return self._commit(mapping, [], "append", app_txn=app_txn)
 
     def _partition_rel(self, row) -> str:
         # NULL partition values use Spark's hive-compatible sentinel

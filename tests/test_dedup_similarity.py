@@ -851,3 +851,132 @@ def test_semantic_dedup_max_cluster_caps_candidates(spark):
     assert min(capped) == 0 and 0 in capped
     assert capped == {i for i in range(12) if i <= max(capped)} or capped == {0}
     assert len(capped) <= 12 and capped >= {0}
+
+
+def _rand_vectors(n, dim=8, seed=7):
+    """Deterministic pseudo-random unit-ish vectors with planted
+    near-duplicates: every 5th vector is a tiny perturbation of its
+    predecessor, so clusters contain real prune work."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    prev = None
+    for i in range(n):
+        if prev is not None and i % 5 == 4:
+            v = prev + rng.normal(0, 0.01, dim)
+        else:
+            v = rng.normal(0, 1, dim)
+        prev = v
+        out.append((i, [float(x) for x in v]))
+    return out
+
+
+def test_semantic_dedup_incremental_equals_full_restricted(spark):
+    """The exact contract: with stored centroids and monotone ids,
+    incremental(new, assign(old), C) == semantic_dedup(old ∪ new,
+    centroids=C) restricted to the new ids -- capped and uncapped,
+    arrow and column assignment paths."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_assign,
+        select_centroids,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    rows = _rand_vectors(60)
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = e.where("vec_id < 40")
+    new = e.where("vec_id >= 40")
+    cents = select_centroids(old, 4, hash_fn="md5")
+    index = ivf_assign(old, cents, impl="arrow")
+    for impl in ("arrow", "column"):
+        for cap in (None, 3):
+            full = semantic_dedup(
+                e, threshold=0.9, impl=impl, centroids=cents, max_cluster=cap
+            )
+            want = {
+                (r["vec_id"], r["cell_id"])
+                for r in full.where("vec_id >= 40").collect()
+            }
+            got = {
+                (r["vec_id"], r["cell_id"])
+                for r in semantic_dedup_incremental(
+                    new, index, cents, threshold=0.9, impl=impl, max_cluster=cap
+                ).collect()
+            }
+            assert got == want, f"impl={impl} cap={cap}"
+    # equi-keyed prune: no cartesian/NLJ in the incremental plan
+    plan = (
+        semantic_dedup_incremental(new, index, cents, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_incremental_parquet_index_multibatch(spark, tmp_path):
+    """The continuous-ingest regime end to end: quantizer and
+    assignment index live as parquet between batches; each batch
+    appends its own assignment; kept sets are strictly additive (old
+    kept rows never change) and every batch's result equals the
+    full-corpus run restricted to that batch."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_assign,
+        select_centroids,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    rows = _rand_vectors(90, seed=11)
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = e.where("vec_id < 50")
+    b1 = e.where("vec_id >= 50 and vec_id < 70")
+    b2 = e.where("vec_id >= 70")
+
+    cdir = str(tmp_path / "centroids")
+    idir = str(tmp_path / "index")
+    select_centroids(base, 4, hash_fn="md5").write.parquet(cdir)
+    cents = spark.read.parquet(cdir)
+    ivf_assign(base, cents, impl="arrow").write.parquet(idir)
+
+    kept0 = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            base, threshold=0.9, impl="arrow", centroids=cents
+        ).collect()
+    }
+
+    # batch 1: dedup against the stored index, then append its assignment
+    index = spark.read.parquet(idir)
+    kept1 = {
+        r["vec_id"]
+        for r in semantic_dedup_incremental(
+            b1, index, cents, threshold=0.9, impl="arrow"
+        ).collect()
+    }
+    ivf_assign(b1, cents, impl="arrow").write.mode("append").parquet(idir)
+
+    # batch 2 against base ∪ b1
+    index = spark.read.parquet(idir)
+    kept2 = {
+        r["vec_id"]
+        for r in semantic_dedup_incremental(
+            b2, index, cents, threshold=0.9, impl="arrow"
+        ).collect()
+    }
+
+    full = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            e, threshold=0.9, impl="arrow", centroids=cents
+        ).collect()
+    }
+    # per-batch results == full-corpus run restricted to each range
+    assert kept1 == {i for i in full if 50 <= i < 70}
+    assert kept2 == {i for i in full if i >= 70}
+    # strictly additive: the base keeps are exactly full ∩ [0, 50)
+    assert kept0 == {i for i in full if i < 50}
+    assert kept0 | kept1 | kept2 == full

@@ -45,6 +45,8 @@ NLJ_OK = {
                                   # Q22, applied as a cross join)
     "dedup_lsh_quality",          # three 1-row count scalars cross-joined
                                   # into the precision/recall summary row
+    "dedup_semantic_quality",     # same shape: three 1-row count scalars
+                                  # cross-joined into the recall row
     "q11_important_stock",        # 1-row broadcast grand-total threshold
                                   # (TPC-H Q11's scalar HAVING subquery)
     "q15_top_supplier",           # 1-row broadcast max-revenue scalar
@@ -80,6 +82,10 @@ ARROW_OK = {
                                 # (the same ivf_assign Arrow stage as
                                 # sim_ivf_topk); the prune join itself
                                 # is an equi join on cell_id
+    "dedup_semantic_incremental",  # same Arrow assignment stage over
+                                   # the index and the new batch
+    "dedup_semantic_quality",   # composes two semantic_dedup passes
+                                # -> inherits the same Arrow stage
 }
 
 

@@ -544,3 +544,73 @@ def test_stream_over_clustered_table(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in net.collect()}
     want = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert got == want and len(got) == 9
+
+
+def test_size_packed_partitions_default_and_opt_out(spark, table, tmp_path):
+    """Small-file packing (the FilePartition analog): a batch of many
+    small changed files arrives as FEWER input partitions than files
+    by default (bounded by the openCost floor), one-per-file with
+    maxBytesPerPartition=0 -- and both layouts deliver the identical
+    row multiset (packing is an optimization, never a row-set
+    change)."""
+    # several commits touching both partitions -> many small files
+    table.append(_rows(spark, [(10, "x", "2024-05"), (11, "y", "2024-06")]))
+    table.merge(_rows(spark, [(1, "A", "2024-05"), (3, "C", "2024-06")]), "k")
+    table.append(_rows(spark, [(12, "z", "2024-05")]))
+
+    layouts = {}
+    for label, mbpp in (("packed", None), ("perfile", 0)):
+        seen = []
+
+        def sink(batch, batch_id, seen=seen):
+            seen.append(
+                (batch.rdd.getNumPartitions(), batch.count())
+            )
+
+        q = (
+            read_txtable_stream(
+                spark, table.root, max_bytes_per_partition=mbpp
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ck_{label}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        layouts[label] = seen
+
+    # row counts agree between layouts
+    assert sum(n for _, n in layouts["packed"]) == sum(
+        n for _, n in layouts["perfile"]
+    )
+    n_packed = sum(p for p, _ in layouts["packed"])
+    n_perfile = sum(p for p, _ in layouts["perfile"])
+    # the fixture's files are tiny: 4-MiB open costs pack ~32 of them
+    # per 128-MiB bin, so the packed layout must be strictly smaller
+    assert n_packed < n_perfile, (n_packed, n_perfile)
+
+    # and the full feeds are byte-identical as multisets
+    out_a, out_b = str(tmp_path / "fa"), str(tmp_path / "fb")
+    q = (
+        read_txtable_stream(spark, table.root)
+        .writeStream.format("parquet")
+        .option("path", out_a)
+        .option("checkpointLocation", out_a + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q = (
+        read_txtable_stream(spark, table.root, max_bytes_per_partition=0)
+        .writeStream.format("parquet")
+        .option("path", out_b)
+        .option("checkpointLocation", out_b + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    key = lambda p: sorted(  # noqa: E731
+        (r["k"], r["v"], r["ym"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert key(out_a) == key(out_b)

@@ -210,11 +210,11 @@ def test_concurrent_append_bumps_but_rmw_conflict_raises(spark, tmp_path_factory
     # simulate by hijacking _commit to inject a concurrent append
     orig_commit = TxTable._commit
 
-    def racing_commit(self, mapping, removes, op, base_version=None):
+    def racing_commit(self, mapping, removes, op, base_version=None, **kw):
         if op == "merge" and not getattr(self, "_raced", False):
             self._raced = True
             TxTable(root, partition_by=["ym"]).append(df([(9, "z", "2024-02")]))
-        return orig_commit(self, mapping, removes, op, base_version)
+        return orig_commit(self, mapping, removes, op, base_version, **kw)
 
     TxTable._commit = racing_commit
     try:
