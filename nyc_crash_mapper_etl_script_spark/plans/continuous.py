@@ -280,6 +280,7 @@ def chain_rollup_stream(
     trigger_available_now: bool = True,
     transform=None,
     max_versions_per_batch: int | None = None,
+    columns: "list[str] | None" = None,
 ) -> StreamingQuery:
     """TABLE-TO-TABLE chaining (r3 VERDICT item 2): a downstream
     pipeline consumes an upstream TxTable's commit log through the
@@ -309,7 +310,12 @@ def chain_rollup_stream(
     ``batch_id <= last_txn_version`` and no-ops instead of folding
     the same signed deltas twice.  The app_id is derived from the
     checkpoint location, so independent queries over the same rollup
-    track their own positions."""
+    track their own positions.
+
+    Without a ``transform`` the feed is auto-projected at the source
+    to exactly the group keys + sum sources (the txtable-changes
+    ``columns`` option); with one, pass ``columns`` to prune to what
+    the transform reads."""
     from nyc_crash_mapper_etl_script_spark.operators.mv import (
         refresh_signed_mv,
         signed_mv_init,
@@ -345,12 +351,22 @@ def chain_rollup_stream(
         else:
             rollup.init(nxt, app_txn=(app_id, batch_id))
 
+    if columns is None and transform is None:
+        # the rollup's plan is fully known here: project exactly the
+        # group keys + sum sources at the SOURCE (r6 columns option),
+        # so parquet I/O and Arrow transport never ship the rest of
+        # the fact row.  A transform sees the raw feed, so its column
+        # needs are its own: pass `columns` explicitly to prune.
+        columns = list(
+            dict.fromkeys(list(group_cols) + list((sum_cols or {}).values()))
+        )
     writer = (
         read_txtable_stream(
             spark,
             fact.root,
             starting_version,
             max_versions_per_batch=max_versions_per_batch,
+            columns=columns,
         )
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

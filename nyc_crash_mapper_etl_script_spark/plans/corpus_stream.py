@@ -124,6 +124,9 @@ def corpus_prep_stream(
             source.root,
             starting_version,
             max_versions_per_batch=max_versions_per_batch,
+            # project at the source: the prep pipeline reads exactly
+            # these three; lang/n_chars/etc. never ship through Arrow
+            columns=["doc_id", "text", "source"],
         )
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
