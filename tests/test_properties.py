@@ -224,3 +224,68 @@ def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, o
         assert plain == sorted(model)
     # (an empty table has zero parquet files -- only TxTable.read,
     # which carries the schema in its log, can type it)
+
+
+# --- semantic incremental dedup: streamed == batch on random corpora ------
+
+_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(_vec, min_size=4, max_size=24),
+    split_frac=st.floats(min_value=0.2, max_value=0.8),
+    threshold=st.floats(min_value=0.5, max_value=0.99),
+)
+def test_semantic_incremental_equals_full_on_random_corpora(
+    spark, vecs, split_frac, threshold
+):
+    """Property form of the incremental contract: for ANY corpus,
+    split point, and threshold, semantic_dedup_incremental(new,
+    assign(old), stored centroids) == full-corpus semantic_dedup with
+    the same centroids restricted to new ids, and base ∪ batch keeps
+    partition the corpus keeps exactly (column impl: deterministic,
+    oracle-parity arithmetic)."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        ivf_assign,
+        select_centroids,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    split = max(1, int(len(rows) * split_frac))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = e.where(f"vec_id < {split}")
+    new = e.where(f"vec_id >= {split}")
+    cents = select_centroids(old, 2, hash_fn="md5")
+    full = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            e, threshold=threshold, impl="column", centroids=cents
+        ).collect()
+    }
+    base = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            old, threshold=threshold, impl="column", centroids=cents
+        ).collect()
+    }
+    inc = {
+        r["vec_id"]
+        for r in semantic_dedup_incremental(
+            new,
+            ivf_assign(old, cents, impl="column"),
+            cents,
+            threshold=threshold,
+            impl="column",
+        ).collect()
+    }
+    assert inc == {i for i in full if i >= split}
+    assert base == {i for i in full if i < split}
+    assert base | inc == full
