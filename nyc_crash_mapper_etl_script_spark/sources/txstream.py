@@ -223,8 +223,12 @@ class TxTableStreamReader(DataSourceStreamReader):
         #: the cluster's core count, passed by read_txtable_stream --
         #: the packer's bytesPerCore clamp (FilePartition's
         #: minPartitionNum) so packing never shrinks a batch below
-        #: the available parallelism
-        self.min_partitions = int(options.get("minpartitions", 1))
+        #: the available parallelism.  Fallback for direct
+        #: ``format("txtable-changes")`` users: this planner's host
+        #: core count (the local-mode truth; a cluster user should
+        #: pass the option -- read_txtable_stream always does)
+        mp = options.get("minpartitions")
+        self.min_partitions = int(mp) if mp is not None else (os.cpu_count() or 1)
         self._paced_from: int | None = None
         self.schema = schema
 
