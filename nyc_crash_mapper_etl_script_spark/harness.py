@@ -1066,6 +1066,38 @@ def pipeline_corpus_prep_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prep_rows",
+    _QMODEL_SQL
+    + """
+    , kept AS (
+      SELECT s.doc_id, s.source, s.ntok, s.q_logit,
+             md5(regexp_replace(lower(trim(coalesce(d.text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM s JOIN documents d USING (doc_id)
+      WHERE s.q_logit >= -0.35
+    )
+    SELECT doc_id, source, fp, ntok, q_logit FROM (
+      SELECT kept.*,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept
+    ) WHERE rn = 1
+    """,
+)
+def corpus_prep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOC-LEVEL corpus-prep transform -- ``prep_batch``
+    (plans/corpus_stream.py), the exact function the continuous
+    corpus-prep stream applies per micro-batch: model gate at logit
+    -0.35 -> fingerprint + token count -> within-batch keep-lowest-id
+    exact dedup (groupBy-min + join back, no window).  Registered so
+    the streaming pipeline's shared transform is itself oracle-pinned
+    row for row, not only through the aggregated
+    ``pipeline_corpus_prep_scored`` stats."""
+    from nyc_crash_mapper_etl_script_spark.plans.corpus_stream import prep_batch
+
+    d = _t(spark, sf_dir, "documents")
+    return prep_batch(d, threshold_logit=-0.35)
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,

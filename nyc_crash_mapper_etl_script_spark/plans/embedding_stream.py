@@ -1,0 +1,199 @@
+"""CONTINUOUS embedding ingest with incremental SemDeDup: the
+embedding-family twin of ``plans/corpus_stream.py``, completing the
+continuous-ingest story for both halves of the dedup stack.
+
+Topology::
+
+    embeddings TxTable --txtable-changes stream--> three stored tables
+        (raw batches,         per micro-batch:
+         retain_history)      bootstrap quantizer (first batch only) ->
+                              assign batch with STORED centroids ->
+                              prune vs stored assignment index ->
+                              append assignment to `index`
+                              append kept ids   to `kept`
+
+State tables (all TxTable, all append-only after bootstrap):
+
+- ``quantizer``: the coarse centroids, trained ONCE on the first
+  batch (``select_centroids``, md5-deterministic) and never
+  re-trained -- cluster geometry is stable for the life of the
+  stream, exactly the ``semantic_dedup_incremental`` contract.
+- ``index``: ``(vec_id, embedding, cell_id)`` for EVERY ingested
+  vector (kept or not -- the prune rule is about cluster membership,
+  not kept-ness).  At 100 TB this table is partitioned by cell_id so
+  each batch's prune join prunes to the touched cells.
+- ``kept``: ``(vec_id, cell_id)`` keep decisions, strictly additive.
+
+Exactness (pytest-pinned): with ``max_cluster=None`` the kept table
+after any number of batches equals one full-corpus ``semantic_dedup``
+run over everything ingested, using the stored centroids -- streaming
+is an incremental evaluation of the same query.  With a cap the
+candidate set is "capped as of arrival": a later vector can displace
+an earlier one from the md5-ordered cap, so a one-shot full run may
+keep a vector the stream dropped (documented, bounded, never a wrong
+keep of an in-cap candidate); run uncapped when exact parity with a
+batch recompute is required.
+
+Crash-safety: every state-table commit carries ``app_txn=(app_id,
+batch_id)`` and each append is guarded by that table's own
+``last_txn_version`` -- a micro-batch replayed after a crash anywhere
+in the sink (including BETWEEN the index append and the kept append)
+re-applies only the missing writes.  The prune pool excludes the
+batch's own ids from the stored index (one anti-join), so a
+half-applied replay computes the same kept set the clean run would.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+    ivf_assign,
+    select_centroids,
+    semantic_dedup,
+    semantic_dedup_incremental,
+)
+from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+
+def apply_semantic_batch(
+    spark: SparkSession,
+    ins: DataFrame,
+    batch_id: int,
+    app_id: str,
+    quantizer: TxTable,
+    index: TxTable,
+    kept: TxTable,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    max_cluster: int | None = None,
+    impl: str = "arrow",
+    hash_fn: str = "md5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the semantic-dedup ingest, idempotent per
+    state table (see module docstring).  Exposed as a plain function
+    so the crash windows between the three commits are unit-testable
+    without orchestrating a mid-sink kill."""
+    last = kept.last_txn_version(app_id) if kept.exists() else None
+    if last is not None and batch_id <= last:
+        return  # fully-applied replay
+    ins = ins.select(id_col, vec_col)
+    if not quantizer.exists():
+        quantizer.init(
+            select_centroids(ins, n_cells, id_col, vec_col, hash_fn=hash_fn),
+            app_txn=(app_id, batch_id),
+        )
+    cents = quantizer.read(spark)
+    assigned = ivf_assign(ins, cents, id_col, vec_col, impl=impl)
+    if index.exists():
+        # exclude this batch's own ids from the pool: after a crash
+        # BETWEEN the index append and the kept append, the replayed
+        # batch is already in the index and would otherwise occupy
+        # cap slots twice
+        pool = index.read(spark).join(ins.select(id_col), id_col, "left_anti")
+        kept_rows = semantic_dedup_incremental(
+            ins,
+            pool,
+            cents,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            impl=impl,
+            max_cluster=max_cluster,
+        )
+        li = index.last_txn_version(app_id)
+        if li is None or batch_id > li:
+            index.append(
+                assigned.select(id_col, vec_col, "cell_id"),
+                app_txn=(app_id, batch_id),
+            )
+    else:
+        kept_rows = semantic_dedup(
+            ins,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            impl=impl,
+            max_cluster=max_cluster,
+            centroids=cents,
+        )
+        index.init(
+            assigned.select(id_col, vec_col, "cell_id"),
+            app_txn=(app_id, batch_id),
+        )
+    kept_rows = kept_rows.select(id_col, "cell_id")
+    if kept.exists():
+        kept.append(kept_rows, app_txn=(app_id, batch_id))
+    else:
+        kept.init(kept_rows, app_txn=(app_id, batch_id))
+
+
+def semantic_dedup_stream(
+    spark: SparkSession,
+    source: TxTable,
+    quantizer: TxTable,
+    index: TxTable,
+    kept: TxTable,
+    checkpoint_dir: str,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    max_cluster: int | None = None,
+    impl: str = "arrow",
+    hash_fn: str = "md5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    starting_version: int = 0,
+    trigger_available_now: bool = True,
+    max_versions_per_batch: int | None = None,
+) -> StreamingQuery:
+    """Open the chained stream: ``source``'s commit log ->
+    quantizer/index/kept state tables.  Restart-safe from
+    ``checkpoint_dir``; vector deletes in the feed are ignored by
+    design (an embedding corpus is append-only in the ingest path --
+    retracting vectors is a batch rebuild)."""
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        CHANGE_COL,
+        read_txtable_stream,
+    )
+
+    app_id = f"semantic_dedup:{os.path.abspath(checkpoint_dir)}"
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ins = batch.where(F.col(CHANGE_COL) == "insert")
+        apply_semantic_batch(
+            spark,
+            ins,
+            batch_id,
+            app_id,
+            quantizer,
+            index,
+            kept,
+            n_cells=n_cells,
+            threshold=threshold,
+            max_cluster=max_cluster,
+            impl=impl,
+            hash_fn=hash_fn,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    writer = (
+        read_txtable_stream(
+            spark,
+            source.root,
+            starting_version,
+            max_versions_per_batch=max_versions_per_batch,
+            columns=[id_col, vec_col],
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

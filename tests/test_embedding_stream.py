@@ -1,0 +1,179 @@
+"""Continuous embedding ingest with incremental SemDeDup
+(plans/embedding_stream.py): streamed == full-corpus recompute with
+the stored quantizer, and every crash window between the three state
+commits re-applies only the missing writes."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+    ivf_assign,
+    semantic_dedup,
+)
+from nyc_crash_mapper_etl_script_spark.plans.embedding_stream import (
+    apply_semantic_batch,
+    semantic_dedup_stream,
+)
+from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+
+def _vecs(spark, lo, hi):
+    """Deterministic unit vectors with planted near-dup pairs: every
+    4th vector nearly repeats its predecessor's angle."""
+    rows = []
+    for i in range(lo, hi):
+        theta = (i * 0.7) % (2 * math.pi)
+        if i % 4 == 3:
+            theta = ((i - 1) * 0.7) % (2 * math.pi) + 0.005
+        rows.append((i, [math.cos(theta), math.sin(theta), 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("emb_stream")
+    return {
+        "source": TxTable(str(root / "raw"), retain_history=True),
+        "quantizer": TxTable(str(root / "quant")),
+        "index": TxTable(str(root / "index")),
+        "kept": TxTable(str(root / "kept")),
+        "ckpt": str(root / "ck"),
+    }
+
+
+def _drain(spark, env):
+    q = semantic_dedup_stream(
+        spark,
+        env["source"],
+        env["quantizer"],
+        env["index"],
+        env["kept"],
+        env["ckpt"],
+        n_cells=2,
+        threshold=0.95,
+        impl="column",
+    )
+    q.awaitTermination(300)
+
+
+def _kept_ids(spark, env):
+    return {r["vec_id"] for r in env["kept"].read(spark).collect()}
+
+
+def test_streamed_kept_equals_full_recompute(spark, env):
+    """Three batches through the stream: after each drain the kept
+    table equals one full-corpus semantic_dedup over everything
+    ingested, using the STORED centroids (trained on batch 0 only),
+    and the index holds every vector's assignment exactly once."""
+    env["source"].init(_vecs(spark, 0, 20))
+    _drain(spark, env)
+
+    def full(hi):
+        cents = env["quantizer"].read(spark)
+        return {
+            r["vec_id"]
+            for r in semantic_dedup(
+                _vecs(spark, 0, hi), threshold=0.95, impl="column", centroids=cents
+            ).collect()
+        }
+
+    assert _kept_ids(spark, env) == full(20)
+
+    env["source"].append(_vecs(spark, 20, 33))
+    _drain(spark, env)
+    assert _kept_ids(spark, env) == full(33)
+
+    env["source"].append(_vecs(spark, 33, 40))
+    _drain(spark, env)
+    assert _kept_ids(spark, env) == full(40)
+
+    idx = env["index"].read(spark)
+    assert idx.count() == 40
+    assert idx.select("vec_id").distinct().count() == 40
+    # assignments match a fresh assign with the stored quantizer
+    cents = env["quantizer"].read(spark)
+    want = {
+        (r["vec_id"], r["cell_id"])
+        for r in ivf_assign(_vecs(spark, 0, 40), cents, impl="column").collect()
+    }
+    got = {(r["vec_id"], r["cell_id"]) for r in idx.collect()}
+    assert got == want
+
+
+def test_stream_checkpoint_replay_is_idempotent(spark, env):
+    """Crash window A: all three state commits landed, streaming
+    checkpoint commit lost.  The replayed micro-batch no-ops."""
+    env["source"].init(_vecs(spark, 0, 16))
+    _drain(spark, env)
+    want = _kept_ids(spark, env)
+    vi, vk = env["index"]._snapshot_version(), env["kept"]._snapshot_version()
+
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(env["ckpt"], "commits"))
+        if not c.startswith(".")
+    )
+    last = commits[-1]
+    os.remove(os.path.join(env["ckpt"], "commits", last))
+    crc = os.path.join(env["ckpt"], "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _drain(spark, env)
+    assert _kept_ids(spark, env) == want
+    assert env["index"]._snapshot_version() == vi
+    assert env["kept"]._snapshot_version() == vk
+
+
+def test_crash_between_index_and_kept_commits(spark, env):
+    """Crash window B (the hard one): the batch's assignment reached
+    the index but the kept append was lost.  The replay must skip the
+    index append (guard) AND still compute the same kept set -- the
+    prune pool excludes the batch's own ids, so the half-applied
+    index does not occupy candidate slots twice."""
+    app_id = "semantic_dedup:test"
+    b0, b1 = _vecs(spark, 0, 16), _vecs(spark, 16, 28)
+
+    apply_semantic_batch(
+        spark, b0, 0, app_id, env["quantizer"], env["index"], env["kept"],
+        n_cells=2, threshold=0.95, impl="column",
+    )
+    cents = env["quantizer"].read(spark)
+    want_kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            _vecs(spark, 0, 28), threshold=0.95, impl="column", centroids=cents
+        ).collect()
+    }
+
+    # simulate the crash: batch 1's assignment lands in the index
+    # with its app_txn, then the process dies before the kept append
+    env["index"].append(
+        ivf_assign(b1, cents, impl="column").select(
+            "vec_id", "embedding", "cell_id"
+        ),
+        app_txn=(app_id, 1),
+    )
+    vi = env["index"]._snapshot_version()
+
+    # Spark replays micro-batch 1
+    apply_semantic_batch(
+        spark, b1, 1, app_id, env["quantizer"], env["index"], env["kept"],
+        n_cells=2, threshold=0.95, impl="column",
+    )
+    assert env["index"]._snapshot_version() == vi, "index appended twice"
+    assert env["index"].read(spark).count() == 28
+    assert _kept_ids(spark, env) == want_kept
+
+    # and a full replay after everything landed is a no-op
+    vk = env["kept"]._snapshot_version()
+    apply_semantic_batch(
+        spark, b1, 1, app_id, env["quantizer"], env["index"], env["kept"],
+        n_cells=2, threshold=0.95, impl="column",
+    )
+    assert env["kept"]._snapshot_version() == vk
