@@ -6,7 +6,8 @@ Topology::
 
     documents TxTable  --txtable-changes stream-->  scored-corpus TxTable
         (raw ingest,          per micro-batch:          (doc_id, source,
-         retain_history)      model-score gate ->        fp, ntok, q_logit)
+         retain_history)      model-score gate ->        fp, ntok, q_logit,
+                                                         fp_pfx partition)
                               within-batch exact dedup ->
                               anti-join vs stored corpus ->
                               idempotent append
@@ -30,9 +31,14 @@ Scale shape per batch: gate + fingerprint are pure codegen column
 work over the CHANGED FILES only (the stream plans O(changed files),
 never O(table)); within-batch dedup is one groupBy-min + N-to-1 join
 back (no window); the cross-batch guard is one anti-join of
-|batch-kept| rows against the corpus on the 32-byte fp key.  At
-100 TB the corpus table is partitioned/bucketed by fp prefix so the
-anti-join prunes to matching buckets; the batch side is tiny by
+|batch-kept| rows against the corpus on the 32-byte fp key.  The
+corpus table is written hive-partitioned by ``fp_pfx`` (the fp's
+first two hex chars, 256 dirs -- enforced by the sink), and the
+anti-join's corpus side is a PARTITION-PRUNED read of only the
+batch's own distinct prefixes (``TxTable.read_partitions``):
+untouched prefixes' files are never listed or opened, so per-batch
+cost is O(matching partitions), not O(corpus).  Strict-file-subset
+pytest in tests/test_corpus_stream.py; the batch side is tiny by
 construction.
 
 Reference parity: this is the streaming form of the reference's
@@ -108,12 +114,41 @@ def corpus_prep_stream(
         last = corpus.last_txn_version(app_id) if corpus.exists() else None
         if last is not None and batch_id <= last:
             return  # replayed micro-batch: rows already appended
+        # the corpus is ALWAYS laid out hive-partitioned by fp_pfx
+        # (the fingerprint's first two hex chars, 256 dirs): that
+        # layout is what lets the cross-batch anti-join prune to the
+        # prefixes the batch actually carries.  Enforced here so a
+        # handle opened without the argument still writes the pruned
+        # layout.
+        if not corpus.partition_by:
+            corpus.partition_by = ["fp_pfx"]
+        elif corpus.partition_by != ["fp_pfx"]:
+            raise ValueError(
+                f"corpus table must be partitioned by fp_pfx, got "
+                f"{corpus.partition_by}"
+            )
         ins = batch.where(F.col(CHANGE_COL) == "insert")
-        kept = prep_batch(ins, threshold_logit=threshold_logit)
+        kept = prep_batch(ins, threshold_logit=threshold_logit).withColumn(
+            "fp_pfx", F.substring("fp", 1, 2)
+        )
         if corpus.exists():
+            # PARTITION-PRUNED cross-batch guard: the anti-join is
+            # equi on fp, and equal fps share a prefix, so only the
+            # corpus partitions for the batch's own distinct prefixes
+            # can hold a match -- the other ~256-|touched| dirs'
+            # files are never listed or opened (strict-file-subset
+            # pytest in tests/test_corpus_stream.py).  The prefix
+            # collect is bounded by the 256-value prefix alphabet,
+            # never the batch or the corpus.
+            pfxs = [
+                r["fp_pfx"]
+                for r in kept.select("fp_pfx").distinct().collect()
+            ]
             fresh = kept.join(
-                corpus.read(spark).select("fp"), "fp", "left_anti"
-            ).select("doc_id", "source", "fp", "ntok", "q_logit")
+                corpus.read_partitions(spark, "fp_pfx", pfxs).select("fp"),
+                "fp",
+                "left_anti",
+            ).select("doc_id", "source", "fp", "ntok", "q_logit", "fp_pfx")
             corpus.append(fresh, app_txn=(app_id, batch_id))
         else:
             corpus.init(kept, app_txn=(app_id, batch_id))

@@ -20,8 +20,12 @@ State tables (all TxTable, all append-only after bootstrap):
   stream, exactly the ``semantic_dedup_incremental`` contract.
 - ``index``: ``(vec_id, embedding, cell_id)`` for EVERY ingested
   vector (kept or not -- the prune rule is about cluster membership,
-  not kept-ness).  At 100 TB this table is partitioned by cell_id so
-  each batch's prune join prunes to the touched cells.
+  not kept-ness).  Written hive-partitioned by cell_id (enforced by
+  ``apply_semantic_batch``), and each batch's prune pool is a
+  PARTITION-PRUNED read of only the cells the batch was assigned to
+  (``TxTable.read_partitions`` -- untouched cells' files are never
+  listed or opened, the ivf_probe contract; strict-file-subset
+  pytest in tests/test_embedding_stream.py).
 - ``kept``: ``(vec_id, cell_id)`` keep decisions, strictly additive.
 
 Exactness (pytest-pinned): with ``max_cluster=None`` the kept table
@@ -83,6 +87,19 @@ def apply_semantic_batch(
     last = kept.last_txn_version(app_id) if kept.exists() else None
     if last is not None and batch_id <= last:
         return  # fully-applied replay
+    # the index is ALWAYS laid out hive-partitioned by cell_id -- that
+    # layout is what makes the per-batch prune pool a partition-pruned
+    # scan of only the cells the batch touched (the operator's own
+    # 100 TB contract, similarity.py `semantic_dedup_incremental`).
+    # Enforced here so a handle opened without the argument still
+    # writes the pruned layout.
+    if not index.partition_by:
+        index.partition_by = ["cell_id"]
+    elif index.partition_by != ["cell_id"]:
+        raise ValueError(
+            f"index table must be partitioned by cell_id, got "
+            f"{index.partition_by}"
+        )
     ins = ins.select(id_col, vec_col)
     if not quantizer.exists():
         quantizer.init(
@@ -92,11 +109,24 @@ def apply_semantic_batch(
     cents = quantizer.read(spark)
     assigned = ivf_assign(ins, cents, id_col, vec_col, impl=impl)
     if index.exists():
+        # the pool is a PARTITION-PRUNED scan of the stored index:
+        # only the cells this batch's vectors were assigned to can
+        # hold a pruning candidate (the join is equi on cell_id), so
+        # the untouched cells' files are never listed or opened --
+        # O(touched cells), not O(index), per micro-batch.  The
+        # distinct-cell collect is bounded by n_cells (the quantizer
+        # dimension, a stat), never the batch or the corpus.
+        cells = [
+            r["cell_id"]
+            for r in assigned.select("cell_id").distinct().collect()
+        ]
         # exclude this batch's own ids from the pool: after a crash
         # BETWEEN the index append and the kept append, the replayed
         # batch is already in the index and would otherwise occupy
         # cap slots twice
-        pool = index.read(spark).join(ins.select(id_col), id_col, "left_anti")
+        pool = index.read_partitions(spark, "cell_id", cells).join(
+            ins.select(id_col), id_col, "left_anti"
+        )
         kept_rows = semantic_dedup_incremental(
             ins,
             pool,

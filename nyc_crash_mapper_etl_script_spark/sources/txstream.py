@@ -161,7 +161,9 @@ def stream_schema(
         )
     fields = list(logged.fields)
     if columns is not None:
-        want = set(columns)
+        # the metadata columns always ride along, so a caller listing
+        # them explicitly is stating the obvious, not an error
+        want = set(columns) - {CHANGE_COL, VERSION_COL}
         unknown = want - {f.name for f in fields}
         if unknown:
             raise ValueError(
@@ -315,8 +317,13 @@ class TxTableStreamReader(DataSourceStreamReader):
     ) -> Sequence[InputPartition]:
         """Greedy size packing of the batch's changed files in their
         deterministic (version, path) build order -- a replayed batch
-        re-plans the identical layout, preserving the byte-identical-
-        replay contract.  The bin target mirrors FilePartition's
+        re-plans the identical layout PER ENVIRONMENT: the bin target
+        depends on minPartitions (defaultParallelism, or the planner
+        host's cpu_count for direct users), so a cluster resize
+        between crash and replay yields a different partition layout.
+        The replay contract is ROW-LEVEL, not partition-level -- the
+        row multiset is identical either way, which is all
+        exactly-once with idempotent sinks requires.  The bin target mirrors FilePartition's
         maxSplitBytes: ``min(maxBytes, max(openCost, (totalBytes +
         openCost x nFiles) / minPartitions))`` -- so a tiny-file storm
         packs down to ~core-count partitions while a batch with fewer,

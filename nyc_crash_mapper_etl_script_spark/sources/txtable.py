@@ -833,6 +833,53 @@ class TxTable:
             (F_col(col) >= lo) & (F_col(col) <= hi)
         )
 
+    def partition_files(self, col: str, values) -> list[str]:
+        """The live files whose hive partition directory for ``col``
+        matches one of ``values`` -- pure path arithmetic on the log,
+        no file IO, no Spark job (the partition-column analog of
+        :meth:`pruned_files`).  Values compare as their unescaped
+        string form (``str(v)``), which is exact for the int/hex-string
+        partition keys this repo partitions on; ``None`` matches the
+        hive NULL sentinel."""
+        if col not in self.partition_by:
+            raise ValueError(
+                f"{col!r} is not a partition column of {self.root} "
+                f"(partition_by={self.partition_by})"
+            )
+        from urllib.parse import unquote
+
+        want = {None if v is None else str(v) for v in values}
+        prefix = col + "="
+        keep = []
+        for rel in self._live_files():
+            for comp in rel.split(os.sep)[:-1]:
+                if comp.startswith(prefix):
+                    raw = comp[len(prefix):]
+                    val = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                    if val in want:
+                        keep.append(rel)
+                    break
+        return keep
+
+    def read_partitions(self, spark: SparkSession, col: str, values) -> DataFrame:
+        """Partition-pruned scan: only the files under ``col=value``
+        directories for the given values are ever listed or opened --
+        the ivf_probe strict-file-subset contract applied to a
+        TxTable partition column.  Results equal
+        ``read().where(col.isin(values))``; the residual predicate is
+        NOT re-applied because hive partition dirs are exact, not
+        min/max bounds.  An empty match returns a typed empty frame
+        through the logged schema, like :meth:`read` on a
+        fully-deleted table."""
+        self._recover()
+        files = self.partition_files(col, values)
+        schema = self.logged_schema()
+        if not files:
+            if schema is None:
+                raise FileNotFoundError(f"no logged schema at {self.root}")
+            return spark.createDataFrame([], schema)
+        return self._read_resolved(spark, files, schema)
+
     def _commit(
         self,
         mapping: dict[str, str],

@@ -46,6 +46,19 @@ def test_selfcheck_covers_current_registry():
     assert sc["n_failed"] == 0, f"{os.path.basename(path)} records failures"
 
 
+def test_readme_query_count_matches_registry():
+    """The README's 'N named queries' line drifted once (r6 ADVICE:
+    said 157 at a 158-row registry) -- derive it from the registry so
+    it can't again."""
+    with open(os.path.join(REPO, "README.md")) as f:
+        m = re.search(r"(\d+) named queries", f.read())
+    assert m, "README.md no longer states the registry size"
+    assert int(m.group(1)) == len(harness.queries()), (
+        f"README says {m.group(1)} named queries but the registry has "
+        f"{len(harness.queries())} -- bump the README line"
+    )
+
+
 def test_plans_md_covers_current_registry():
     names = set(harness.queries())
     with open(os.path.join(REPO, "PLANS.md")) as f:

@@ -100,7 +100,56 @@ def test_corpus_stream_matches_batch_recompute(spark, corpus_env):
     assert kept_ids == {1, 2, 6}
 
     # full table equality, not just stats: streamed == batch recompute
-    streamed = {tuple(r) for r in corpus.read(spark).collect()}
+    # (fp_pfx is the sink's partition-layout column, not pipeline data)
+    streamed = {tuple(r) for r in corpus.read(spark).drop("fp_pfx").collect()}
+    batch = {tuple(r) for r in prep_batch(all_rows).collect()}
+    assert streamed == batch
+
+
+def test_corpus_anti_join_is_partition_pruned(spark, corpus_env):
+    """The 100 TB contract (r6 VERDICT item 2): the cross-batch
+    anti-join's corpus side reads ONLY the partitions for the batch's
+    own fp prefixes -- a strict file subset of the table, ivf_probe
+    style."""
+    source, corpus, ckpt = corpus_env
+    # first batch: many distinct fps spread over several prefixes
+    b1 = [(i, f"{GOOD} variant number {i} of the long tale", "web")
+          for i in range(1, 13)]
+    source.init(_docs(spark, b1))
+    _drain(spark, source, corpus, ckpt)
+    assert corpus.partition_by == ["fp_pfx"]
+    all_files = set(corpus._live_files())
+    pfx_dirs = {f.split(os.sep)[0] for f in all_files}
+    assert len(pfx_dirs) > 1, "fixture must span multiple fp prefixes"
+    # a one-doc second batch touches exactly one prefix
+    b2 = [(20, f"{GOOD} variant number 20 of the long tale", "web")]
+    batch_pfx = {
+        r["fp_pfx"]
+        for r in prep_batch(_docs(spark, b2))
+        .select(F.substring("fp", 1, 2).alias("fp_pfx"))
+        .collect()
+    }
+    pruned = set(corpus.partition_files("fp_pfx", batch_pfx))
+    assert pruned < all_files, "pruned read must be a strict file subset"
+    assert all(f.split(os.sep)[0] in {f"fp_pfx={p}" for p in batch_pfx}
+               for f in pruned)
+    # and the pruned read returns exactly the matching partitions' rows
+    got = {
+        r["fp"]
+        for r in corpus.read_partitions(spark, "fp_pfx", batch_pfx).collect()
+    }
+    want = {
+        r["fp"]
+        for r in corpus.read(spark)
+        .where(F.col("fp_pfx").isin(list(batch_pfx)))
+        .collect()
+    }
+    assert got == want
+    # end-to-end: the pruned anti-join still computes the right corpus
+    source.append(_docs(spark, b2))
+    _drain(spark, source, corpus, ckpt)
+    all_rows = _docs(spark, b1 + b2)
+    streamed = {tuple(r) for r in corpus.read(spark).drop("fp_pfx").collect()}
     batch = {tuple(r) for r in prep_batch(all_rows).collect()}
     assert streamed == batch
 

@@ -40,7 +40,10 @@ def env(spark, tmp_path_factory):
     return {
         "source": TxTable(str(root / "raw"), retain_history=True),
         "quantizer": TxTable(str(root / "quant")),
-        "index": TxTable(str(root / "index")),
+        # cell_id partitioning is what apply_semantic_batch enforces;
+        # constructing it here keeps the crash-simulation appends
+        # below on the same layout the real sink writes
+        "index": TxTable(str(root / "index"), partition_by=["cell_id"]),
         "kept": TxTable(str(root / "kept")),
         "ckpt": str(root / "ck"),
     }
@@ -103,6 +106,59 @@ def test_streamed_kept_equals_full_recompute(spark, env):
     }
     got = {(r["vec_id"], r["cell_id"]) for r in idx.collect()}
     assert got == want
+
+
+def test_prune_pool_is_partition_pruned(spark, env):
+    """The 100 TB contract (r6 VERDICT item 1): the per-batch prune
+    pool reads ONLY the index partitions for the cells the batch was
+    assigned to -- a strict file subset, ivf_probe style -- and the
+    pruned pool computes the same kept set as the full-index pool."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    env["source"].init(_vecs(spark, 0, 20))
+    _drain(spark, env)
+    index = env["index"]
+    assert index.partition_by == ["cell_id"]
+    all_files = set(index._live_files())
+    cell_dirs = {f.split(os.sep)[0] for f in all_files}
+    assert len(cell_dirs) == 2, "fixture must span both cells"
+
+    # a batch whose vectors all land in ONE cell
+    cents = env["quantizer"].read(spark)
+    b = _vecs(spark, 20, 26)
+    assigned = ivf_assign(b, cents, impl="column")
+    one_cell = [
+        r["cell_id"]
+        for r in assigned.groupBy("cell_id").count()
+        .orderBy(F.desc("count")).limit(1).collect()
+    ]
+    sub = assigned.where(F.col("cell_id").isin(one_cell)).select(
+        "vec_id", "embedding"
+    )
+    assert sub.count() > 0
+    pruned = set(index.partition_files("cell_id", one_cell))
+    assert pruned < all_files, "pruned pool must be a strict file subset"
+    assert all(f.startswith(f"cell_id={one_cell[0]}{os.sep}") for f in pruned)
+    # pruned pool == full pool for this batch's kept set
+    full_kept = {
+        r["vec_id"]
+        for r in semantic_dedup_incremental(
+            sub, index.read(spark), cents, threshold=0.95, impl="column"
+        ).collect()
+    }
+    pruned_kept = {
+        r["vec_id"]
+        for r in semantic_dedup_incremental(
+            sub,
+            index.read_partitions(spark, "cell_id", one_cell),
+            cents,
+            threshold=0.95,
+            impl="column",
+        ).collect()
+    }
+    assert pruned_kept == full_kept
 
 
 def test_stream_checkpoint_replay_is_idempotent(spark, env):
