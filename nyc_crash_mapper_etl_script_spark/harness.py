@@ -823,6 +823,86 @@ def j6_bbox_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed polygon dimension for the exact ray-cast pip row: one
+#: CONCAVE pentagon (the shape bbox tests alone cannot classify),
+#: one triangle, one quad overlapping the pentagon.  Vertices use
+#: 5-decimal coordinates so no synthetic point (a 4-decimal lattice,
+#: lng multiples of 0.0005 / lat of 0.0004) ever lands exactly on an
+#: edge or shares a latitude with a vertex, and NO EDGE IS HORIZONTAL
+#: -- the crossing formula's (by - ay) divisor is never zero, so both
+#: engines stay on the same IEEE path.
+_PIP_POLYS: list[tuple[int, list[tuple[float, float]]]] = [
+    (1, [(-74.18011, 40.52113), (-73.95507, 40.54221), (-74.05013, 40.64111),
+         (-73.97123, 40.74457), (-74.16789, 40.70911)]),
+    (2, [(-73.99123, 40.60111), (-73.74511, 40.66777), (-73.85013, 40.88123)]),
+    (3, [(-74.12345, 40.58123), (-73.90111, 40.61001), (-73.93013, 40.79789),
+         (-74.10987, 40.75321)]),
+]
+
+_PIP_EDGES_SQL = "(VALUES " + ", ".join(
+    f"({pid}, {vs[i][0]}, {vs[i][1]}, {vs[(i + 1) % len(vs)][0]}, "
+    f"{vs[(i + 1) % len(vs)][1]})"
+    for pid, vs in _PIP_POLYS
+    for i in range(len(vs))
+) + ") AS e(poly_id, ax, ay, bx, by)"
+
+
+@register(
+    "j6_pip_raycast_grid",
+    f"""
+    WITH p AS ({_SYNTH_POINTS_SQL}),
+    crossings AS (
+      SELECT p.event_id, e.poly_id,
+             sum(CASE WHEN (e.ay > p.lat1) <> (e.by > p.lat1)
+                       AND p.lng1 < e.ax + (p.lat1 - e.ay) / (e.by - e.ay)
+                                           * (e.bx - e.ax)
+                  THEN 1 ELSE 0 END) AS k
+      FROM p CROSS JOIN {_PIP_EDGES_SQL}
+      GROUP BY p.event_id, e.poly_id
+    )
+    SELECT event_id, CAST(poly_id AS INTEGER) AS poly_id
+    FROM crossings WHERE k % 2 = 1
+    """,
+)
+def j6_pip_raycast_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ray-cast point-in-polygon through the production grid
+    path (J6/J8, main.py:408-533 ``ST_Within``): the oracle twin the
+    r6 verdict asked for -- the even-odd crossing rule spelled out as
+    SQL over the polygon EDGE list, driving ``points_in_polygons``'s
+    default grid strategy (hash join on the grid cell, never a
+    cartesian; the 4-literal-cell ``j6_bbox_containment_join`` row
+    covers only the bbox range-join shape).  Float parity: the
+    crossing abscissa uses the identical expression order on both
+    sides (``ax + (py - ay) / (by - ay) * (bx - ax)``), so IEEE
+    doubles match bit for bit; the grid and bbox conjuncts are pure
+    pruning -- a point outside a polygon's bbox always has an even
+    crossing count, so the inner-join result equals the bare even-odd
+    rule the oracle computes."""
+    from nyc_crash_mapper_etl_script_spark.operators.spatial_join import (
+        points_in_polygons,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.struct(
+            (F.lit(-74.2) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5)
+            .alias("lng"),
+            (F.lit(40.5) + (F.col("event_id") % 1000) / 1000.0 * 0.4)
+            .alias("lat"),
+        ).alias("the_geom"),
+    )
+    polys = spark.createDataFrame(
+        [(pid, vs) for pid, vs in _PIP_POLYS],
+        "poly_id int, poly array<struct<x:double,y:double>>",
+    )
+    out = points_in_polygons(pts, polys, polygon_col="poly")
+    return out.select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("g.poly_id").cast("int").alias("poly_id"),
+    )
+
+
 _CIRCLES = [
     (1, -74.0, 40.7, 5000.0),
     (2, -73.95, 40.75, 8000.0),
