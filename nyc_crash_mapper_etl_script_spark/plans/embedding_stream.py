@@ -164,6 +164,126 @@ def apply_semantic_batch(
         kept.init(kept_rows, app_txn=(app_id, batch_id))
 
 
+def assignment_drift(
+    spark: SparkSession,
+    quantizer: TxTable,
+    index: TxTable,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The auditable quantizer-drift signal: one row of
+    ``(n, mean_dist_e6)`` -- the mean distance (1 - round-6 cosine)
+    of every indexed vector to its ASSIGNED stored centroid, averaged
+    on the e6 integer grid (the ``semantic_assignment_drift``
+    registry row's expression, which also splits it by arrival
+    regime).  Track it across batches: a rising trend means the
+    frozen quantizer no longer describes the incoming distribution
+    and :func:`requantize_semantic_index` is due.  One broadcast
+    equi-join on cell_id + one codegen aggregate -- no shuffle of the
+    index beyond its own scan."""
+    from nyc_crash_mapper_etl_script_spark.functions.vectors import dot, norm
+
+    cents = quantizer.read(spark)
+    idx = index.read(spark).select(
+        F.col(vec_col), F.col("cell_id").cast("int").alias("cell_id")
+    )
+    c = idx.join(F.broadcast(cents), "cell_id").select(
+        F.round(
+            dot(F.col(vec_col), F.col("cv"))
+            / F.nullif(norm(F.col(vec_col)) * norm(F.col("cv")), F.lit(0.0)),
+            6,
+        ).alias("c")
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(
+            F.sum(F.round((F.lit(1) - F.col("c")) * 1000000, 0).cast("long"))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_dist_e6"),
+    )
+
+
+def requantize_semantic_index(
+    spark: SparkSession,
+    quantizer: TxTable,
+    index: TxTable,
+    kept: TxTable,
+    rebuild_id: int,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    max_cluster: int | None = None,
+    impl: str = "arrow",
+    hash_fn: str = "md5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Quantizer-drift maintenance (r6 VERDICT item 6): re-train the
+    coarse centroids on EVERYTHING ingested and rebuild the three
+    state tables to exactly what a fresh full-corpus run with the new
+    quantizer would produce -- the semantic analog of
+    ``rebuild_rollup`` (plans/continuous.py), repairing the geometry
+    degradation a frozen quantizer accrues under distribution shift
+    (measure it first with :func:`assignment_drift`).
+
+    Crash-safe and idempotent per table: each overwrite carries
+    ``app_txn=(app_id, rebuild_id)`` and is skipped when that table
+    already recorded this rebuild.  Re-training reads only
+    ``(id, vec)`` -- which every partial state agrees on -- so a
+    rebuild replayed after a crash between the three commits
+    recomputes identical centroids (md5-deterministic
+    ``select_centroids``) and completes the missing overwrites with
+    the same rows the clean run would have written.  The kept rebuild
+    reads the NEW index (already re-assigned) rather than the pinned
+    pre-rebuild plan, so no stage ever reads files a prior commit
+    retired.  Run while the ingest stream is stopped, like every
+    RMW maintenance op (a concurrent append raises
+    ``ConcurrentWriteError`` and the rebuild re-runs).
+
+    After the rebuild the stream resumes against the new quantizer:
+    ``apply_semantic_batch`` reads centroids per batch, and the
+    incremental contract (keeps additive, batch == full-run
+    restricted) holds with the NEW geometry from the rebuild point
+    on -- exactly as if the stream had started from a one-shot run
+    with these centroids.
+    """
+    app_id = f"semantic_requant:{os.path.abspath(index.root)}"
+    if not index.partition_by:
+        index.partition_by = ["cell_id"]
+
+    def _done(t: TxTable) -> bool:
+        v = t.last_txn_version(app_id)
+        return v is not None and v >= rebuild_id
+
+    vecs = index.read(spark).select(id_col, vec_col)
+    if not _done(quantizer):
+        quantizer.overwrite(
+            select_centroids(vecs, n_cells, id_col, vec_col, hash_fn=hash_fn),
+            app_txn=(app_id, rebuild_id),
+        )
+    cents = quantizer.read(spark)
+    if not _done(index):
+        index.overwrite(
+            ivf_assign(vecs, cents, id_col, vec_col, impl=impl).select(
+                id_col, vec_col, "cell_id"
+            ),
+            app_txn=(app_id, rebuild_id),
+        )
+    if not _done(kept):
+        kept.overwrite(
+            semantic_dedup(
+                index.read(spark).select(id_col, vec_col),
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                impl=impl,
+                max_cluster=max_cluster,
+                centroids=cents,
+            ).select(id_col, "cell_id"),
+            app_txn=(app_id, rebuild_id),
+        )
+
+
 def semantic_dedup_stream(
     spark: SparkSession,
     source: TxTable,

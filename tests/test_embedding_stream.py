@@ -161,6 +161,115 @@ def test_prune_pool_is_partition_pruned(spark, env):
     assert pruned_kept == full_kept
 
 
+def test_requantize_rebuild_equals_full_run(spark, env):
+    """Quantizer-drift maintenance: after streamed batches,
+    requantize_semantic_index leaves all three state tables exactly
+    as a fresh full-corpus run with centroids re-trained on
+    everything -- and the rebuild is idempotent per rebuild_id,
+    including a replay after a crash between the three commits."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        select_centroids,
+    )
+    from nyc_crash_mapper_etl_script_spark.plans.embedding_stream import (
+        assignment_drift,
+        requantize_semantic_index,
+    )
+
+    env["source"].init(_vecs(spark, 0, 20))
+    _drain(spark, env)
+    env["source"].append(_vecs(spark, 20, 36))
+    _drain(spark, env)
+
+    d0 = assignment_drift(spark, env["quantizer"], env["index"]).collect()[0]
+    assert d0["n"] == 36 and d0["mean_dist_e6"] >= 0
+
+    requantize_semantic_index(
+        spark, env["quantizer"], env["index"], env["kept"],
+        rebuild_id=1, n_cells=2, threshold=0.95, impl="column",
+    )
+    allv = _vecs(spark, 0, 36)
+    want_cents = {
+        (r["cell_id"], tuple(r["cv"]))
+        for r in select_centroids(allv, 2, hash_fn="md5").collect()
+    }
+    got_cents = {
+        (r["cell_id"], tuple(r["cv"]))
+        for r in env["quantizer"].read(spark).collect()
+    }
+    assert got_cents == want_cents, "quantizer not re-trained on everything"
+    new_cents = env["quantizer"].read(spark)
+    want_idx = {
+        (r["vec_id"], r["cell_id"])
+        for r in ivf_assign(allv, new_cents, impl="column").collect()
+    }
+    got_idx = {
+        (r["vec_id"], r["cell_id"]) for r in env["index"].read(spark).collect()
+    }
+    assert got_idx == want_idx, "index not re-assigned with new centroids"
+    want_kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            allv, threshold=0.95, impl="column", centroids=new_cents
+        ).collect()
+    }
+    assert _kept_ids(spark, env) == want_kept, "kept != full run, new centroids"
+    # index layout survives the rebuild: still cell_id-partitioned
+    assert all(
+        f.split(os.sep)[0].startswith("cell_id=")
+        for f in env["index"]._live_files()
+    )
+
+    # idempotent: a full replay of the same rebuild_id is a no-op
+    vq = env["quantizer"]._snapshot_version()
+    vi = env["index"]._snapshot_version()
+    vk = env["kept"]._snapshot_version()
+    requantize_semantic_index(
+        spark, env["quantizer"], env["index"], env["kept"],
+        rebuild_id=1, n_cells=2, threshold=0.95, impl="column",
+    )
+    assert (vq, vi, vk) == (
+        env["quantizer"]._snapshot_version(),
+        env["index"]._snapshot_version(),
+        env["kept"]._snapshot_version(),
+    )
+
+    # crash window: rebuild 2's quantizer commit landed, index/kept
+    # lost.  The replay skips the quantizer overwrite and completes
+    # the other two with the same rows the clean run writes.
+    app_id = f"semantic_requant:{os.path.abspath(env['index'].root)}"
+    env["quantizer"].overwrite(
+        select_centroids(
+            env["index"].read(spark).select("vec_id", "embedding"),
+            2,
+            hash_fn="md5",
+        ),
+        app_txn=(app_id, 2),
+    )
+    vq2 = env["quantizer"]._snapshot_version()
+    requantize_semantic_index(
+        spark, env["quantizer"], env["index"], env["kept"],
+        rebuild_id=2, n_cells=2, threshold=0.95, impl="column",
+    )
+    assert env["quantizer"]._snapshot_version() == vq2, "quantizer redone"
+    assert _kept_ids(spark, env) == want_kept
+    got_idx2 = {
+        (r["vec_id"], r["cell_id"]) for r in env["index"].read(spark).collect()
+    }
+    assert got_idx2 == want_idx
+
+    # and the stream resumes cleanly against the rebuilt state
+    env["source"].append(_vecs(spark, 36, 44))
+    _drain(spark, env)
+    cents3 = env["quantizer"].read(spark)
+    want_resumed = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            _vecs(spark, 0, 44), threshold=0.95, impl="column", centroids=cents3
+        ).collect()
+    }
+    assert _kept_ids(spark, env) == want_resumed
+
+
 def test_stream_checkpoint_replay_is_idempotent(spark, env):
     """Crash window A: all three state commits landed, streaming
     checkpoint commit lost.  The replayed micro-batch no-ops."""

@@ -47,6 +47,9 @@ NLJ_OK = {
                                   # into the precision/recall summary row
     "dedup_semantic_quality",     # same shape: three 1-row count scalars
                                   # cross-joined into the recall row
+    "dedup_semantic_stream_divergence",  # same shape: four 1-row count
+                                  # scalars cross-joined into the
+                                  # divergence row
     "q11_important_stock",        # 1-row broadcast grand-total threshold
                                   # (TPC-H Q11's scalar HAVING subquery)
     "q15_top_supplier",           # 1-row broadcast max-revenue scalar
@@ -84,6 +87,10 @@ ARROW_OK = {
                                 # is an equi join on cell_id
     "dedup_semantic_incremental",  # same Arrow assignment stage over
                                    # the index and the new batch
+    "semantic_assignment_drift",   # same Arrow assignment stage; the
+                                   # distance agg is pure codegen
+    "dedup_semantic_stream_divergence",  # composes three semantic
+                                   # passes -> inherits the Arrow stage
     "dedup_semantic_quality",   # composes two semantic_dedup passes
                                 # -> inherits the same Arrow stage
 }
