@@ -95,7 +95,13 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
     the availableNow fallback runs ONE micro-batch for the whole
     backlog, so there is no per-version overhead to coalesce.  The
     floor amortizes to zero in a long-running consumer; a one-shot
-    drain benchmark pays it in full.  The rollup projects its two
+    drain benchmark pays it in full.  tx_stream_drain_steady is that
+    amortized form made a row: the same consumer shape drains an
+    8-commit backlog paced to one commit per micro-batch, and the
+    per-batch MARGINAL cost -- measured bootstrap-free by
+    tools/ab_stream_steady.py as (t@16 commits - t@8)/8, committed
+    as BENCH_STREAM_STEADY.json -- is 0.649 s (0.274 s stateless),
+    2-5x under the bootstrap the one-shot row is dominated by.  The rollup projects its two
     columns at the source (the r6 `columns` option -- parquet I/O and
     Arrow transport skip the rest), which is how a real change-feed
     consumer should read."""
@@ -170,6 +176,57 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
                 shutil.rmtree(out + "_ck", ignore_errors=True)
 
             rec("tx_stream_drain", drain)
+
+            # STEADY-STATE drain (r6 VERDICT item 5): the same rows
+            # as 8 separate commits, drained by ONE long-running
+            # query paced to one commit per micro-batch
+            # (maxVersionsPerBatch=1; availableNow can't pace -- its
+            # fallback coalesces the backlog into one batch, so this
+            # row uses the default trigger + processAllAvailable,
+            # the long-running-consumer mode the floor argument is
+            # about).  The row's time is one query bootstrap (same
+            # ~1.5 s class as BENCH_STREAM_FLOOR's availableNow
+            # measurement) + 8x the true per-batch cost, so
+            # per-batch = (tx_stream_drain_steady - floor) / 8 is
+            # directly comparable to the one-shot row's
+            # (tx_stream_drain - floor) / 1.  This is the number a
+            # long-running consumer actually pays per change-feed
+            # batch; the bootstrap amortizes away.
+            feed = TxTable(os.path.join(base, "orders_feed"))
+            feed.init(orders.where(F.col("o_orderkey") % 8 == 0))
+            for i in range(1, 8):
+                feed.append(orders.where(F.col("o_orderkey") % 8 == i))
+
+            def drain_steady():
+                out = os.path.join(base, "feed_steady")
+                q = (
+                    read_txtable_stream(
+                        spark,
+                        feed.root,
+                        max_versions_per_batch=1,
+                        columns=["o_orderstatus"],
+                    )
+                    .groupBy("o_orderstatus", CHANGE_COL)
+                    .agg(F.count("*").alias("rows"))
+                    .writeStream.format("noop")
+                    .outputMode("complete")
+                    .option("checkpointLocation", out + "_ck")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                q.awaitTermination(300)
+                n = len(
+                    [
+                        c
+                        for c in os.listdir(os.path.join(out + "_ck", "commits"))
+                        if not c.startswith(".")
+                    ]
+                )
+                assert n == 8, f"steady drain ran {n} batches, expected 8"
+                shutil.rmtree(out + "_ck", ignore_errors=True)
+
+            rec("tx_stream_drain_steady", drain_steady)
         finally:
             shutil.rmtree(base, ignore_errors=True)
     return {k: round(min(v), 3) for k, v in samples.items()}
