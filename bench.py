@@ -73,6 +73,10 @@ HEADLINE = [
     # clustering (select_canonical's own perf record)
     "dedup_semantic_incremental",
     "canonical_keep_best",
+    # round-7 addition: the exact ray-cast pip through the grid hash
+    # join -- the scale-critical spatial path's own perf record (the
+    # j6/j7 rows cover only bbox range and nlj shapes)
+    "j6_pip_raycast_grid",
 ]
 
 

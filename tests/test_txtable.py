@@ -1027,3 +1027,51 @@ def test_two_process_restore_vs_append_race(spark, tmp_path_factory):
     rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert rows[1] == "v1" and rows[2] == "v1"
     assert {k for k in rows if k >= 7000} == surviving
+
+
+# -- partition-value-pruned reads (read_partitions, r7) ---------------------
+
+
+def test_read_partitions_strict_subset_and_parity(spark, tmp_path):
+    """read_partitions lists/opens only the matching hive dirs (pure
+    log arithmetic -- partition_files is checkable without Spark) and
+    returns exactly read().where(isin)."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    df = spark.createDataFrame(
+        [(i, i % 4, f"r{i}") for i in range(40)], "k long, grp int, v string"
+    )
+    t.init(df)
+    t.append(
+        spark.createDataFrame([(100, 1, "x"), (101, 3, "y")],
+                              "k long, grp int, v string")
+    )
+    all_files = set(t._live_files())
+    pruned = set(t.partition_files("grp", [1]))
+    assert pruned and pruned < all_files
+    assert all(f.startswith(f"grp=1{os.sep}") for f in pruned)
+    got = {tuple(r) for r in t.read_partitions(spark, "grp", [1, 3]).collect()}
+    want = {
+        tuple(r)
+        for r in t.read(spark).where(F.col("grp").isin([1, 3])).collect()
+    }
+    assert got == want and got
+
+
+def test_read_partitions_edge_cases(spark, tmp_path):
+    """Non-partition column raises; no-match returns a TYPED empty
+    frame; NULL partition values round-trip through the hive
+    sentinel."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, None, "y")], "k long, grp string, v string"
+        )
+    )
+    with pytest.raises(ValueError, match="not a partition column"):
+        t.partition_files("v", ["x"])
+    empty = t.read_partitions(spark, "grp", ["zzz"])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "grp", "v"]
+    nulls = t.read_partitions(spark, "grp", [None])
+    assert {r["k"] for r in nulls.collect()} == {2}
+    assert {r["k"] for r in t.read_partitions(spark, "grp", ["a", None]).collect()} == {1, 2}

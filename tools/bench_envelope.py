@@ -6,7 +6,7 @@ distribution instead of a point estimate.
 
 Usage::
 
-    python tools/bench_envelope.py [runs] [out.json]
+    python tools/bench_envelope.py [runs] [out.json] [--loaded N]
 
 Env: ``SPARK_GRAFT_SF_DIR`` / ``SPARK_GRAFT_CPUS`` /
 ``SPARK_GRAFT_BENCH_REPS`` pass through to bench.py unchanged;
@@ -14,9 +14,25 @@ Env: ``SPARK_GRAFT_SF_DIR`` / ``SPARK_GRAFT_CPUS`` /
 cache release -- the r3 behavior) for attributing regressions to
 cache pressure vs the isolation change.
 
-Output JSON: ``{"runs": N, "isolate": bool, "sf": .., "queries":
-{name: {"min": .., "med": .., "max": .., "samples": [..]}},
-"totals": [..]}``.
+Two adjudication mechanisms for hot-host driver samples (r6 VERDICT
+item 3 -- the r5/r6 exceedances were uniform shifts on untouched
+code, so more unloaded runs was not the lever):
+
+- RATIO envelopes: every query also aggregates its per-run
+  ``time / run total`` share.  A uniformly hot host scales every row
+  and the total together, so ratios stay inside their envelope; a
+  genuine single-row regression moves that row's ratio out.  Judge a
+  suspect driver sample by ratio first.
+- ``--loaded N``: re-run the whole envelope with N synthetic
+  co-load processes (CPU spin over a 64 MiB buffer -- cache pressure,
+  not just cycles) pinned for the duration of each bench run, and
+  commit it as BENCH_ENVELOPE_LOADED.json.  A driver sample outside
+  the unloaded envelope but inside the loaded one is a hot host, not
+  a regression.
+
+Output JSON: ``{"runs": N, "isolate": bool, "loaded": N|0, "sf": ..,
+"queries": {name: {"min": .., "med": .., "max": .., "samples": [..],
+"ratio": {"min": .., "med": .., "max": ..}}}, "totals": [..]}``.
 """
 
 from __future__ import annotations
@@ -29,35 +45,65 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: synthetic co-load worker: spin over a 64 MiB buffer so the loader
+#: competes for LLC and memory bandwidth, not just cycles
+_SPIN = (
+    "import sys;"
+    "b = bytearray(64 * 1024 * 1024);"
+    "i = 0\n"
+    "while True:\n"
+    "    b[i % len(b)] = (b[i % len(b)] + 1) & 0xFF\n"
+    "    i += 4096\n"
+)
 
-def one_run(env: dict) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        cwd=REPO,
-        timeout=3600,
-    )
+
+def one_run(env: dict, loaded: int) -> dict:
+    spinners = [
+        subprocess.Popen([sys.executable, "-c", _SPIN])
+        for _ in range(loaded)
+    ]
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+            timeout=3600,
+        )
+    finally:
+        for p in spinners:
+            p.kill()
+        for p in spinners:
+            p.wait()
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        REPO, "BENCH_ENVELOPE.json"
+    args = [a for a in sys.argv[1:]]
+    loaded = 0
+    if "--loaded" in args:
+        i = args.index("--loaded")
+        loaded = int(args[i + 1])
+        del args[i : i + 2]
+    runs = int(args[0]) if len(args) > 0 else 5
+    out_path = args[1] if len(args) > 1 else os.path.join(
+        REPO,
+        "BENCH_ENVELOPE_LOADED.json" if loaded else "BENCH_ENVELOPE.json",
     )
     env = dict(os.environ)
     samples: dict[str, list[float]] = {}
+    ratios: dict[str, list[float]] = {}
     totals: list[float] = []
     sf = None
     for i in range(runs):
-        r = one_run(env)
+        r = one_run(env, loaded)
         sf = r.get("sf")
         totals.append(r["value"])
         for q, t in r["queries"].items():
             samples.setdefault(q, []).append(t)
+            ratios.setdefault(q, []).append(round(t / r["value"], 5))
         print(f"run {i + 1}/{runs}: total={r['value']}s", flush=True)
     agg = {
         q: {
@@ -65,12 +111,18 @@ def main() -> None:
             "med": round(statistics.median(v), 3),
             "max": round(max(v), 3),
             "samples": v,
+            "ratio": {
+                "min": min(ratios[q]),
+                "med": round(statistics.median(ratios[q]), 5),
+                "max": max(ratios[q]),
+            },
         }
         for q, v in sorted(samples.items())
     }
     doc = {
         "runs": runs,
         "isolate": env.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0",
+        "loaded": loaded,
         "sf": sf,
         "totals": totals,
         "queries": agg,
