@@ -1,0 +1,92 @@
+"""The bench adjudicator's four-test cascade (tools/adjudicate_bench)
+on synthetic distributions: a committed mechanism needs its own
+pin so a refactor can't silently reorder or weaken the tests."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "adjudicate_bench", os.path.join(REPO, "tools", "adjudicate_bench.py")
+)
+_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(_mod)
+adjudicate = _mod.adjudicate
+
+
+def _env(**qs):
+    """envelope with 2 runs; qs maps name -> (run1, run2)."""
+    return {
+        "runs": 2,
+        "totals": [sum(v[0] for v in qs.values()), sum(v[1] for v in qs.values())],
+        "queries": {
+            q: {
+                "min": min(v),
+                "med": sum(v) / 2,
+                "max": max(v),
+                "samples": list(v),
+            }
+            for q, v in qs.items()
+        },
+    }
+
+
+BASE = _env(a=(1.0, 1.2), b=(0.30, 0.36), c=(2.0, 2.2))
+
+
+def _verdicts(bench_queries, loaded=None, micro=None, tol=0.0):
+    bench = {"value": sum(bench_queries.values()), "queries": bench_queries}
+    return {
+        r["query"]: r["verdict"]
+        for r in adjudicate(bench, BASE, loaded, tol, micro)
+    }
+
+
+def test_inside_envelope_is_ok():
+    v = _verdicts({"a": 1.1, "b": 0.33, "c": 2.1})
+    assert v == {"a": "ok", "b": "ok", "c": "ok"}
+
+
+def test_uniform_hot_run_passes_by_share():
+    # every row +30%: absolute fails, shares are unchanged (tiny tol
+    # absorbs the last-ulp float noise of mathematically-equal shares)
+    v = _verdicts({"a": 1.56, "b": 0.468, "c": 2.86}, tol=0.001)
+    assert set(v.values()) == {"hot-host (ratio inside)"}
+
+
+def test_single_row_regression_flags():
+    # only b regresses 3x: share moves out, no loaded/micro to absorb
+    v = _verdicts({"a": 1.1, "b": 1.0, "c": 2.1})
+    assert v["a"] == "ok" and v["c"] == "ok"
+    assert v["b"] == "FLAG"
+
+
+def test_loaded_envelope_absorbs_reproduced_exceedance():
+    loaded = _env(a=(1.0, 1.3), b=(0.30, 1.1), c=(2.0, 2.4))
+    v = _verdicts({"a": 1.1, "b": 1.0, "c": 2.1}, loaded=loaded)
+    assert v["b"] == "hot-host (loaded range)"
+
+
+def test_micro_variance_is_the_last_resort():
+    micro = {"queries": {"b": {"min": 0.3, "med": 0.5, "max": 1.05}}}
+    v = _verdicts({"a": 1.1, "b": 1.0, "c": 2.1}, micro=micro)
+    assert v["b"] == "scheduler-tail"
+    # and beyond even the single-run max it still flags
+    v = _verdicts({"a": 1.1, "b": 1.2, "c": 2.1}, micro=micro)
+    assert v["b"] == "FLAG"
+
+
+def test_new_row_is_reported_not_judged():
+    v = _verdicts({"a": 1.1, "b": 0.33, "c": 2.1, "d": 9.9})
+    assert v["d"] == "new"
+
+
+def test_share_uses_common_subset_totals():
+    # bench carries a huge new row; shares must ignore it, so a
+    # uniformly hot run still adjudicates hot-host, not FLAG
+    v = _verdicts({"a": 1.56, "b": 0.468, "c": 2.86, "d": 50.0}, tol=0.001)
+    assert v["a"] == "hot-host (ratio inside)"
+    assert v["d"] == "new"
