@@ -117,9 +117,14 @@ def corpus_prep_stream(
         # the corpus is ALWAYS laid out hive-partitioned by fp_pfx
         # (the fingerprint's first two hex chars, 256 dirs): that
         # layout is what lets the cross-batch anti-join prune to the
-        # prefixes the batch actually carries.  Enforced here so a
-        # handle opened without the argument still writes the pruned
-        # layout.
+        # prefixes the batch actually carries.  The assignment goes
+        # through TxTable's validated setter: it inherits a
+        # log-persisted spec for resumed tables, raises on a
+        # cluster_by handle or a contradictory logged layout, and the
+        # spec is re-persisted with every commit -- a bare handle can
+        # no longer flatten the layout out from under the prune
+        # (read_partitions additionally degrades to a full correct
+        # scan if pre-upgrade unpartitioned live files are found).
         if not corpus.partition_by:
             corpus.partition_by = ["fp_pfx"]
         elif corpus.partition_by != ["fp_pfx"]:
@@ -139,17 +144,23 @@ def corpus_prep_stream(
             # files are never listed or opened (strict-file-subset
             # pytest in tests/test_corpus_stream.py).  The prefix
             # collect is bounded by the 256-value prefix alphabet,
-            # never the batch or the corpus.
-            pfxs = [
-                r["fp_pfx"]
-                for r in kept.select("fp_pfx").distinct().collect()
-            ]
-            fresh = kept.join(
-                corpus.read_partitions(spark, "fp_pfx", pfxs).select("fp"),
-                "fp",
-                "left_anti",
-            ).select("doc_id", "source", "fp", "ntok", "q_logit", "fp_pfx")
-            corpus.append(fresh, app_txn=(app_id, batch_id))
+            # never the batch or the corpus.  `kept` is persisted
+            # around collect+append so the gate/fingerprint/dedup
+            # transform runs ONCE per batch, not once per action.
+            kept = kept.persist()
+            try:
+                pfxs = [
+                    r["fp_pfx"]
+                    for r in kept.select("fp_pfx").distinct().collect()
+                ]
+                fresh = kept.join(
+                    corpus.read_partitions(spark, "fp_pfx", pfxs).select("fp"),
+                    "fp",
+                    "left_anti",
+                ).select("doc_id", "source", "fp", "ntok", "q_logit", "fp_pfx")
+                corpus.append(fresh, app_txn=(app_id, batch_id))
+            finally:
+                kept.unpersist()
         else:
             corpus.init(kept, app_txn=(app_id, batch_id))
 

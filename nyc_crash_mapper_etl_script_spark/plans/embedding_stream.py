@@ -91,8 +91,12 @@ def apply_semantic_batch(
     # layout is what makes the per-batch prune pool a partition-pruned
     # scan of only the cells the batch touched (the operator's own
     # 100 TB contract, similarity.py `semantic_dedup_incremental`).
-    # Enforced here so a handle opened without the argument still
-    # writes the pruned layout.
+    # The assignment goes through TxTable's validated setter: resumed
+    # tables inherit the log-persisted spec, cluster_by handles and
+    # contradictory logged layouts raise, and every commit re-persists
+    # the spec, so a bare handle's compact()/merge can't flatten the
+    # layout out from under read_partitions (which itself degrades to
+    # a full correct scan on pre-upgrade unpartitioned live files).
     if not index.partition_by:
         index.partition_by = ["cell_id"]
     elif index.partition_by != ["cell_id"]:
@@ -116,6 +120,10 @@ def apply_semantic_batch(
         # O(touched cells), not O(index), per micro-batch.  The
         # distinct-cell collect is bounded by n_cells (the quantizer
         # dimension, a stat), never the batch or the corpus.
+        # `assigned` is persisted around the collect + index append so
+        # the Arrow assignment UDF runs once per batch, not once per
+        # action.
+        assigned = assigned.persist()
         cells = [
             r["cell_id"]
             for r in assigned.select("cell_id").distinct().collect()
@@ -137,12 +145,15 @@ def apply_semantic_batch(
             impl=impl,
             max_cluster=max_cluster,
         )
-        li = index.last_txn_version(app_id)
-        if li is None or batch_id > li:
-            index.append(
-                assigned.select(id_col, vec_col, "cell_id"),
-                app_txn=(app_id, batch_id),
-            )
+        try:
+            li = index.last_txn_version(app_id)
+            if li is None or batch_id > li:
+                index.append(
+                    assigned.select(id_col, vec_col, "cell_id"),
+                    app_txn=(app_id, batch_id),
+                )
+        finally:
+            assigned.unpersist()
     else:
         kept_rows = semantic_dedup(
             ins,

@@ -53,7 +53,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import col as F_col, lit as F_lit
 
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"
@@ -61,6 +61,16 @@ _ARCHIVE_DIR = "_archive"
 
 #: sentinel distinguishing "conf never captured" from "conf was unset"
 _UNSET = object()
+
+
+class MixedPartitionLayoutError(RuntimeError):
+    """A partition-pruned read found live files WITHOUT the hive
+    ``col=`` path component: rows of unknown partition value that
+    path pruning would silently skip.  Raised by
+    :meth:`TxTable.partition_files`; :meth:`TxTable.read_partitions`
+    degrades to a full (correct, unpruned) scan instead, and
+    :meth:`TxTable.repartition_layout` rewrites the table into a
+    clean single layout."""
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -94,7 +104,17 @@ class TxTable:
         constraints: dict[str, str] | None = None,
     ) -> None:
         self.root = root.rstrip("/")
-        self.partition_by = list(partition_by or [])
+        #: hive partition layout.  Like ``cluster_by``, the spec is
+        #: PERSISTED in every commit entry and a handle opened without
+        #: the argument inherits it from the log (see the
+        #: ``partition_by`` property) -- so a bare ``TxTable(root)``
+        #: used by compact()/merge keeps rewriting the partitioned
+        #: layout instead of silently flattening it, which would make
+        #: those files invisible to :meth:`partition_files`.
+        self._partition_by = list(partition_by or [])
+        #: True once the constructor value has been reconciled against
+        #: the newest logged spec (lazy: the log may not exist yet).
+        self._partition_reconciled = False
         self.retain_history = retain_history
         #: CLUSTER-BY write hint: ``(bucket_cols, sort_cols, n_buckets)``.
         #: Every write lays data out hash-bucketed on ``bucket_cols``
@@ -109,7 +129,7 @@ class TxTable:
         #: amortized over every subsequent as-of query (the
         #: Delta/Iceberg OPTIMIZE cluster-by contract).  Mutually
         #: exclusive with ``partition_by``.
-        if cluster_by is not None and self.partition_by:
+        if cluster_by is not None and self._partition_by:
             raise ValueError("cluster_by and partition_by are mutually exclusive")
         self._cluster_by = (
             (list(cluster_by[0]), list(cluster_by[1]), int(cluster_by[2]))
@@ -151,6 +171,57 @@ class TxTable:
         return os.path.isdir(d) and any(
             f.endswith(".json") for f in os.listdir(d)
         )
+
+    @property
+    def partition_by(self) -> list[str]:
+        """The EFFECTIVE hive partition columns: the constructor's, or
+        (when the constructor gave none) the newest spec recorded in
+        the commit log -- the exact ``cluster_spec`` inheritance rule,
+        closing the hole where a bare ``TxTable(root)`` handle
+        rewrote a partitioned table flat and its files fell out of
+        :meth:`partition_files`' path pruning.  A constructor value
+        that CONTRADICTS a logged spec raises: silently honoring
+        either side would make reads and writes disagree about
+        layout."""
+        if not self._partition_reconciled:
+            logged = None
+            for e in reversed(self._entries()):
+                if "partition_by" in e:
+                    logged = list(e["partition_by"])
+                    break
+            if logged is not None:
+                if self._partition_by and self._partition_by != logged:
+                    raise ValueError(
+                        f"partition_by mismatch at {self.root}: handle "
+                        f"says {self._partition_by}, commit log says "
+                        f"{logged}"
+                    )
+                self._partition_by = logged
+                self._partition_reconciled = True
+            elif self.exists():
+                # log present but never recorded a spec (pre-upgrade
+                # table): the constructor value stands, and the next
+                # commit persists it.
+                self._partition_reconciled = True
+        return self._partition_by
+
+    @partition_by.setter
+    def partition_by(self, value) -> None:
+        value = list(value or [])
+        if value and self.cluster_spec() is not None:
+            raise ValueError(
+                "cluster_by and partition_by are mutually exclusive: "
+                f"{self.root} has a cluster spec {self.cluster_spec()}"
+            )
+        current = self.partition_by  # runs the log reconcile
+        if value and current and value != current:
+            raise ValueError(
+                f"partition_by mismatch at {self.root}: cannot set "
+                f"{value}, effective layout is {current} (rewrite the "
+                f"table to change its partitioning)"
+            )
+        self._partition_by = value or current
+        self._partition_reconciled = True
 
     def _entries(self) -> list[dict]:
         d = self._log_dir()
@@ -343,8 +414,25 @@ class TxTable:
         CONFLICTING_DIRECTORY_STRUCTURES), so the paths group by
         resolution base and union -- partition columns infer
         identically in each group because the archive mirrors the
-        hive layout."""
-        groups: dict[str, list[str]] = {}
+        hive layout.
+
+        MIXED layouts also split: on a partitioned table, a live file
+        WITHOUT the hive components (written flat by a pre-upgrade
+        bare handle) must read its partition columns from its own
+        DATA, not the path -- lumping it with the hive files makes
+        Spark's partition discovery silently drop it from the scan
+        (the r7-ADVICE invisibility bug, which hit read() itself, not
+        just partition_files).  Flat files therefore read as their
+        own basePath-free group and union in by name."""
+        pb = self.partition_by
+
+        def _hive_complete(rel: str) -> bool:
+            comps = rel.split(os.sep)[:-1]
+            return all(
+                any(p.startswith(c + "=") for p in comps) for c in pb
+            )
+
+        groups: dict[tuple[str, bool], list[str]] = {}
         for rel in rels:
             p = self._resolve(rel)
             base = (
@@ -352,10 +440,13 @@ class TxTable:
                 if p == os.path.join(self.root, rel)
                 else os.path.join(self.root, _ARCHIVE_DIR)
             )
-            groups.setdefault(base, []).append(p)
+            flat = bool(pb) and not _hive_complete(rel)
+            groups.setdefault((base, flat), []).append(p)
         out: DataFrame | None = None
-        for base, paths in sorted(groups.items()):
-            reader = spark.read.option("basePath", base)
+        for (base, flat), paths in sorted(groups.items()):
+            reader = spark.read
+            if not flat:
+                reader = reader.option("basePath", base)
             if schema is not None:
                 reader = reader.schema(schema)
             df = reader.parquet(*sorted(paths))
@@ -851,6 +942,7 @@ class TxTable:
         want = {None if v is None else str(v) for v in values}
         prefix = col + "="
         keep = []
+        unpartitioned = []
         for rel in self._live_files():
             for comp in rel.split(os.sep)[:-1]:
                 if comp.startswith(prefix):
@@ -859,6 +951,22 @@ class TxTable:
                     if val in want:
                         keep.append(rel)
                     break
+            else:
+                unpartitioned.append(rel)
+        if unpartitioned:
+            # a live file with no col= path component holds rows of
+            # UNKNOWN partition value (e.g. written by a pre-upgrade
+            # bare handle before the spec was log-persisted).
+            # Skipping it would silently drop rows from the claimed
+            # read().where(isin) equivalence -- refuse instead;
+            # read_partitions catches this and falls back to a full
+            # scan, and repartition_layout rewrites the table clean.
+            raise MixedPartitionLayoutError(
+                f"{len(unpartitioned)} live file(s) at {self.root} lack "
+                f"the {prefix} path component (e.g. "
+                f"{unpartitioned[0]!r}); partition pruning on {col!r} "
+                f"would silently miss their rows"
+            )
         return keep
 
     def read_partitions(self, spark: SparkSession, col: str, values) -> DataFrame:
@@ -870,9 +978,31 @@ class TxTable:
         NOT re-applied because hive partition dirs are exact, not
         min/max bounds.  An empty match returns a typed empty frame
         through the logged schema, like :meth:`read` on a
-        fully-deleted table."""
+        fully-deleted table.
+
+        Mixed layouts degrade, never lie: if any live file lacks the
+        ``col=`` component (:class:`MixedPartitionLayoutError`), the
+        claimed equivalence cannot be met by path pruning, so this
+        falls back to the FULL scan plus the exact predicate --
+        correct on every layout, merely unpruned -- and warns so the
+        operator knows :meth:`repartition_layout` is due."""
         self._recover()
-        files = self.partition_files(col, values)
+        try:
+            files = self.partition_files(col, values)
+        except MixedPartitionLayoutError as exc:
+            import warnings
+
+            warnings.warn(
+                f"read_partitions({col!r}) fell back to a full scan: "
+                f"{exc}",
+                stacklevel=2,
+            )
+            values = list(values)
+            vals = [v for v in values if v is not None]
+            cond = F_col(col).isin(vals) if vals else F_lit(False)
+            if any(v is None for v in values):
+                cond = cond | F_col(col).isNull()
+            return self.read(spark).where(cond)
         schema = self.logged_schema()
         if not files:
             if schema is None:
@@ -909,6 +1039,21 @@ class TxTable:
                 "sort_cols": spec[1],
                 "n_buckets": spec[2],
             }
+        if self.partition_by:
+            # persisted like cluster_by so bare handles inherit the
+            # layout; also assert the staged files actually carry the
+            # hive components, so a write path that ignored
+            # partitionBy can never publish layout-invisible files.
+            entry["partition_by"] = list(self.partition_by)
+            for rel in mapping:
+                comps = rel.split(os.sep)[:-1]
+                for c in self.partition_by:
+                    if not any(p.startswith(c + "=") for p in comps):
+                        raise ValueError(
+                            f"staged file {rel!r} lacks the {c}= hive "
+                            f"component required by partition_by="
+                            f"{self.partition_by}"
+                        )
         cons = self.constraint_spec()
         if cons:
             entry["constraints"] = cons
@@ -1135,12 +1280,32 @@ class TxTable:
         bare ``spark.read.parquet`` samples ONE footer, so sampling a
         narrow pre-evolution file would silently NULL evolved columns
         in a merge/delete rewrite and regress the logged table schema
-        with the commit."""
-        reader = spark.read.option("basePath", self.root)
+        with the commit.  Mixed layouts split flat-vs-hive like
+        :meth:`_read_resolved` (same silent-drop hazard)."""
         logged = self.logged_schema()
-        if logged is not None:
-            reader = reader.schema(logged)
-        return reader.parquet(*paths)
+        pb = self.partition_by
+        root = self.root + os.sep
+
+        def _hive_complete(p: str) -> bool:
+            comps = p[len(root):].split(os.sep)[:-1] if p.startswith(root) else []
+            return all(
+                any(c.startswith(col + "=") for c in comps) for col in pb
+            )
+
+        flat = [p for p in paths if pb and not _hive_complete(p)]
+        hive = [p for p in paths if p not in flat]
+        out: DataFrame | None = None
+        for group, with_base in ((hive, True), (flat, False)):
+            if not group:
+                continue
+            reader = spark.read
+            if with_base:
+                reader = reader.option("basePath", self.root)
+            if logged is not None:
+                reader = reader.schema(logged)
+            df = reader.parquet(*group)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def _merge_staged(self, source, key, spark, allow_missing: bool = False):
         current = self.read(spark)
@@ -1335,6 +1500,49 @@ class TxTable:
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
         return self._commit(mapping, removes, "compact", base_version=base_version)
+
+    def repartition_layout(
+        self, spark: SparkSession, partition_by: list[str]
+    ) -> int:
+        """Rewrite the whole table into a clean hive layout
+        partitioned by ``partition_by``, in ONE atomic commit, rows
+        and schema unchanged -- the sanctioned migration for tables
+        whose live files predate the log-persisted spec (the
+        :class:`MixedPartitionLayoutError` repair, and the only way
+        to CHANGE a logged layout: the ``partition_by`` setter
+        refuses contradictions precisely so layout changes go through
+        this audited full rewrite).  After the commit every live file
+        carries the ``col=`` components, :meth:`partition_files`
+        prunes again, and bare handles inherit the new spec from the
+        log.  O(table) by nature (every row moves directories) --
+        run it like compact(): once, off the hot path.  Optimistic
+        concurrency like merge/delete."""
+        partition_by = list(partition_by)
+        if not partition_by:
+            raise ValueError("partition_by must name at least one column")
+        if self.cluster_spec() is not None:
+            raise ValueError(
+                "cluster_by and partition_by are mutually exclusive: "
+                f"{self.root} has a cluster spec {self.cluster_spec()}"
+            )
+        self._recover()
+        base_version = self._snapshot_version()
+        prior = (self._partition_by, self._partition_reconciled)
+        try:
+            removes = list(self._live_files())
+            pinned = self.read(spark).localCheckpoint()
+            # bypass the setter: contradicting the logged spec is the
+            # point here, and the commit below re-logs the new one as
+            # the newest (inherited-by-all) entry.
+            self._partition_by = partition_by
+            self._partition_reconciled = True
+            _, mapping = self._stage(pinned)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._partition_by, self._partition_reconciled = prior
+            self._raise_if_concurrent(e, base_version)
+        return self._commit(
+            mapping, removes, "repartition", base_version=base_version
+        )
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Predicate DELETE (Delta's ``DELETE FROM t WHERE cond``):

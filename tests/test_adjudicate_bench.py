@@ -84,6 +84,26 @@ def test_new_row_is_reported_not_judged():
     assert v["d"] == "new"
 
 
+def test_sub_min_row_is_improved_not_hot_host():
+    # a row genuinely FASTER than the envelope min is an improvement:
+    # only the upper bound indicates regression, so it must adjudicate
+    # 'improved' directly, never enter the hot-host cascade
+    v = _verdicts({"a": 0.5, "b": 0.33, "c": 2.1})
+    assert v == {"a": "improved", "b": "ok", "c": "ok"}
+
+
+def test_improved_rows_excluded_from_share_denominator():
+    # 'a' improves 10x while b and c run uniformly +50% hot.  If the
+    # improved row stayed in the bench total it would shrink the
+    # denominator and push b/c's shares past their ratio bounds
+    # (spurious FLAG); excluded on BOTH sides, the uniform-hot rows
+    # still adjudicate hot-host.
+    v = _verdicts({"a": 0.1, "b": 0.45, "c": 3.0}, tol=0.001)
+    assert v["a"] == "improved"
+    assert v["b"] == "hot-host (ratio inside)"
+    assert v["c"] == "hot-host (ratio inside)"
+
+
 def test_share_uses_common_subset_totals():
     # bench carries a huge new row; shares must ignore it, so a
     # uniformly hot run still adjudicates hot-host, not FLAG

@@ -1075,3 +1075,116 @@ def test_read_partitions_edge_cases(spark, tmp_path):
     nulls = t.read_partitions(spark, "grp", [None])
     assert {r["k"] for r in nulls.collect()} == {2}
     assert {r["k"] for r in t.read_partitions(spark, "grp", ["a", None]).collect()} == {1, 2}
+
+
+# -- partition_by log persistence + mixed-layout hardening (r8) -------------
+
+
+def test_partition_by_persisted_and_inherited_by_bare_handle(spark, tmp_path):
+    """The layout spec rides in every commit entry (like cluster_by):
+    a bare TxTable(root) handle inherits it, so its compact() keeps
+    writing hive dirs instead of silently flattening the layout out
+    from under partition_files (r7 ADVICE high)."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.init(
+        spark.createDataFrame(
+            [(i, i % 3, f"r{i}") for i in range(30)],
+            "k long, grp int, v string",
+        )
+    )
+    bare = TxTable(str(tmp_path / "t"))
+    assert bare.partition_by == ["grp"]
+    bare.compact(spark, n_files=1)
+    assert all(
+        f"grp=" in f for f in bare._live_files()
+    ), bare._live_files()
+    # pruning still strict + correct after the bare-handle rewrite
+    pruned = set(bare.partition_files("grp", [1]))
+    assert pruned and pruned < set(bare._live_files())
+    got = {r["k"] for r in bare.read_partitions(spark, "grp", [1]).collect()}
+    assert got == {i for i in range(30) if i % 3 == 1}
+
+
+def test_partition_by_mismatch_and_setter_guards(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.init(spark.createDataFrame([(1, 2)], "k long, grp int"))
+    # constructor value contradicting the logged spec raises on use
+    wrong = TxTable(str(tmp_path / "t"), partition_by=["k"])
+    with pytest.raises(ValueError, match="partition_by mismatch"):
+        wrong.partition_by
+    # setter refuses to contradict the logged layout...
+    same = TxTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="partition_by mismatch"):
+        same.partition_by = ["k"]
+    # ...accepts the matching value, and refuses on a clustered table
+    same.partition_by = ["grp"]
+    assert same.partition_by == ["grp"]
+    cl = TxTable(
+        str(tmp_path / "c"), cluster_by=(["k"], ["k"], 2)
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cl.partition_by = ["grp"]
+
+
+def test_mixed_layout_raises_and_read_falls_back(spark, tmp_path):
+    """Live files WITHOUT the col= component (pre-upgrade layout) must
+    never be silently skipped: partition_files raises, read_partitions
+    degrades to a full correct scan with a warning (r7 ADVICE high)."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(12)], "k long, grp int, v string"
+    )
+    # written flat by a pre-upgrade handle...
+    flat = TxTable(str(tmp_path / "t"))
+    flat.init(df)
+    # ...then appended partitioned (the upgrade boundary): mixed layout
+    part = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    part.append(
+        spark.createDataFrame([(100, 1, "x")], "k long, grp int, v string")
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        MixedPartitionLayoutError,
+    )
+
+    with pytest.raises(MixedPartitionLayoutError, match="lack"):
+        part.partition_files("grp", [1])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r["k"] for r in part.read_partitions(spark, "grp", [1]).collect()
+        }
+    assert any("full scan" in str(x.message) for x in w)
+    want = {
+        r["k"]
+        for r in part.read(spark).where(F.col("grp") == 1).collect()
+    }
+    assert got == want and 100 in got and 1 in got
+
+
+def test_repartition_layout_migrates_mixed_to_clean(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(12)], "k long, grp int, v string"
+    )
+    flat = TxTable(str(tmp_path / "t"))
+    flat.init(df)
+    part = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    part.append(
+        spark.createDataFrame([(100, 1, "x")], "k long, grp int, v string")
+    )
+    def rows(df):
+        return {frozenset(r.asDict().items()) for r in df.collect()}
+
+    before = rows(part.read(spark))
+    part.repartition_layout(spark, ["grp"])
+    # clean layout: strict pruning works again, rows unchanged
+    pruned = set(part.partition_files("grp", [1]))
+    assert pruned and pruned < set(part._live_files())
+    assert rows(part.read(spark)) == before
+    # a fresh bare handle inherits the NEWEST logged spec
+    assert TxTable(str(tmp_path / "t")).partition_by == ["grp"]
+    # and the audited rewrite is the one path that may CHANGE layout
+    part2 = TxTable(str(tmp_path / "t"))
+    part2.repartition_layout(spark, ["v"])
+    assert TxTable(str(tmp_path / "t")).partition_by == ["v"]
+    assert rows(part2.read(spark)) == before

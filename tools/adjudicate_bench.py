@@ -67,12 +67,24 @@ def adjudicate(
     micro: dict | None = None,
 ) -> list[dict]:
     common = sorted(set(bench["queries"]) & set(env["queries"]))
-    bench_common_total = sum(bench["queries"][q] for q in common)
+    # rows faster than the envelope min are IMPROVEMENTS: only the
+    # upper bound indicates regression, so they adjudicate 'improved'
+    # directly (never the hot-host cascade) and are EXCLUDED from the
+    # share denominators on both sides -- a genuinely faster row
+    # shrinking the bench total must not inflate every other row's
+    # share past its ratio bound.
+    improved = {
+        q
+        for q in common
+        if bench["queries"][q] < env["queries"][q]["min"] * (1 - tol)
+    }
+    denom_rows = [q for q in common if q not in improved]
+    bench_common_total = sum(bench["queries"][q] for q in denom_rows)
     # per-run common-subset totals from the envelope's raw samples, so
     # the share denominators cover the SAME rows on both sides
     n_runs = env["runs"]
     run_totals = [
-        sum(env["queries"][q]["samples"][i] for q in common)
+        sum(env["queries"][q]["samples"][i] for q in denom_rows)
         for i in range(n_runs)
     ]
     out = []
@@ -84,8 +96,8 @@ def adjudicate(
         hi = e["max"] * (1 + tol)
         lo = e["min"] * (1 - tol)
         row = {"query": q, "sec": t, "env": [e["min"], e["med"], e["max"]]}
-        if lo <= t <= hi:
-            row["verdict"] = "ok"
+        if t <= hi:
+            row["verdict"] = "ok" if t >= lo else "improved"
             out.append(row)
             continue
         share = t / bench_common_total
