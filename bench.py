@@ -104,8 +104,15 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
     8-commit backlog paced to one commit per micro-batch, and the
     per-batch MARGINAL cost -- measured bootstrap-free by
     tools/ab_stream_steady.py as (t@16 commits - t@8)/8, committed
-    as BENCH_STREAM_STEADY.json -- is 0.649 s (0.274 s stateless),
-    2-5x under the bootstrap the one-shot row is dominated by.  The rollup projects its two
+    as BENCH_STREAM_STEADY.json -- is 0.78 s (0.28 s stateless),
+    2-5x under the bootstrap the one-shot row is dominated by.  Most
+    of that stateful-vs-stateless gap is state-store commit traffic,
+    O(state partitions) per micro-batch, so both drain rows right-size
+    the rollup's state to 8 partitions (<=12 groups live in it)
+    instead of inheriting the 32 batch-shuffle default (0.37 s/batch
+    in the A/B's rollup4 variant) -- streaming/sizing.py documents
+    the rule and the measured ~2x per-batch effect.  The rollup
+    projects its two
     columns at the source (the r6 `columns` option -- parquet I/O and
     Arrow transport skip the rest), which is how a real change-feed
     consumer should read."""
@@ -120,6 +127,9 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
         read_txtable_stream,
     )
     from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+    from nyc_crash_mapper_etl_script_spark.streaming.sizing import (
+        state_partitions,
+    )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
@@ -165,18 +175,26 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
             )
 
             def drain():
+                # the rollup holds <=12 groups (3 statuses x change
+                # types): state right-sized to 8 partitions instead of
+                # inheriting the 32 batch-shuffle default -- per-batch
+                # state-store commits are O(state partitions)
+                # (streaming/sizing.py has the sizing rule + numbers)
                 out = os.path.join(base, "feed")
-                q = (
-                    read_txtable_stream(spark, t.root, columns=["o_orderstatus"])
-                    .groupBy("o_orderstatus", CHANGE_COL)
-                    .agg(F.count("*").alias("rows"))
-                    .writeStream.format("noop")
-                    .outputMode("complete")
-                    .option("checkpointLocation", out + "_ck")
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination(300)
+                with state_partitions(spark, 8):
+                    q = (
+                        read_txtable_stream(
+                            spark, t.root, columns=["o_orderstatus"]
+                        )
+                        .groupBy("o_orderstatus", CHANGE_COL)
+                        .agg(F.count("*").alias("rows"))
+                        .writeStream.format("noop")
+                        .outputMode("complete")
+                        .option("checkpointLocation", out + "_ck")
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination(300)
                 shutil.rmtree(out + "_ck", ignore_errors=True)
 
             rec("tx_stream_drain", drain)
@@ -202,24 +220,29 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
                 feed.append(orders.where(F.col("o_orderkey") % 8 == i))
 
             def drain_steady():
+                # same 8-partition state right-sizing as drain();
+                # at one commit per micro-batch the per-partition
+                # state-store commit traffic dominates the marginal
+                # cost, so this row feels it 8x
                 out = os.path.join(base, "feed_steady")
-                q = (
-                    read_txtable_stream(
-                        spark,
-                        feed.root,
-                        max_versions_per_batch=1,
-                        columns=["o_orderstatus"],
+                with state_partitions(spark, 8):
+                    q = (
+                        read_txtable_stream(
+                            spark,
+                            feed.root,
+                            max_versions_per_batch=1,
+                            columns=["o_orderstatus"],
+                        )
+                        .groupBy("o_orderstatus", CHANGE_COL)
+                        .agg(F.count("*").alias("rows"))
+                        .writeStream.format("noop")
+                        .outputMode("complete")
+                        .option("checkpointLocation", out + "_ck")
+                        .start()
                     )
-                    .groupBy("o_orderstatus", CHANGE_COL)
-                    .agg(F.count("*").alias("rows"))
-                    .writeStream.format("noop")
-                    .outputMode("complete")
-                    .option("checkpointLocation", out + "_ck")
-                    .start()
-                )
-                q.processAllAvailable()
-                q.stop()
-                q.awaitTermination(300)
+                    q.processAllAvailable()
+                    q.stop()
+                    q.awaitTermination(300)
                 n = len(
                     [
                         c

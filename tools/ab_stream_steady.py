@@ -25,12 +25,14 @@ subtraction, both terms carry the identical one-time cost.  Variants:
               WAL + one-file Arrow read per batch).
 
 Writes BENCH_STREAM_STEADY.json.  Finding (2026-08, this box, sf0.1):
-per-batch marginal 0.649 s for the 32-partition stateful rollup,
-0.385 s with feed-sized state (4 partitions: the 0.26 s delta is
-pure state-store file churn), 0.274 s stateless -- 2-5x under the
-one-shot drain's ~1.5 s bootstrap and its ~2.5 s total, i.e. the
-floor genuinely amortizes; see ``tx_stream_drain_steady`` in
-bench.py for the driver-visible row.
+per-batch marginal 0.78 s for the 32-partition stateful rollup,
+0.37 s with feed-sized state (4 partitions: the delta is pure
+state-store file churn, one commit per partition per batch), 0.28 s
+stateless -- 2-5x under the one-shot drain's ~1.5 s bootstrap and
+its ~2.5 s total, i.e. the floor genuinely amortizes; see
+``tx_stream_drain_steady`` in bench.py for the driver-visible row
+(which applies the rollup4-style sizing via
+``streaming.sizing.state_partitions``).
 """
 
 from __future__ import annotations
@@ -64,11 +66,17 @@ def _feed(spark, orders, base: str, n_commits: int) -> TxTable:
 
 
 def _run(spark, feed: TxTable, base: str, variant: str, n_commits: int) -> float:
+    from contextlib import nullcontext
+
+    from nyc_crash_mapper_etl_script_spark.streaming.sizing import (
+        state_partitions,
+    )
+
     ck = tempfile.mkdtemp(prefix="ck_", dir=base)
-    prior = spark.conf.get("spark.sql.shuffle.partitions")
-    if variant == "rollup4":
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    sized = (
+        state_partitions(spark, 4) if variant == "rollup4" else nullcontext()
+    )
+    with sized:
         src = read_txtable_stream(
             spark, feed.root, max_versions_per_batch=1,
             columns=["o_orderstatus"],
@@ -88,8 +96,6 @@ def _run(spark, feed: TxTable, base: str, variant: str, n_commits: int) -> float
         q.stop()
         q.awaitTermination(300)
         dt = time.time() - t0
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
     commits = os.path.join(ck, "c", "commits")
     n = len([c for c in os.listdir(commits) if not c.startswith(".")])
     assert n == n_commits, f"{variant}/{n_commits}: ran {n} batches"
