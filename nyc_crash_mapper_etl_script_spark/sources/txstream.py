@@ -208,6 +208,21 @@ class TxTableStreamReader(DataSourceStreamReader):
         #: headline use of pacing).
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv is not None else None
+        #: byte-based pacing (Delta's maxBytesPerTrigger analog): cap
+        #: each micro-batch at commits totalling ~this many bytes of
+        #: changed files.  A SOFT cap -- the first pending commit is
+        #: always taken whole, however large, so progress never
+        #: stalls; subsequent commits join the batch only while the
+        #: running total stays under the cap.  Versions differ wildly
+        #: in size (a one-row upsert vs a full-partition rewrite), so
+        #: a version count alone cannot bound batch memory; at scale
+        #: this is the knob that keeps a catch-up consumer's batches
+        #: executor-sized.  Composes with maxVersionsPerBatch
+        #: (whichever cap binds first wins).  Costs O(changed files)
+        #: getsize calls per trigger, cached per immutable version.
+        mb = options.get("maxbytesperbatch")
+        self.max_bytes = int(mb) if mb is not None else None
+        self._version_bytes_cache: dict[int, int] = {}
         #: bucket-aware reads over cluster_by tables (default on):
         #: partitions() groups changed files by bucket id -- see there
         self.bucket_aware = (
@@ -245,8 +260,9 @@ class TxTableStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        current = self._table()._snapshot_version()
-        if self.max_versions is None:
+        t = self._table()
+        current = t._snapshot_version()
+        if self.max_versions is None and self.max_bytes is None:
             return {"version": current}
         # None here => fresh query (see the __init__ call-order
         # invariant: any restart seeds via partitions() first), so
@@ -257,8 +273,56 @@ class TxTableStreamReader(DataSourceStreamReader):
             if self._paced_from is not None
             else self.starting_version
         )
-        end = min(current, anchor + self.max_versions)
+        end = current
+        if self.max_versions is not None:
+            end = min(end, anchor + self.max_versions)
+        if self.max_bytes is not None and end > anchor:
+            end = self._cap_by_bytes(t, anchor, end)
         return {"version": max(end, anchor)}  # never step backwards
+
+    def _version_bytes(self, t: TxTable, entry: dict) -> int:
+        """Total bytes of a version's changed files (adds AND removes
+        -- both are read back as change rows), resolved live-or-archive
+        like the partitions; cached, versions are immutable."""
+        v = entry["version"]
+        cached = self._version_bytes_cache.get(v)
+        if cached is not None:
+            return cached
+        total = 0
+        for rel in list(entry.get("add", [])) + list(entry.get("remove", [])):
+            for cand in (
+                os.path.join(self.root, rel),
+                os.path.join(self.root, _ARCHIVE_DIR, rel),
+            ):
+                try:
+                    total += os.path.getsize(cand)
+                    break
+                except OSError:
+                    continue
+        self._version_bytes_cache[v] = total
+        return total
+
+    def _cap_by_bytes(self, t: TxTable, anchor: int, hi: int) -> int:
+        """Greatest end version in (anchor, hi] whose cumulative
+        changed-file bytes stay under max_bytes -- soft: the first
+        pending version is always included whole, so an oversized
+        commit forms its own batch instead of stalling the stream."""
+        took = anchor
+        cum = 0
+        for e in sorted(
+            (
+                e
+                for e in t._entries()
+                if anchor < e["version"] <= hi
+            ),
+            key=lambda e: e["version"],
+        ):
+            size = self._version_bytes(t, e)
+            if took > anchor and cum + size > self.max_bytes:
+                break
+            cum += size
+            took = e["version"]
+        return took
 
     def partitions(
         self, start: dict, end: dict
@@ -460,6 +524,7 @@ def read_txtable_stream(
     root: str,
     starting_version: int = 0,
     max_versions_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
     bucket_aware: bool = True,
     max_bytes_per_partition: int | None = None,
     columns: Sequence[str] | None = None,
@@ -472,7 +537,15 @@ def read_txtable_stream(
     ``max_versions_per_batch`` bounds each micro-batch to that many
     commits (backlog catch-up in right-sized pieces; pair with a
     processing-time trigger -- availableNow snapshots the capped
-    offset at start and would stop early).  Over a ``cluster_by``
+    offset at start and would stop early).
+    ``max_bytes_per_batch`` bounds each micro-batch by the SIZE of
+    its commits' changed files instead (Delta's maxBytesPerTrigger):
+    commit sizes vary by orders of magnitude (one-row upsert vs
+    full-partition rewrite), so this is the cap that keeps catch-up
+    batches executor-sized at scale.  Soft -- the first pending
+    commit always ships whole, so an oversized commit becomes its own
+    batch rather than a stall.  Composes with the version cap
+    (whichever binds first wins) and shares its trigger caveat.  Over a ``cluster_by``
     table, each micro-batch arrives as exactly n_buckets partitions
     with partition index == bucket id (``bucket_aware=False`` for the
     per-file layout), so per-bucket-key work needs no shuffle --
@@ -495,6 +568,8 @@ def read_txtable_stream(
     )
     if max_versions_per_batch is not None:
         reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
+    if max_bytes_per_batch is not None:
+        reader = reader.option("maxBytesPerBatch", str(max_bytes_per_batch))
     if max_bytes_per_partition is not None:
         reader = reader.option(
             "maxBytesPerPartition", str(max_bytes_per_partition)

@@ -321,6 +321,123 @@ def test_max_versions_per_batch_paces_the_backlog(spark, table, tmp_path):
     assert non_empty == [[1], [2], [3], [4]]
 
 
+def _version_sizes(t):
+    """Per-version changed-file bytes, resolved like the reader."""
+    sizes = {}
+    for e in t._entries():
+        total = 0
+        for rel in list(e.get("add", [])) + list(e.get("remove", [])):
+            for cand in (
+                os.path.join(t.root, rel),
+                os.path.join(t.root, "_archive", rel),
+            ):
+                if os.path.exists(cand):
+                    total += os.path.getsize(cand)
+                    break
+        sizes[e["version"]] = total
+    return sizes
+
+
+def _simulate_byte_pacing(sizes, cap):
+    """Reference pacing: greedily group versions in order, first
+    version of each batch always taken whole (soft cap)."""
+    batches, cur, cum = [], [], 0
+    for v in sorted(sizes):
+        if cur and cum + sizes[v] > cap:
+            batches.append(cur)
+            cur, cum = [], 0
+        cur.append(v)
+        cum += sizes[v]
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def test_max_bytes_per_batch_paces_by_commit_size(spark, table, tmp_path):
+    """maxBytesPerBatch groups the backlog by changed-file SIZE, not
+    commit count: small commits coalesce, a commit that would blow the
+    cap starts the next batch, an oversized commit still ships whole
+    (soft cap), and the union of batches is the full feed."""
+    # v2: one big commit (120 rows); v3-v5: tiny single-row commits
+    table.append(
+        _rows(spark, [(100 + i, f"x{i}", "2024-06") for i in range(120)])
+    )
+    table.append(_rows(spark, [(4, "d", "2024-06")]))
+    table.append(_rows(spark, [(5, "e", "2024-06")]))
+    table.append(_rows(spark, [(6, "f", "2024-07")]))
+
+    sizes = _version_sizes(table)
+    # cap sized to take the init commit alone, the big commit alone,
+    # and coalesce the three tiny ones -- derived from real sizes so
+    # the expectation is exact, not guessed
+    cap = sizes[3] + sizes[4] + sizes[5]
+    assert sizes[2] > cap, "fixture: big commit must exceed the cap"
+    expect = _simulate_byte_pacing(sizes, cap)
+
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(
+            sorted({r["_commit_version"] for r in batch_df.collect()})
+        )
+
+    q = (
+        read_txtable_stream(spark, table.root, max_bytes_per_batch=cap)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [b for b in batches if b]
+    assert got == expect, f"sizes={sizes} cap={cap}"
+    # soft cap: the oversized v2 shipped alone, nothing stalled
+    assert [2] in got
+    assert sorted(v for b in got for v in b) == sorted(sizes)
+
+
+def test_byte_and_version_caps_compose(spark, table, tmp_path):
+    """Both caps engaged: whichever binds first wins -- with a byte
+    cap generous enough for the whole backlog but versions capped at
+    1, pacing is one commit per batch; with versions uncapped the
+    byte cap coalesces them."""
+    table.append(_rows(spark, [(4, "d", "2024-06")]))
+    table.append(_rows(spark, [(5, "e", "2024-06")]))
+
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(
+            sorted({r["_commit_version"] for r in batch_df.collect()})
+        )
+
+    q = (
+        read_txtable_stream(
+            spark,
+            table.root,
+            max_versions_per_batch=1,
+            max_bytes_per_batch=1 << 30,
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert [b for b in batches if b] == [[1], [2], [3]]
+
+    batches.clear()
+    q = (
+        read_txtable_stream(spark, table.root, max_bytes_per_batch=1 << 30)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert [b for b in batches if b] == [[1, 2, 3]]
+
+
 def test_restart_with_max_versions_never_regresses_offset(
     spark, table, tmp_path
 ):

@@ -139,6 +139,11 @@ def main() -> None:
         i = args.index("--tol")
         tol = float(args[i + 1])
         del args[i : i + 2]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     bench_path = args[0] if args else os.path.join(REPO, "BENCH_r07.json")
     with open(bench_path) as f:
         bench = json.load(f)
@@ -172,14 +177,28 @@ def main() -> None:
                 f" {round(max(env['totals']), 3)} -> globally hot;"
                 f" loaded totals reach {round(max(loaded['totals']), 3)})"
             )
-    print(
+    summary = (
         f"{len(rows)} rows: "
         f"{sum(r['verdict'] == 'ok' for r in rows)} ok, "
+        f"{sum(r['verdict'] == 'improved' for r in rows)} improved, "
         f"{sum(r['verdict'].startswith('hot-host') for r in rows)} hot-host, "
         f"{sum(r['verdict'] == 'scheduler-tail' for r in rows)} scheduler-tail, "
         f"{sum(r['verdict'] == 'new' for r in rows)} new, "
         f"{n_flag} FLAG{tot_note}"
     )
+    print(summary)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "bench": os.path.basename(bench_path),
+                    "tol": tol,
+                    "summary": summary,
+                    "rows": rows,
+                },
+                f,
+                indent=1,
+            )
     sys.exit(1 if n_flag else 0)
 
 
