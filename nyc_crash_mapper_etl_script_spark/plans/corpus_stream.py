@@ -95,6 +95,7 @@ def corpus_prep_stream(
     starting_version: int = 0,
     trigger_available_now: bool = True,
     max_versions_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
 ) -> StreamingQuery:
     """Open the chained stream: ``source``'s commit log -> scored
     ``corpus`` table.  Restart-safe from ``checkpoint_dir``; the
@@ -102,7 +103,10 @@ def corpus_prep_stream(
     side restarts independently, like the chained nightly).  Document
     deletes in the feed are ignored by design: a training corpus is
     append-only, and retracting a doc post-hoc is a batch rebuild,
-    not a streaming concern."""
+    not a streaming concern.  ``max_versions_per_batch`` /
+    ``max_bytes_per_batch`` right-size catch-up micro-batches by
+    commit count / changed-file bytes (see ``read_txtable_stream``;
+    bytes is the executor-memory cap when commit sizes vary)."""
     from nyc_crash_mapper_etl_script_spark.sources.txstream import (
         CHANGE_COL,
         read_txtable_stream,
@@ -170,6 +174,7 @@ def corpus_prep_stream(
             source.root,
             starting_version,
             max_versions_per_batch=max_versions_per_batch,
+            max_bytes_per_batch=max_bytes_per_batch,
             # project at the source: the prep pipeline reads exactly
             # these three; lang/n_chars/etc. never ship through Arrow
             columns=["doc_id", "text", "source"],

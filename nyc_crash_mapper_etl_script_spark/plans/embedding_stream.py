@@ -312,12 +312,15 @@ def semantic_dedup_stream(
     starting_version: int = 0,
     trigger_available_now: bool = True,
     max_versions_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
 ) -> StreamingQuery:
     """Open the chained stream: ``source``'s commit log ->
     quantizer/index/kept state tables.  Restart-safe from
     ``checkpoint_dir``; vector deletes in the feed are ignored by
     design (an embedding corpus is append-only in the ingest path --
-    retracting vectors is a batch rebuild)."""
+    retracting vectors is a batch rebuild).  ``max_versions_per_batch``
+    / ``max_bytes_per_batch`` right-size catch-up micro-batches by
+    commit count / changed-file bytes (see ``read_txtable_stream``)."""
     from nyc_crash_mapper_etl_script_spark.sources.txstream import (
         CHANGE_COL,
         read_txtable_stream,
@@ -350,6 +353,7 @@ def semantic_dedup_stream(
             source.root,
             starting_version,
             max_versions_per_batch=max_versions_per_batch,
+            max_bytes_per_batch=max_bytes_per_batch,
             columns=[id_col, vec_col],
         )
         .writeStream.foreachBatch(sink)
