@@ -124,28 +124,28 @@ def apply_semantic_batch(
         # the Arrow assignment UDF runs once per batch, not once per
         # action.
         assigned = assigned.persist()
-        cells = [
-            r["cell_id"]
-            for r in assigned.select("cell_id").distinct().collect()
-        ]
-        # exclude this batch's own ids from the pool: after a crash
-        # BETWEEN the index append and the kept append, the replayed
-        # batch is already in the index and would otherwise occupy
-        # cap slots twice
-        pool = index.read_partitions(spark, "cell_id", cells).join(
-            ins.select(id_col), id_col, "left_anti"
-        )
-        kept_rows = semantic_dedup_incremental(
-            ins,
-            pool,
-            cents,
-            threshold=threshold,
-            id_col=id_col,
-            vec_col=vec_col,
-            impl=impl,
-            max_cluster=max_cluster,
-        )
         try:
+            cells = [
+                r["cell_id"]
+                for r in assigned.select("cell_id").distinct().collect()
+            ]
+            # exclude this batch's own ids from the pool: after a
+            # crash BETWEEN the index append and the kept append, the
+            # replayed batch is already in the index and would
+            # otherwise occupy cap slots twice
+            pool = index.read_partitions(spark, "cell_id", cells).join(
+                ins.select(id_col), id_col, "left_anti"
+            )
+            kept_rows = semantic_dedup_incremental(
+                ins,
+                pool,
+                cents,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                impl=impl,
+                max_cluster=max_cluster,
+            )
             li = index.last_txn_version(app_id)
             if li is None or batch_id > li:
                 index.append(
@@ -153,6 +153,9 @@ def apply_semantic_batch(
                     app_txn=(app_id, batch_id),
                 )
         finally:
+            # the try owns the unpersist from the moment the cache
+            # exists: a failure in the collect or the prune must not
+            # leak cached vector blocks across foreachBatch retries
             assigned.unpersist()
     else:
         kept_rows = semantic_dedup(

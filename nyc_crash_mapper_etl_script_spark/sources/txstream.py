@@ -261,9 +261,16 @@ class TxTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         t = self._table()
-        current = t._snapshot_version()
-        if self.max_versions is None and self.max_bytes is None:
-            return {"version": current}
+        if self.max_bytes is None:
+            current = t._snapshot_version()
+            if self.max_versions is None:
+                return {"version": current}
+        else:
+            # byte pacing needs the entries anyway -- parse the log
+            # ONCE per trigger, not once for the head and again for
+            # the size walk
+            entries = t._entries()
+            current = entries[-1]["version"] if entries else 0
         # None here => fresh query (see the __init__ call-order
         # invariant: any restart seeds via partitions() first), so
         # starting_version is the true position and capping the first
@@ -277,10 +284,10 @@ class TxTableStreamReader(DataSourceStreamReader):
         if self.max_versions is not None:
             end = min(end, anchor + self.max_versions)
         if self.max_bytes is not None and end > anchor:
-            end = self._cap_by_bytes(t, anchor, end)
+            end = self._cap_by_bytes(entries, anchor, end)
         return {"version": max(end, anchor)}  # never step backwards
 
-    def _version_bytes(self, t: TxTable, entry: dict) -> int:
+    def _version_bytes(self, entry: dict) -> int:
         """Total bytes of a version's changed files (adds AND removes
         -- both are read back as change rows), resolved live-or-archive
         like the partitions; cached, versions are immutable."""
@@ -302,7 +309,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         self._version_bytes_cache[v] = total
         return total
 
-    def _cap_by_bytes(self, t: TxTable, anchor: int, hi: int) -> int:
+    def _cap_by_bytes(self, entries: list[dict], anchor: int, hi: int) -> int:
         """Greatest end version in (anchor, hi] whose cumulative
         changed-file bytes stay under max_bytes -- soft: the first
         pending version is always included whole, so an oversized
@@ -310,14 +317,10 @@ class TxTableStreamReader(DataSourceStreamReader):
         took = anchor
         cum = 0
         for e in sorted(
-            (
-                e
-                for e in t._entries()
-                if anchor < e["version"] <= hi
-            ),
+            (e for e in entries if anchor < e["version"] <= hi),
             key=lambda e: e["version"],
         ):
-            size = self._version_bytes(t, e)
+            size = self._version_bytes(e)
             if took > anchor and cum + size > self.max_bytes:
                 break
             cum += size

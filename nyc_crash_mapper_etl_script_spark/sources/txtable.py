@@ -63,6 +63,18 @@ _ARCHIVE_DIR = "_archive"
 _UNSET = object()
 
 
+def _path_partition_cols(rel: str) -> frozenset[str]:
+    """Column names hive-encoded as ``col=`` directory components of a
+    relative file path.  THE layout classifier: reads group by this
+    set so each group's partition values are taken from wherever they
+    actually live (path for that group's encoded columns, file data
+    for the rest), and partition-scoped rewrites treat any live file
+    not carrying the full current spec as potentially-touched."""
+    return frozenset(
+        c.split("=", 1)[0] for c in rel.split(os.sep)[:-1] if "=" in c
+    )
+
+
 class MixedPartitionLayoutError(RuntimeError):
     """A partition-pruned read found live files WITHOUT the hive
     ``col=`` path component: rows of unknown partition value that
@@ -416,23 +428,19 @@ class TxTable:
         identically in each group because the archive mirrors the
         hive layout.
 
-        MIXED layouts also split: on a partitioned table, a live file
-        WITHOUT the hive components (written flat by a pre-upgrade
-        bare handle) must read its partition columns from its own
-        DATA, not the path -- lumping it with the hive files makes
-        Spark's partition discovery silently drop it from the scan
-        (the r7-ADVICE invisibility bug, which hit read() itself, not
-        just partition_files).  Flat files therefore read as their
-        own basePath-free group and union in by name."""
-        pb = self.partition_by
-
-        def _hive_complete(rel: str) -> bool:
-            comps = rel.split(os.sep)[:-1]
-            return all(
-                any(p.startswith(c + "=") for p in comps) for c in pb
-            )
-
-        groups: dict[tuple[str, bool], list[str]] = {}
+        MIXED layouts also split -- by the exact SET of ``col=``
+        components each path carries, NOT by the current spec.  Each
+        group's partition values then come from wherever they actually
+        are: current-spec files take them from the path; files of an
+        OLD spec archived by :meth:`repartition_layout` take the old
+        column from their path and the new one from their data (a
+        time-travel or CDC read legitimately spans the layout change);
+        flat pre-upgrade files (empty set) take everything from data.
+        Classifying against the current spec instead would silently
+        drop flat files from the scan (the r7-ADVICE invisibility
+        bug) or NULL-fill the old partition column of archived
+        old-layout snapshots."""
+        groups: dict[tuple[str, tuple[str, ...]], list[str]] = {}
         for rel in rels:
             p = self._resolve(rel)
             base = (
@@ -440,17 +448,25 @@ class TxTable:
                 if p == os.path.join(self.root, rel)
                 else os.path.join(self.root, _ARCHIVE_DIR)
             )
-            flat = bool(pb) and not _hive_complete(rel)
-            groups.setdefault((base, flat), []).append(p)
+            colset = tuple(sorted(_path_partition_cols(rel)))
+            groups.setdefault((base, colset), []).append(p)
         out: DataFrame | None = None
-        for (base, flat), paths in sorted(groups.items()):
+        for (base, colset), paths in sorted(groups.items()):
             reader = spark.read
-            if not flat:
+            if colset:
                 reader = reader.option("basePath", base)
             if schema is not None:
                 reader = reader.schema(schema)
             df = reader.parquet(*sorted(paths))
             out = df if out is None else out.unionByName(df)
+        if schema is not None:
+            # Spark appends path-inferred partition columns at the END
+            # regardless of the given schema, and WHICH columns those
+            # are varies by group -- pin the logged order so two reads
+            # over different layouts (changes()'s exceptAll diff sides,
+            # as-of reads across repartition_layout) line up
+            # positionally, not just by name
+            out = out.select(*[f.name for f in schema.fields])
         return out
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -1280,32 +1296,31 @@ class TxTable:
         bare ``spark.read.parquet`` samples ONE footer, so sampling a
         narrow pre-evolution file would silently NULL evolved columns
         in a merge/delete rewrite and regress the logged table schema
-        with the commit.  Mixed layouts split flat-vs-hive like
-        :meth:`_read_resolved` (same silent-drop hazard)."""
-        logged = self.logged_schema()
-        pb = self.partition_by
+        with the commit.  Layout handling (flat / old-spec / current
+        hive files) delegates to :meth:`_read_resolved` -- ONE copy of
+        the silent-drop-hazard classification."""
         root = self.root + os.sep
+        rels = [p[len(root):] if p.startswith(root) else p for p in paths]
+        return self._read_resolved(spark, rels, self.logged_schema())
 
-        def _hive_complete(p: str) -> bool:
-            comps = p[len(root):].split(os.sep)[:-1] if p.startswith(root) else []
-            return all(
-                any(c.startswith(col + "=") for c in comps) for col in pb
-            )
-
-        flat = [p for p in paths if pb and not _hive_complete(p)]
-        hive = [p for p in paths if p not in flat]
-        out: DataFrame | None = None
-        for group, with_base in ((hive, True), (flat, False)):
-            if not group:
-                continue
-            reader = spark.read
-            if with_base:
-                reader = reader.option("basePath", self.root)
-            if logged is not None:
-                reader = reader.schema(logged)
-            df = reader.parquet(*group)
-            out = df if out is None else out.unionByName(df)
-        return out
+    def _scoped_removes(self, touched_rels) -> list[str]:
+        """The rewrite set of a partition-scoped RMW: live files under
+        the touched partition directories, PLUS every live file whose
+        path does not carry the FULL current layout.  A flat or
+        old-layout file holds rows of unknown partition value -- the
+        scoped rewrite cannot prove it untouched, so it folds into the
+        rewrite (degrade-don't-lie, the rewrite-side counterpart of
+        :meth:`read_partitions`' full-scan fallback; as a side effect
+        the rewrite migrates such files into the clean layout).
+        Without this, a merge/delete on a mixed-layout table would
+        silently keep doomed/stale rows living in flat files."""
+        pb = set(self.partition_by)
+        prefixes = tuple(t + os.sep for t in sorted(touched_rels))
+        return [
+            f
+            for f in self._live_files()
+            if f.startswith(prefixes) or not pb <= _path_partition_cols(f)
+        ]
 
     def _merge_staged(self, source, key, spark, allow_missing: bool = False):
         current = self.read(spark)
@@ -1330,9 +1345,7 @@ class TxTable:
                 .distinct()
                 .collect()
             }
-            touched = sorted(touched)
-            prefixes = tuple(t + os.sep for t in touched)
-            removes = [f for f in self._live_files() if f.startswith(prefixes)]
+            removes = self._scoped_removes(touched)
             base_files = [os.path.join(self.root, f) for f in removes]
             base = (
                 self._read_files(spark, base_files)
@@ -1388,10 +1401,7 @@ class TxTable:
                 }
                 if not touched:
                     return self._snapshot_version()
-                prefixes = tuple(t + os.sep for t in sorted(touched))
-                removes = [
-                    f for f in self._live_files() if f.startswith(prefixes)
-                ]
+                removes = self._scoped_removes(touched)
                 base = self._read_files(
                     spark, [os.path.join(self.root, f) for f in removes]
                 )
@@ -1540,9 +1550,18 @@ class TxTable:
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._partition_by, self._partition_reconciled = prior
             self._raise_if_concurrent(e, base_version)
-        return self._commit(
-            mapping, removes, "repartition", base_version=base_version
-        )
+        try:
+            return self._commit(
+                mapping, removes, "repartition", base_version=base_version
+            )
+        except Exception:
+            # a lost commit race must not leave this handle believing
+            # the NEW spec while the log still says the old one -- a
+            # caller that catches and falls back to append() would
+            # persist the contradictory layout without the audited
+            # rewrite
+            self._partition_by, self._partition_reconciled = prior
+            raise
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Predicate DELETE (Delta's ``DELETE FROM t WHERE cond``):
@@ -1565,10 +1584,7 @@ class TxTable:
                 ]
                 if not touched:
                     return self._snapshot_version()
-                prefixes = tuple(t + os.sep for t in sorted(touched))
-                removes = [
-                    f for f in self._live_files() if f.startswith(prefixes)
-                ]
+                removes = self._scoped_removes(touched)
                 base = self._read_files(
                     spark, [os.path.join(self.root, f) for f in removes]
                 )
@@ -1606,8 +1622,7 @@ class TxTable:
                 ]
                 if not touched:
                     return self._entries()[-1]["version"]
-                prefixes = tuple(t + os.sep for t in touched)
-                removes = [f for f in self._live_files() if f.startswith(prefixes)]
+                removes = self._scoped_removes(touched)
                 base = self._read_files(
                     spark, [os.path.join(self.root, f) for f in removes]
                 )

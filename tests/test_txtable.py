@@ -1162,6 +1162,115 @@ def test_mixed_layout_raises_and_read_falls_back(spark, tmp_path):
     assert got == want and 100 in got and 1 in got
 
 
+def test_partition_scoped_rmw_covers_flat_files(spark, tmp_path):
+    """merge/merge_update/delete/delete_where scope their rewrite by
+    hive prefix; a flat live file (pre-upgrade layout) matches no
+    prefix, so without the layout fallback its doomed/stale rows
+    silently survive.  _scoped_removes folds every
+    not-fully-hive-complete live file into the rewrite -- results
+    equal the unpartitioned table's, and the rewrite migrates the
+    flat file into the clean layout as a side effect."""
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)],
+        "k long, grp int, score double",
+    )
+    flat = TxTable(str(tmp_path / "t"))
+    flat.init(df)  # no spec logged: files written flat
+    part = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    part.append(
+        spark.createDataFrame([(100, 1, 1.0)], "k long, grp int, score double")
+    )
+
+    # delete_where must kill grp==1 rows INSIDE the flat file too
+    part.delete_where(spark, F.col("grp") == 1)
+    got = {r["k"] for r in part.read(spark).collect()}
+    assert got == {i for i in range(12) if i % 3 != 1}
+    # the rewrite migrated every surviving row into hive dirs
+    assert all("grp=" in f for f in part._live_files()), part._live_files()
+
+    # rebuild the mixed state and exercise merge_update + merge
+    flat2 = TxTable(str(tmp_path / "u"))
+    flat2.init(df)
+    part2 = TxTable(str(tmp_path / "u"), partition_by=["grp"])
+    part2.merge_update(
+        spark.createDataFrame([(4, 99.0)], "k long, score double"),
+        "k",
+        set_cols=["score"],
+    )
+    rows = {r["k"]: r["score"] for r in part2.read(spark).collect()}
+    assert rows[4] == 99.0  # row 4 lived in the flat file
+    # upsert of an existing flat-file key must not duplicate it
+    part2.merge(
+        spark.createDataFrame(
+            [(5, 2, 55.0)], "k long, grp int, score double"
+        ),
+        "k",
+    )
+    ks = [r["k"] for r in part2.read(spark).collect()]
+    assert ks.count(5) == 1
+    assert {
+        r["score"] for r in part2.read(spark).where(F.col("k") == 5).collect()
+    } == {55.0}
+    # delete-by-key reaching into a flat file
+    flat3 = TxTable(str(tmp_path / "v"))
+    flat3.init(df)
+    part3 = TxTable(str(tmp_path / "v"), partition_by=["grp"])
+    part3.delete(spark.createDataFrame([(7,)], "k long"), "k")
+    assert 7 not in {r["k"] for r in part3.read(spark).collect()}
+    assert len({r["k"] for r in part3.read(spark).collect()}) == 11
+
+
+def test_time_travel_and_changes_across_repartition_layout(spark, tmp_path):
+    """Archived old-layout files carry the OLD partition column in
+    their PATH and the new one in their data: a time-travel read or a
+    CDC diff spanning repartition_layout must recover both, not
+    NULL-fill the old column (files group by the col= set their path
+    actually carries, not the current spec)."""
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i % 2}") for i in range(12)],
+        "k long, grp int, v string",
+    )
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"], retain_history=True)
+    t.init(df)
+    t.repartition_layout(spark, ["v"])
+
+    def rows(frame):
+        return {(r["k"], r["grp"], r["v"]) for r in frame.collect()}
+
+    want = rows(spark.createDataFrame(df.collect(), df.schema))
+    # as-of the pre-repartition version: grp comes from the ARCHIVED
+    # path, v from the archived file's data
+    assert rows(t.read(spark, version=1)) == want
+    assert rows(t.read(spark)) == want
+    # CDC across the layout change: the rewrite is a no-op row-wise
+    ch = t.changes(spark, 1, 2)
+    assert {r["_change_type"] for r in ch.collect()} <= {"insert", "delete"}
+    ins = rows(ch.where(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version"))
+    del_ = rows(ch.where(F.col("_change_type") == "delete").drop(
+        "_change_type", "_commit_version"))
+    assert ins == del_  # pure rewrite: signed feed cancels exactly
+
+
+def test_repartition_layout_restores_spec_on_commit_failure(
+    spark, tmp_path, monkeypatch
+):
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.init(spark.createDataFrame([(1, 2, "x")], "k long, grp int, v string"))
+
+    def boom(*a, **kw):
+        raise ConcurrentWriteError("simulated lost race")
+
+    monkeypatch.setattr(t, "_commit", boom)
+    with pytest.raises(ConcurrentWriteError):
+        t.repartition_layout(spark, ["v"])
+    monkeypatch.undo()
+    # the handle must still carry the OLD (logged) spec, not the new
+    assert t.partition_by == ["grp"]
+    t.append(spark.createDataFrame([(2, 3, "y")], "k long, grp int, v string"))
+    assert all("grp=" in f for f in t._live_files())
+
+
 def test_repartition_layout_migrates_mixed_to_clean(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, i % 3, f"r{i}") for i in range(12)], "k long, grp int, v string"

@@ -132,18 +132,23 @@ def adjudicate(
     return out
 
 
+def _take_flag(args: list, name: str):
+    """Pop ``name <value>`` from args; usage error if value missing."""
+    if name not in args:
+        return None
+    i = args.index(name)
+    if i + 1 >= len(args):
+        sys.exit(f"usage: {name} <value>")
+    value = args[i + 1]
+    del args[i : i + 2]
+    return value
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    tol = 0.05
-    if "--tol" in args:
-        i = args.index("--tol")
-        tol = float(args[i + 1])
-        del args[i : i + 2]
-    json_out = None
-    if "--json" in args:
-        i = args.index("--json")
-        json_out = args[i + 1]
-        del args[i : i + 2]
+    t = _take_flag(args, "--tol")
+    tol = float(t) if t is not None else 0.05
+    json_out = _take_flag(args, "--json")
     bench_path = args[0] if args else os.path.join(REPO, "BENCH_r07.json")
     with open(bench_path) as f:
         bench = json.load(f)
