@@ -149,13 +149,19 @@ def main() -> None:
     t = _take_flag(args, "--tol")
     tol = float(t) if t is not None else 0.05
     json_out = _take_flag(args, "--json")
+    # --env pins the comparison to a specific (e.g. round-preserved)
+    # envelope so a committed adjudication stays reproducible after
+    # BENCH_ENVELOPE.json is refreshed for newer code
+    env_path = _take_flag(args, "--env") or os.path.join(
+        REPO, "BENCH_ENVELOPE.json"
+    )
     bench_path = args[0] if args else os.path.join(REPO, "BENCH_r07.json")
     with open(bench_path) as f:
         bench = json.load(f)
     # the driver wraps bench.py's JSON line under "parsed"
     if "parsed" in bench and "value" not in bench:
         bench = bench["parsed"]
-    with open(os.path.join(REPO, "BENCH_ENVELOPE.json")) as f:
+    with open(env_path) as f:
         env = json.load(f)
     loaded = None
     lp = os.path.join(REPO, "BENCH_ENVELOPE_LOADED.json")
@@ -197,6 +203,7 @@ def main() -> None:
             json.dump(
                 {
                     "bench": os.path.basename(bench_path),
+                    "envelope": os.path.basename(env_path),
                     "tol": tol,
                     "summary": summary,
                     "rows": rows,
