@@ -107,3 +107,37 @@ def test_rejects_nonpositive(spark):
     with pytest.raises(ValueError, match=">= 1"):
         with state_partitions(spark, 0):
             pass
+
+
+def test_sizing_applies_to_apply_in_pandas_with_state(spark, feed, tmp_path):
+    """The sizing rule is an execution property of EVERY stateful
+    operator, not just streaming aggregation: a custom
+    applyInPandasWithState operator (the stateful CDC classifier)
+    pins the same per-partition state layout."""
+    from nyc_crash_mapper_etl_script_spark.streaming.stateful import (
+        stateful_cdc_classify,
+    )
+
+    ckpt = str(tmp_path / "ck_cdc")
+    rows = []
+
+    def sink(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    with state_partitions(spark, 4):
+        src = read_txtable_stream(spark, feed.root).where(
+            F.col(CHANGE_COL) == "insert"
+        )
+        q = (
+            stateful_cdc_classify(src, "k", ["status"])
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(300)
+    assert _state_partition_dirs(ckpt) == ["0", "1", "2", "3"]
+    # one classification per key, each an insert on first sight
+    assert {r["cdc_class"] for r in rows} == {"insert"}
+    assert len({r["key"] for r in rows}) == 60

@@ -438,6 +438,45 @@ def test_byte_and_version_caps_compose(spark, table, tmp_path):
     assert [b for b in batches if b] == [[1, 2, 3]]
 
 
+def test_byte_pacing_survives_restart(spark, table, tmp_path):
+    """Byte pacing shares the restart-safe anchor with version pacing:
+    after a stop/resume with backlog built while down, delivery never
+    regresses or duplicates and the byte cap stays engaged (one tiny
+    commit per batch at a min cap)."""
+    ckpt = str(tmp_path / "ckpt")
+    table.append(_rows(spark, [(4, "d", "2024-06")]))  # v2
+    table.append(_rows(spark, [(5, "e", "2024-06")]))  # v3
+
+    batches: list[list[int]] = []
+
+    def sink(batch_df, batch_id):
+        batches.append(
+            sorted({r["_commit_version"] for r in batch_df.collect()})
+        )
+
+    def run():
+        q = (
+            read_txtable_stream(spark, table.root, max_bytes_per_batch=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(300)
+
+    run()
+    assert [b for b in batches if b] == [[1], [2], [3]]
+    table.append(_rows(spark, [(6, "f", "2024-07")]))  # v4
+    table.append(_rows(spark, [(7, "g", "2024-07")]))  # v5
+    batches.clear()
+    run()
+    got = [b for b in batches if b]
+    delivered = [v for b in got for v in b]
+    assert delivered == [4, 5], f"lost/duplicated/regressed: {got}"
+    assert got == [[4], [5]], f"byte pacing lost across restart: {got}"
+
+
 def test_restart_with_max_versions_never_regresses_offset(
     spark, table, tmp_path
 ):
