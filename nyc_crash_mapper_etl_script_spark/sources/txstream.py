@@ -270,7 +270,7 @@ class TxTableStreamReader(DataSourceStreamReader):
             # ONCE per trigger, not once for the head and again for
             # the size walk
             entries = t._entries()
-            current = entries[-1]["version"] if entries else 0
+            current = t._snapshot_version(entries)
         # None here => fresh query (see the __init__ call-order
         # invariant: any restart seeds via partitions() first), so
         # starting_version is the true position and capping the first

@@ -127,6 +127,11 @@ class TxTable:
         #: True once the constructor value has been reconciled against
         #: the newest logged spec (lazy: the log may not exist yet).
         self._partition_reconciled = False
+        #: True once ANY commit entry is known to carry a spec --
+        #: from then on every commit re-logs it, INCLUDING an empty
+        #: one (so a restore to a pre-layout version records the flat
+        #: layout instead of leaving a stale later spec as newest).
+        self._partition_spec_logged = False
         self.retain_history = retain_history
         #: CLUSTER-BY write hint: ``(bucket_cols, sort_cols, n_buckets)``.
         #: Every write lays data out hash-bucketed on ``bucket_cols``
@@ -196,12 +201,9 @@ class TxTable:
         either side would make reads and writes disagree about
         layout."""
         if not self._partition_reconciled:
-            logged = None
-            for e in reversed(self._entries()):
-                if "partition_by" in e:
-                    logged = list(e["partition_by"])
-                    break
+            logged = self._logged_partition_by()
             if logged is not None:
+                self._partition_spec_logged = True
                 if self._partition_by and self._partition_by != logged:
                     raise ValueError(
                         f"partition_by mismatch at {self.root}: handle "
@@ -234,6 +236,19 @@ class TxTable:
             )
         self._partition_by = value or current
         self._partition_reconciled = True
+
+    def _logged_partition_by(self, version: int | None = None):
+        """The newest ``partition_by`` recorded in the log at or
+        before ``version`` (``None`` = head); ``None`` if never
+        recorded.  An explicit empty list IS a recorded spec (a
+        restore to a pre-layout version logs ``[]`` so bare handles
+        stop inheriting the later layout)."""
+        for e in reversed(self._entries()):
+            if version is not None and e["version"] > version:
+                continue
+            if "partition_by" in e:
+                return list(e["partition_by"])
+        return None
 
     def _entries(self) -> list[dict]:
         d = self._log_dir()
@@ -598,8 +613,40 @@ class TxTable:
         self._staged_schema = schema.json() if schema is not None else None
         if self._staged_schema is None:
             self.__dict__.pop("_staged_schema", None)
-        return self._commit(
-            mapping, removes, "restore", base_version=base_version
+        # restore the LAYOUT along with the data: the files being
+        # re-staged carry the hive components of the spec as of the
+        # target version, so the restore commit must both validate
+        # against and re-log THAT spec -- restoring across a
+        # repartition_layout otherwise trips the staged-hive assert,
+        # and a restore to a pre-layout version must log [] so bare
+        # handles stop inheriting the later layout.
+        prior = (self._partition_by, self._partition_reconciled)
+        spec_then = self._logged_partition_by(version)
+        if spec_then is not None or self._logged_partition_by() is not None:
+            self._partition_spec_logged = True
+        self._partition_by = list(spec_then or [])
+        self._partition_reconciled = True
+        try:
+            return self._commit(
+                mapping, removes, "restore", base_version=base_version
+            )
+        except Exception:
+            if not self._head_is_ours("restore", mapping):
+                self._partition_by, self._partition_reconciled = prior
+            raise
+
+    def _head_is_ours(self, op: str, mapping: dict[str, str]) -> bool:
+        """After a _commit raised: did OUR entry nonetheless publish
+        (the failure was post-publish, e.g. in finalize -- a
+        _recover()-able state)?  Decides whether in-memory layout
+        state should roll back with the exception or stand with the
+        published log."""
+        entries = self._entries()
+        head = entries[-1] if entries else None
+        return bool(
+            head
+            and head.get("op") == op
+            and head.get("add") == sorted(mapping)
         )
 
     def vacuum(self, keep_versions: int = 0) -> int:
@@ -1055,20 +1102,24 @@ class TxTable:
                 "sort_cols": spec[1],
                 "n_buckets": spec[2],
             }
-        if self.partition_by:
+        pb = self.partition_by
+        if pb or self._partition_spec_logged:
             # persisted like cluster_by so bare handles inherit the
-            # layout; also assert the staged files actually carry the
-            # hive components, so a write path that ignored
+            # layout (re-logged even when EMPTY once a spec has ever
+            # been recorded -- e.g. after a restore to a pre-layout
+            # version -- so the newest entry always states the true
+            # current layout); also assert the staged files actually
+            # carry the hive components, so a write path that ignored
             # partitionBy can never publish layout-invisible files.
-            entry["partition_by"] = list(self.partition_by)
+            entry["partition_by"] = list(pb)
             for rel in mapping:
                 comps = rel.split(os.sep)[:-1]
-                for c in self.partition_by:
+                for c in pb:
                     if not any(p.startswith(c + "=") for p in comps):
                         raise ValueError(
                             f"staged file {rel!r} lacks the {c}= hive "
                             f"component required by partition_by="
-                            f"{self.partition_by}"
+                            f"{pb}"
                         )
         cons = self.constraint_spec()
         if cons:
@@ -1077,8 +1128,10 @@ class TxTable:
         self._finalize(mapping, removes)
         return version
 
-    def _snapshot_version(self) -> int:
-        entries = self._entries()
+    def _snapshot_version(self, entries: "list[dict] | None" = None) -> int:
+        """Head of the log; pass pre-parsed ``entries`` to avoid a
+        second log scan (the byte-paced stream planner does)."""
+        entries = self._entries() if entries is None else entries
         return entries[-1]["version"] if entries else 0
 
     def _raise_if_concurrent(self, exc: Exception, base_version: int):
@@ -1559,8 +1612,13 @@ class TxTable:
             # the NEW spec while the log still says the old one -- a
             # caller that catches and falls back to append() would
             # persist the contradictory layout without the audited
-            # rewrite
-            self._partition_by, self._partition_reconciled = prior
+            # rewrite.  But if OUR entry actually published and only
+            # the post-publish finalize failed (a _recover()-able
+            # state), the log's newest spec IS the new one and rolling
+            # the handle back would recreate the contradiction from
+            # the other side.
+            if not self._head_is_ours("repartition", mapping):
+                self._partition_by, self._partition_reconciled = prior
             raise
 
     def delete_where(self, spark: SparkSession, condition) -> int:

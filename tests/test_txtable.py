@@ -1246,30 +1246,105 @@ def test_rmw_over_mixed_layout_restores_strict_pruning(spark, tmp_path):
     assert got == {0, 3, 6, 9}
 
 
-def test_read_over_triple_layout(spark, tmp_path):
-    """Flat + old-spec + new-spec live files in one table (two
-    upgrades without a cleanup rewrite): read() recovers every row's
-    partition values from wherever they are -- data for the flat
-    file, the grp= path for the old-spec file, the v= path for the
-    new-spec file."""
+def test_reads_across_full_layout_history(spark, tmp_path):
+    """Every as-of read stays correct across the table's WHOLE layout
+    history (flat era -> grp= era -> v= era, two repartitions): each
+    snapshot's partition values come from whatever layout its files
+    were written under -- the v2 read is a genuine multi-colset union
+    (archived flat + archived grp= files)."""
     schema = "k long, grp int, v string"
-    t = TxTable(str(tmp_path / "t"))
-    t.init(spark.createDataFrame([(1, 0, "a")], schema))  # flat
-    # old spec: force a grp-partitioned append through a fresh root
-    # history: simulate by writing the spec then appending
-    old = TxTable(str(tmp_path / "t"), partition_by=["grp"])
-    old.append(spark.createDataFrame([(2, 1, "b")], schema))
-    # layout change via the audited rewrite would clean everything;
-    # instead append under a DIFFERENT spec is refused by the setter,
-    # so construct the third layer via repartition + flat re-append
-    old.repartition_layout(spark, ["v"])
-    new = TxTable(str(tmp_path / "t"))
-    assert new.partition_by == ["v"]
-    new.append(spark.createDataFrame([(3, 2, "c")], schema))
-    rows = {
-        (r["k"], r["grp"], r["v"]) for r in new.read(spark).collect()
-    }
-    assert rows == {(1, 0, "a"), (2, 1, "b"), (3, 2, "c")}
+    t = TxTable(str(tmp_path / "t"), retain_history=True)
+    t.init(spark.createDataFrame([(1, 0, "a")], schema))  # v1: flat
+    part = TxTable(str(tmp_path / "t"), partition_by=["grp"],
+                   retain_history=True)
+    part.append(spark.createDataFrame([(2, 1, "b")], schema))  # v2: mixed
+    part.repartition_layout(spark, ["v"])   # v3: all v=
+    part.repartition_layout(spark, ["grp"])  # v4: all grp=
+
+    def rows(frame):
+        return {(r["k"], r["grp"], r["v"]) for r in frame.collect()}
+
+    a, b = (1, 0, "a"), (2, 1, "b")
+    h = TxTable(str(tmp_path / "t"), retain_history=True)
+    assert h.partition_by == ["grp"]  # newest logged spec wins
+    assert rows(h.read(spark, version=1)) == {a}
+    assert rows(h.read(spark, version=2)) == {a, b}  # flat+grp= union
+    assert rows(h.read(spark, version=3)) == {a, b}  # archived v= files
+    assert rows(h.read(spark)) == {a, b}
+    # CDC spanning both repartitions: pure rewrites cancel exactly
+    ch = h.changes(spark, 2, 4)
+    ins = rows(ch.where(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version"))
+    del_ = rows(ch.where(F.col("_change_type") == "delete").drop(
+        "_change_type", "_commit_version"))
+    assert ins == del_
+
+
+def test_restore_across_repartition_layout(spark, tmp_path):
+    """restore() must roll back the LAYOUT along with the data: the
+    re-staged files carry the old spec's hive components, so the
+    restore commit validates against and re-logs the spec as of the
+    target version -- and a restore to a PRE-layout version logs []
+    so bare handles stop inheriting the later spec."""
+    schema = "k long, grp int, v string"
+    df = spark.createDataFrame(
+        [(i, i % 2, f"v{i % 3}") for i in range(6)], schema
+    )
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"],
+                retain_history=True)
+    t.init(df)                              # v1: grp= layout
+    t.repartition_layout(spark, ["v"])      # v2: v= layout
+    t.restore(1)                            # v3: back to grp=
+
+    def rows(frame):
+        return {(r["k"], r["grp"], r["v"]) for r in frame.collect()}
+
+    want = rows(spark.createDataFrame(df.collect(), schema))
+    h = TxTable(str(tmp_path / "t"), retain_history=True)
+    assert h.partition_by == ["grp"]  # restored spec is the newest
+    assert rows(h.read(spark)) == want
+    assert all("grp=" in f for f in h._live_files())
+    # strict pruning works against the restored layout
+    pruned = set(h.partition_files("grp", [1]))
+    assert pruned and pruned < set(h._live_files())
+
+    # flat-era restore: a table that gained its layout later rolls
+    # back to [] and bare handles see the flat spec, not the stale one
+    u = TxTable(str(tmp_path / "u"), retain_history=True)
+    u.init(df)                               # v1: flat, no spec logged
+    up = TxTable(str(tmp_path / "u"), partition_by=["grp"],
+                 retain_history=True)
+    up.repartition_layout(spark, ["grp"])    # v2: grp= layout logged
+    up.restore(1)                            # v3: flat again
+    bare = TxTable(str(tmp_path / "u"), retain_history=True)
+    assert bare.partition_by == []
+    assert rows(bare.read(spark)) == want
+
+
+def test_repartition_layout_keeps_new_spec_after_post_publish_failure(
+    spark, tmp_path, monkeypatch
+):
+    """If the repartition COMMIT published and only the post-publish
+    finalize failed (a _recover()-able state), the handle must keep
+    the NEW spec -- rolling back in memory while the log's newest
+    entry says the new layout would recreate the contradiction from
+    the other side."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.init(spark.createDataFrame(
+        [(1, 2, "x"), (2, 3, "y")], "k long, grp int, v string"
+    ))
+    real_finalize = t._finalize
+
+    def boom(mapping, removes):
+        real_finalize(mapping, removes)
+        raise OSError("simulated post-publish failure")
+
+    monkeypatch.setattr(t, "_finalize", boom)
+    with pytest.raises(OSError):
+        t.repartition_layout(spark, ["v"])
+    monkeypatch.undo()
+    assert t.partition_by == ["v"]  # matches the published log
+    assert TxTable(str(tmp_path / "t")).partition_by == ["v"]
 
 
 def test_time_travel_and_changes_across_repartition_layout(spark, tmp_path):

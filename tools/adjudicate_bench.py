@@ -149,11 +149,18 @@ def main() -> None:
     t = _take_flag(args, "--tol")
     tol = float(t) if t is not None else 0.05
     json_out = _take_flag(args, "--json")
-    # --env pins the comparison to a specific (e.g. round-preserved)
-    # envelope so a committed adjudication stays reproducible after
-    # BENCH_ENVELOPE.json is refreshed for newer code
+    # --env/--loaded/--micro pin ALL the cascade's inputs to specific
+    # (e.g. round-preserved) files so a committed adjudication stays
+    # reproducible after the repo-current distributions are refreshed
+    # for newer code
     env_path = _take_flag(args, "--env") or os.path.join(
         REPO, "BENCH_ENVELOPE.json"
+    )
+    loaded_path = _take_flag(args, "--loaded") or os.path.join(
+        REPO, "BENCH_ENVELOPE_LOADED.json"
+    )
+    micro_path = _take_flag(args, "--micro") or os.path.join(
+        REPO, "BENCH_MICRO_VARIANCE.json"
     )
     bench_path = args[0] if args else os.path.join(REPO, "BENCH_r07.json")
     with open(bench_path) as f:
@@ -164,14 +171,12 @@ def main() -> None:
     with open(env_path) as f:
         env = json.load(f)
     loaded = None
-    lp = os.path.join(REPO, "BENCH_ENVELOPE_LOADED.json")
-    if os.path.exists(lp):
-        with open(lp) as f:
+    if os.path.exists(loaded_path):
+        with open(loaded_path) as f:
             loaded = json.load(f)
     micro = None
-    mp = os.path.join(REPO, "BENCH_MICRO_VARIANCE.json")
-    if os.path.exists(mp):
-        with open(mp) as f:
+    if os.path.exists(micro_path):
+        with open(micro_path) as f:
             micro = json.load(f)
     rows = adjudicate(bench, env, loaded, tol, micro)
     n_flag = 0
@@ -204,6 +209,12 @@ def main() -> None:
                 {
                     "bench": os.path.basename(bench_path),
                     "envelope": os.path.basename(env_path),
+                    "loaded": os.path.basename(loaded_path)
+                    if loaded is not None
+                    else None,
+                    "micro": os.path.basename(micro_path)
+                    if micro is not None
+                    else None,
                     "tol": tol,
                     "summary": summary,
                     "rows": rows,
