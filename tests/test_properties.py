@@ -226,6 +226,89 @@ def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, o
     # which carries the schema in its log, can type it)
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(init=_tx_batch(), ops=st.lists(_tx_op, min_size=1, max_size=4))
+def test_txtable_matches_model_from_mixed_layout(
+    spark, tmp_path_factory, init, ops
+):
+    """The same random-op model, but the table STARTS in the
+    pre-upgrade state (flat init by a bare handle, ops through a
+    partitioned handle): every rewrite must reach the rows living in
+    flat files (r8 _scoped_removes), every read must see them, and
+    read_partitions must equal the filtered read on every layout the
+    op sequence leaves behind (strict pruning when the layout is
+    clean, full-scan fallback when it is mixed)."""
+    from pyspark.sql import functions as FF
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    root = str(tmp_path_factory.mktemp("txmix") / "t")
+    TxTable(root).init(  # flat era: no spec logged, files carry no ym=
+        spark.createDataFrame(init, "k long, v string, ym string")
+    )
+    tx = TxTable(root, partition_by=["ym"])
+    model = list(init)
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v string, ym string")
+
+    for op, arg in ops:
+        if op == "append":
+            tx.append(df_of(arg))
+            model += arg
+        elif op == "merge":
+            tx.merge(df_of(arg), "k")
+            keys = {r[0] for r in arg}
+            model = [r for r in model if r[0] not in keys] + arg
+        elif op == "crashed_merge":
+            orig = TxTable._publish
+            try:
+                TxTable._publish = lambda self, e, base_version=None: (
+                    _ for _ in ()
+                ).throw(RuntimeError("crash"))
+                try:
+                    tx.merge(df_of(arg), "k")
+                except RuntimeError:
+                    pass
+            finally:
+                TxTable._publish = orig
+        elif op == "delete":
+            tx.delete(
+                spark.createDataFrame([(k,) for k in arg], "k long"), "k"
+            )
+            model = [r for r in model if r[0] not in set(arg)]
+        elif op == "compact":
+            tx.compact(spark)
+        elif op == "overwrite":
+            tx.overwrite(df_of(arg) if arg else spark.createDataFrame(
+                [], "k long, v string, ym string"))
+            model = list(arg)
+        elif op == "delete_where_k_ge":
+            tx.delete_where(spark, FF.col("k") >= arg)
+            model = [r for r in model if r[0] < arg]
+        elif op == "merge_update_v":
+            tx.merge_update(df_of(arg), "k", set_cols=["v"])
+            vmap = {r[0]: r[1] for r in arg}
+            model = [(k, vmap.get(k, v), ym) for (k, v, ym) in model]
+
+    got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
+    assert got == sorted(model)
+    # pruned-read equivalence on whatever layout the sequence left
+    import warnings
+
+    for ym in ("2024-05", "2024-06"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # mixed-layout fallback warns
+            pr = sorted(
+                (r["k"], r["v"])
+                for r in tx.read_partitions(spark, "ym", [ym]).collect()
+            )
+        assert pr == sorted(
+            (k, v) for (k, v, y) in model if y == ym
+        ), f"read_partitions({ym}) diverged from the filtered read"
+
+
 # --- semantic incremental dedup: streamed == batch on random corpora ------
 
 _vec = st.lists(
