@@ -306,6 +306,21 @@ class TxTableStreamReader(DataSourceStreamReader):
                     break
                 except OSError:
                     continue
+            else:
+                # neither live nor archived: vacuumed history.  Sizing
+                # it as 0 would over-admit a catch-up batch that then
+                # dies in read() with a bare FileNotFoundError -- warn
+                # HERE so the eventual failure has a named cause (the
+                # batch still proceeds: pacing is a soft cap, and the
+                # read path owns the hard vacuumed-history error).
+                import warnings
+
+                warnings.warn(
+                    f"byte pacing: changed file {rel!r} of v{v} at "
+                    f"{self.root} is neither live nor archived "
+                    "(vacuumed history?); sizing it as 0 bytes",
+                    stacklevel=2,
+                )
         self._version_bytes_cache[v] = total
         return total
 
@@ -334,6 +349,15 @@ class TxTableStreamReader(DataSourceStreamReader):
         # advance pacing to the true batch range: on restart, lo is
         # the checkpointed offset starting_version knows nothing about
         self._paced_from = max(self._paced_from or 0, lo, hi)
+        if self._version_bytes_cache:
+            # versions at or below the paced anchor are never sized
+            # again (_cap_by_bytes only walks (anchor, head]) -- drop
+            # them so a long-lived query's cache stays O(pending
+            # versions), not O(history)
+            anchor = self._paced_from
+            self._version_bytes_cache = {
+                v: b for v, b in self._version_bytes_cache.items() if v > anchor
+            }
         t = self._table()
         parts: list[_ChangeFilePartition] = []
         for e in t._entries():

@@ -234,6 +234,17 @@ class TxTable:
                 f"{value}, effective layout is {current} (rewrite the "
                 f"table to change its partitioning)"
             )
+        if not value and current:
+            # an explicit EMPTY assignment against a live layout is a
+            # layout CHANGE, and the setter's contract is fail-loud on
+            # those: silently keeping the logged spec (the old
+            # ``value or current`` fold) would make the caller believe
+            # the table went flat while every write keeps partitioning
+            raise ValueError(
+                f"cannot clear partition_by at {self.root}: effective "
+                f"layout is {current}; flatten via repartition_layout "
+                f"or restore to a pre-layout version"
+            )
         self._partition_by = value or current
         self._partition_reconciled = True
 
@@ -455,6 +466,17 @@ class TxTable:
         drop flat files from the scan (the r7-ADVICE invisibility
         bug) or NULL-fill the old partition column of archived
         old-layout snapshots."""
+        if not rels:
+            # make the empty-group invariant explicit instead of dying
+            # as NoneType.select below: a typed empty frame when the
+            # schema is known (callers that guard with ``if files`` no
+            # longer have to), a loud error otherwise
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            raise ValueError(
+                f"_read_resolved at {self.root}: no files and no "
+                "schema to type an empty frame with"
+            )
         groups: dict[tuple[str, tuple[str, ...]], list[str]] = {}
         for rel in rels:
             p = self._resolve(rel)
@@ -1335,11 +1357,14 @@ class TxTable:
             source = self._evolve(source)
         self._check_constraints(source)
         try:
-            mapping, removes = self._merge_staged(
+            staged = self._merge_staged(
                 source, key, spark, allow_missing=evolve_schema
             )
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
+        if staged is None:  # empty source: no partitions touched, no commit
+            return self._snapshot_version()
+        mapping, removes = staged
         return self._commit(mapping, removes, "merge", base_version=base_version)
 
     def _read_files(self, spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -1398,6 +1423,16 @@ class TxTable:
                 .distinct()
                 .collect()
             }
+            if not touched:
+                # empty source => empty touched set (source partition
+                # values and matched keys are both derived from it).
+                # Without this guard _scoped_removes would still fold
+                # in every mixed-layout flat file, so a no-op merge on
+                # a pre-upgrade table performed a full O(flat-files)
+                # migration rewrite and a new commit.  Migration
+                # belongs to repartition_layout or to rewrites that
+                # actually touch rows -- a no-op merge is a no-op.
+                return None
             removes = self._scoped_removes(touched)
             base_files = [os.path.join(self.root, f) for f in removes]
             base = (

@@ -770,3 +770,36 @@ def test_size_packed_partitions_default_and_opt_out(spark, table, tmp_path):
         for r in spark.read.parquet(p).collect()
     )
     assert key(out_a) == key(out_b)
+
+
+def test_version_bytes_warns_on_vacuumed_file_and_prunes_cache(spark, tmp_path):
+    """Byte pacing over vacuumed history: a changed file resolving to
+    neither live nor archive warns with a named cause instead of
+    silently sizing the version at 0; and the per-version size cache
+    drops entries at or below the paced anchor so a long-lived query
+    stays O(pending versions), not O(history) (r8 ADVICE)."""
+    import warnings
+
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        TxTableStreamReader,
+    )
+
+    # retain_history=False: overwrite DELETES the superseded file
+    t = TxTable(str(tmp_path / "t"))
+    t.init(_rows(spark, [(1, "a", "2024-05")]))
+    t.overwrite(_rows(spark, [(2, "b", "2024-06")]))
+    entries = t._entries()
+    reader = TxTableStreamReader(
+        stream_schema(t), {"path": t.root, "maxbytesperbatch": "1"}
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        reader._version_bytes(entries[1])  # v2: remove side is gone
+    assert any("neither live nor archived" in str(x.message) for x in w)
+
+    # cache prune: sizes cached for v1/v2, anchor advancing to 2 in
+    # partitions() drops both (never sized again)
+    reader._version_bytes(entries[0])
+    assert set(reader._version_bytes_cache) == {1, 2}
+    reader.partitions({"version": 2}, {"version": 2})
+    assert reader._version_bytes_cache == {}

@@ -1124,6 +1124,57 @@ def test_partition_by_mismatch_and_setter_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mutually exclusive"):
         cl.partition_by = ["grp"]
+    # ...and an explicit EMPTY assignment against a live layout is a
+    # layout change, not a no-op: fail loud, point at the audited
+    # migration paths (r8 ADVICE: `value or current` silently kept
+    # the logged spec)
+    with pytest.raises(ValueError, match="repartition_layout"):
+        same.partition_by = []
+    assert same.partition_by == ["grp"]  # refused assignment left state alone
+    # empty-to-empty stays a no-op
+    fresh = TxTable(str(tmp_path / "f"))
+    fresh.partition_by = []
+    assert fresh.partition_by == []
+
+
+def test_merge_empty_source_is_noop_on_mixed_layout(spark, tmp_path):
+    """A merge whose source is EMPTY touches no partition, so it must
+    not commit -- previously _scoped_removes still folded every
+    mixed-layout flat file into the rewrite, and a no-op merge on a
+    pre-upgrade table performed a full O(flat-files) migration plus a
+    new version (r8 ADVICE)."""
+    df = spark.createDataFrame(
+        [(i, i % 2, f"r{i}") for i in range(6)], "k long, grp int, v string"
+    )
+    flat = TxTable(str(tmp_path / "t"))
+    flat.init(df)  # flat era: files carry no grp=
+    part = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    before_files = sorted(part._live_files())
+    before_version = part._snapshot_version()
+    v = part.merge(
+        spark.createDataFrame([], "k long, grp int, v string"), "k"
+    )
+    assert v == before_version  # no commit published
+    assert sorted(part._live_files()) == before_files  # zero file churn
+    got = sorted(r["k"] for r in part.read(spark).collect())
+    assert got == list(range(6))
+
+
+def test_read_resolved_empty_rels_returns_typed_empty(spark, tmp_path):
+    """_read_resolved with no files and a schema yields a typed empty
+    frame instead of dying as NoneType.select; without a schema the
+    invariant violation is a loud ValueError (r8 ADVICE)."""
+    from pyspark.sql.types import StructType
+
+    t = TxTable(str(tmp_path / "t"))
+    t.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+    schema = t.logged_schema()
+    empty = t._read_resolved(spark, [], schema)
+    assert empty.count() == 0
+    assert isinstance(empty.schema, StructType)
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    with pytest.raises(ValueError, match="no files and no schema"):
+        t._read_resolved(spark, [], None)
 
 
 def test_mixed_layout_raises_and_read_falls_back(spark, tmp_path):
