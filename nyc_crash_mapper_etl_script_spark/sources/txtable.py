@@ -13,10 +13,15 @@ on a bare filesystem:
    committed rows.
  - ``_txlog/v{n}.json`` entries record file ``add``/``remove`` sets;
    table state is the fold of the log (Delta's protocol shape).  The
-   commit point is a hard-linked publish of the version file with
-   ``O_EXCL`` semantics -- concurrent writers cannot both claim a
+   commit point is a PUT-IF-ABSENT publish of the version file
+   through a pluggable :class:`~.logstore.LogStore` (Delta's LogStore
+   seam): hard-link CAS on the default POSIX backend, conditional PUT
+   on an object store.  Concurrent writers cannot both claim a
    version, and a crash before the commit point leaves the previous
-   version untouched.
+   version untouched.  Nothing in the protocol assumes atomic rename
+   or links beyond that one primitive -- see logstore.py for the
+   exact backend contract and the fault-injected object-store fake
+   that pins it.
  - Writers stage through ``_staging/<txn>/`` (underscore dirs are
    invisible to Spark scans), and finalize AFTER the commit point by
    renaming staged files to their logged names and deleting removed
@@ -54,6 +59,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col, lit as F_lit
+
+from nyc_crash_mapper_etl_script_spark.sources.logstore import (
+    LogStore,
+    PosixLogStore,
+)
 
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"
@@ -114,8 +124,16 @@ class TxTable:
         stale_staging_seconds: float = 3600.0,
         cluster_by: tuple[list[str], list[str], int] | None = None,
         constraints: dict[str, str] | None = None,
+        log_store: LogStore | None = None,
     ) -> None:
         self.root = root.rstrip("/")
+        #: the commit-protocol backend (logstore.py): put-if-absent
+        #: log publishes, finalize/retire moves, restore links.  The
+        #: POSIX default covers local/NFS mounts; an object-store
+        #: deployment injects a conditional-PUT implementation --
+        #: nothing else in the protocol assumes link(2) or atomic
+        #: rename (the FakeObjectStore fault suite pins that).
+        self.store = log_store or PosixLogStore()
         #: hive partition layout.  Like ``cluster_by``, the spec is
         #: PERSISTED in every commit entry and a handle opened without
         #: the argument inherits it from the log (see the
@@ -184,9 +202,8 @@ class TxTable:
         return os.path.join(self.root, _LOG_DIR)
 
     def exists(self) -> bool:
-        d = self._log_dir()
-        return os.path.isdir(d) and any(
-            f.endswith(".json") for f in os.listdir(d)
+        return any(
+            f.endswith(".json") for f in self.store.list_dir(self._log_dir())
         )
 
     @property
@@ -263,13 +280,12 @@ class TxTable:
 
     def _entries(self) -> list[dict]:
         d = self._log_dir()
-        if not os.path.isdir(d):
-            return []
         out = []
-        for name in sorted(os.listdir(d)):
-            if name.endswith(".json"):
-                with open(os.path.join(d, name)) as f:
-                    out.append(json.load(f))
+        for name in sorted(self.store.list_dir(d)):
+            if name.endswith(".json") and not name.startswith("."):
+                out.append(
+                    json.loads(self.store.read_bytes(os.path.join(d, name)))
+                )
         return out
 
     def _live_files(
@@ -286,9 +302,12 @@ class TxTable:
         return list(live)
 
     def _publish(self, entry: dict, base_version: int | None = None) -> int:
-        """Atomically claim the next version number: write the entry
-        aside, then hard-link it into place (link(2) fails with EEXIST
-        if another writer got there first -- a filesystem CAS).
+        """Atomically claim the next version number via the log
+        store's put-if-absent -- link(2) CAS on POSIX, conditional PUT
+        on an object store (logstore.py holds the backend contract).
+        A taken version surfaces as FileExistsError whatever the
+        backend, so a LAGGING log listing (object-store LIST) merely
+        costs bump retries here, never a lost or duplicated commit.
 
         ``base_version`` is the snapshot version a read-modify-write
         op computed its removals against: if any other commit landed
@@ -303,29 +322,19 @@ class TxTable:
             raise ConcurrentWriteError(
                 f"snapshot v{base_version} is stale: log is at v{version - 1}"
             )
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        try:
-            with open(tmp, "w") as f:
-                json.dump({**entry, "version": version}, f)
-            while True:
-                final = os.path.join(d, f"v{version:06d}.json")
-                try:
-                    os.link(tmp, final)
-                    break
-                except FileExistsError:  # concurrent commit won this version
-                    if base_version is not None:
-                        raise ConcurrentWriteError(
-                            f"lost commit race for v{version} "
-                            f"(snapshot was v{base_version})"
-                        ) from None
-                    version += 1
-                # re-serialize under the bumped version number
-                with open(tmp, "w") as f:
-                    json.dump({**entry, "version": version}, f)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        return version
+        while True:
+            final = os.path.join(d, f"v{version:06d}.json")
+            data = json.dumps({**entry, "version": version}).encode()
+            try:
+                self.store.put_if_absent(final, data)
+                return version
+            except FileExistsError:  # concurrent commit won this version
+                if base_version is not None:
+                    raise ConcurrentWriteError(
+                        f"lost commit race for v{version} "
+                        f"(snapshot was v{base_version})"
+                    ) from None
+                version += 1
 
     # -- crash recovery ---------------------------------------------------
 
@@ -348,7 +357,7 @@ class TxTable:
                 src = os.path.join(self.root, staged_of.get(rel, ""))
                 if staged_of.get(rel) and os.path.exists(src):
                     os.makedirs(os.path.dirname(final), exist_ok=True)
-                    os.rename(src, final)
+                    self.store.move(src, final)
         # 2. retire data files the current version no longer references.
         # TOCTOU guard: a CONCURRENT writer may publish + finalize
         # between our log snapshot and this walk, so its fresh files
@@ -425,9 +434,9 @@ class TxTable:
         if self.retain_history:
             dst = os.path.join(self.root, _ARCHIVE_DIR, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(p, dst)
+            self.store.move(p, dst)
         else:
-            os.unlink(p)
+            self.store.delete(p)
 
     def _resolve(self, rel: str) -> str:
         """A logged file lives in the root while current, in _archive
@@ -605,11 +614,12 @@ class TxTable:
         AS A NEW COMMIT (history is never rewritten -- the rollback
         itself is auditable and revertible).  Requires
         ``retain_history=True`` so the target version's superseded
-        files are still in ``_archive``; they are COPIED back into
-        the root under fresh names (the archived copies stay, so
-        time travel across the restore point keeps working).  Pure
-        file-level operation -- no Spark job, no data rewrite beyond
-        the copies."""
+        files are still in ``_archive``; they are HARD-LINKED back
+        into the root under their original names (byte-copied only on
+        stores without links), so the archived names stay valid and
+        time travel across the restore point keeps working.  Pure
+        file-level operation -- no Spark job, O(files) metadata work,
+        no data movement on a POSIX store."""
         self._recover()
         base_version = self._snapshot_version()
         if not (1 <= version <= base_version):
@@ -628,7 +638,11 @@ class TxTable:
             # read_clustered keeps working across a restore
             staged_abs = os.path.join(staging, rel)
             os.makedirs(os.path.dirname(staged_abs), exist_ok=True)
-            shutil.copyfile(src, staged_abs)
+            # O(files) metadata work, not O(bytes): a hard link where
+            # the store has them (the commit path already links), a
+            # byte copy only as the cross-device/object-store fallback
+            # -- Delta's re-reference RESTORE, not a data rewrite
+            self.store.link_or_copy(src, staged_abs)
             mapping[rel] = os.path.relpath(staged_abs, self.root)
         removes = sorted(current - set(target))
         schema = self.logged_schema(version)
@@ -698,7 +712,7 @@ class TxTable:
                 p = os.path.join(dirpath, name)
                 rel = os.path.relpath(p, adir)
                 if rel not in needed:
-                    os.unlink(p)
+                    self.store.delete(p)
                     n += 1
             try:
                 os.rmdir(dirpath)  # only succeeds when emptied
@@ -907,7 +921,7 @@ class TxTable:
         for final_rel, staged_rel in mapping.items():
             final = os.path.join(self.root, final_rel)
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            os.rename(os.path.join(self.root, staged_rel), final)
+            self.store.move(os.path.join(self.root, staged_rel), final)
         for rel in removes:
             if os.path.exists(os.path.join(self.root, rel)):
                 self._retire(rel)

@@ -150,18 +150,36 @@ _tx_op = st.one_of(
 )
 
 
+import pytest as _pytest
+
+
+def _make_store(kind):
+    if kind == "fake_object_store":
+        from nyc_crash_mapper_etl_script_spark.sources.logstore import (
+            FakeObjectStore,
+        )
+
+        return FakeObjectStore()
+    return None  # POSIX default
+
+
+@_pytest.mark.parametrize("store_kind", ["posix", "fake_object_store"])
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(init=_tx_batch(), ops=st.lists(_tx_op, min_size=1, max_size=4))
-def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, ops):
+def test_txtable_matches_model_under_random_ops(
+    spark, tmp_path_factory, store_kind, init, ops
+):
     """Any interleaving of append/merge/delete/compact -- including a
     merge killed at the commit point -- leaves the table equal to the
     obvious in-memory model, for both TxTable.read and a plain
-    parquet read of the root."""
+    parquet read of the root.  Parametrized over the commit backend:
+    POSIX link-CAS and the object-store-semantics fake must satisfy
+    the same model."""
     from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
 
     root = str(tmp_path_factory.mktemp("txprop") / "t")
-    tx = TxTable(root, partition_by=["ym"])
+    tx = TxTable(root, partition_by=["ym"], log_store=_make_store(store_kind))
 
     def df_of(rows):
         return spark.createDataFrame(rows, "k long, v string, ym string")
@@ -226,11 +244,12 @@ def test_txtable_matches_model_under_random_ops(spark, tmp_path_factory, init, o
     # which carries the schema in its log, can type it)
 
 
+@_pytest.mark.parametrize("store_kind", ["posix", "fake_object_store"])
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(init=_tx_batch(), ops=st.lists(_tx_op, min_size=1, max_size=4))
 def test_txtable_matches_model_from_mixed_layout(
-    spark, tmp_path_factory, init, ops
+    spark, tmp_path_factory, store_kind, init, ops
 ):
     """The same random-op model, but the table STARTS in the
     pre-upgrade state (flat init by a bare handle, ops through a
@@ -238,7 +257,8 @@ def test_txtable_matches_model_from_mixed_layout(
     flat files (r8 _scoped_removes), every read must see them, and
     read_partitions must equal the filtered read on every layout the
     op sequence leaves behind (strict pruning when the layout is
-    clean, full-scan fallback when it is mixed)."""
+    clean, full-scan fallback when it is mixed).  Parametrized over
+    the commit backend like the clean-layout model test."""
     from pyspark.sql import functions as FF
 
     from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
@@ -247,7 +267,7 @@ def test_txtable_matches_model_from_mixed_layout(
     TxTable(root).init(  # flat era: no spec logged, files carry no ym=
         spark.createDataFrame(init, "k long, v string, ym string")
     )
-    tx = TxTable(root, partition_by=["ym"])
+    tx = TxTable(root, partition_by=["ym"], log_store=_make_store(store_kind))
     model = list(init)
 
     def df_of(rows):

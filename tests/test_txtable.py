@@ -243,14 +243,19 @@ def test_concurrent_append_bumps_but_rmw_conflict_raises(spark, tmp_path_factory
     assert tx.read(spark).count() == 4
 
 
-def test_two_process_merge_append_race(spark, tmp_path_factory):
+@pytest.mark.parametrize("store_kind", ["posix", "fake_object_store"])
+def test_two_process_merge_append_race(spark, tmp_path_factory, store_kind):
     """Two SEPARATE Spark sessions (own JVMs, own processes) race
     merges and appends on one table.  A filesystem barrier forces both
     first merges to snapshot the same base version, so exactly one can
-    win the O_EXCL publish: the loser MUST see ConcurrentWriteError
-    and its retry must converge.  Invariants pinned: every version
-    claimed by exactly one commit, log contiguous, zero lost updates
-    (each worker's final merge round and every append visible)."""
+    win the put-if-absent publish: the loser MUST see
+    ConcurrentWriteError and its retry must converge.  Invariants
+    pinned: every version claimed by exactly one commit, log
+    contiguous, zero lost updates (each worker's final merge round and
+    every append visible).  Parametrized over the commit backend: the
+    POSIX link-CAS default AND the object-store-semantics fake
+    (conditional PUT, no links, copy+delete moves) -- the protocol's
+    guarantees must hold identically on both."""
     import json as _json
     import subprocess
     import sys as _sys
@@ -266,6 +271,9 @@ def test_two_process_merge_append_race(spark, tmp_path_factory):
     worker = str(
         __import__("pathlib").Path(__file__).parent / "txtable_race_worker.py"
     )
+    env = dict(os.environ)
+    if store_kind == "fake_object_store":
+        env["TX_LOG_STORE"] = "fake"
     procs = {}
     outs = {}
     for wid, peer in [("a", "b"), ("b", "a")]:
@@ -274,6 +282,7 @@ def test_two_process_merge_append_race(spark, tmp_path_factory):
             [_sys.executable, worker, root, str(barrier), wid, peer, outs[wid]],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
+            env=env,
         )
     for wid, p in procs.items():
         assert p.wait(timeout=600) == 0, f"worker {wid} failed"

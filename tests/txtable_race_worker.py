@@ -51,7 +51,17 @@ class BarrierTable(TxTable):
     so both transactions provably race on one base version."""
 
     def __init__(self, root: str, barrier_dir: str, wid: str, peer: str):
-        super().__init__(root)
+        # TX_LOG_STORE=fake drives the whole cross-JVM race through
+        # the object-store-semantics backend (conditional PUT, no
+        # links, copy+delete moves) instead of the POSIX link CAS
+        store = None
+        if os.environ.get("TX_LOG_STORE") == "fake":
+            from nyc_crash_mapper_etl_script_spark.sources.logstore import (
+                FakeObjectStore,
+            )
+
+            store = FakeObjectStore()
+        super().__init__(root, log_store=store)
         self._barrier_dir = barrier_dir
         self._wid = wid
         self._peer = peer
