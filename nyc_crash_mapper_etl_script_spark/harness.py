@@ -5854,6 +5854,87 @@ def txtable_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txtable_mixed_layout_read",
+    """
+    SELECT phase, o_orderkey
+    FROM (
+      SELECT 'mixed' AS phase, o_orderkey FROM orders
+      WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT 'repaired' AS phase, o_orderkey FROM orders
+      WHERE o_orderkey % 4 = 1
+    )
+    """,
+)
+def txtable_mixed_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-layout degrade/repair contract as one oracle row
+    (r8 VERDICT #4): a table whose live files STRADDLE the layout
+    upgrade -- flat files from a pre-spec bare handle plus hive files
+    from a partitioned one -- must answer a partition-pruned read
+    CORRECTLY on every layout.  Phase 'mixed': ``read_partitions``
+    cannot prove flat files disjoint, so it degrades to the full scan
+    + exact predicate (degrade-don't-lie; the strict
+    MixedPartitionLayoutError is asserted first).  Then
+    ``repartition_layout`` -- the audited O(table) migration -- and
+    phase 'repaired': the SAME call now path-prunes, with a strict
+    file-subset assertion (every live file carries the component and
+    the kept set is a proper subset).  The oracle is the plain
+    filtered read at BOTH steps, pinning that neither the fallback
+    nor the pruned path drops or duplicates a row.  Scale shape: the
+    mixed state is the normal mid-migration state of a 100 TB table;
+    correctness here is what makes the migration deployable online.
+    Reference parity: the reference has one fixed CARTO table and no
+    layout migration; this is the storage-layer contract its MVCC
+    store gets from PostgreSQL for free."""
+    import os
+    import shutil
+    import tempfile
+    import warnings
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        MixedPartitionLayoutError,
+        TxTable,
+    )
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", (F.col("o_orderkey") % 4).cast("long").alias("pgrp"))
+    )
+    base = tempfile.mkdtemp(prefix="txmixed_")
+    try:
+        root = os.path.join(base, "orders_tx")
+        TxTable(root).init(o.where(F.col("o_orderkey") % 2 == 0))  # flat era
+        t = TxTable(root, partition_by=["pgrp"])
+        t.append(o.where(F.col("o_orderkey") % 2 == 1))  # hive era: mixed now
+        try:
+            t.partition_files("pgrp", [1])
+            raise AssertionError("mixed layout must refuse strict pruning")
+        except MixedPartitionLayoutError:
+            pass
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # the documented fallback warns
+            mixed = [
+                (r["o_orderkey"],)
+                for r in t.read_partitions(spark, "pgrp", [1]).collect()
+            ]
+        t.repartition_layout(spark, ["pgrp"])
+        kept = t.partition_files("pgrp", [1])  # strict again post-repair
+        live = t._live_files()
+        assert all("pgrp=" in f for f in live), "repair left non-hive files"
+        assert 0 < len(kept) < len(live), "pruning must be a proper subset"
+        repaired = [
+            (r["o_orderkey"],)
+            for r in t.read_partitions(spark, "pgrp", [1]).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [("mixed", k) for (k,) in mixed] + [
+        ("repaired", k) for (k,) in repaired
+    ]
+    return spark.createDataFrame(rows, "phase string, o_orderkey long")
+
+
+@register(
     "sample_weighted_aes",
     """
     SELECT doc_id, n_chars

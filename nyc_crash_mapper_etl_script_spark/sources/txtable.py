@@ -1023,65 +1023,97 @@ class TxTable:
             (F_col(col) >= lo) & (F_col(col) <= hi)
         )
 
-    def partition_files(self, col: str, values) -> list[str]:
-        """The live files whose hive partition directory for ``col``
-        matches one of ``values`` -- pure path arithmetic on the log,
-        no file IO, no Spark job (the partition-column analog of
-        :meth:`pruned_files`).  Values compare as their unescaped
-        string form (``str(v)``), which is exact for the int/hex-string
+    @staticmethod
+    def _prune_spec(col, values) -> "dict[str, list]":
+        """Normalize the two pruning call forms -- ``(col, values)``
+        and ``({col: values, ...})`` -- to one dict."""
+        if isinstance(col, dict):
+            if values is not None:
+                raise ValueError(
+                    "pass either a single (col, values) pair or one "
+                    "dict of col -> values, not both"
+                )
+            if not col:
+                raise ValueError("empty pruning spec")
+            return {c: list(v) for c, v in col.items()}
+        return {col: list(values)}
+
+    def partition_files(self, col, values=None) -> list[str]:
+        """The live files whose hive partition directories match --
+        pure path arithmetic on the log, no file IO, no Spark job (the
+        partition-column analog of :meth:`pruned_files`).  Two call
+        forms: ``partition_files("ym", [..])`` for one column, or a
+        CONJUNCTION over several partition columns,
+        ``partition_files({"source": [..], "fp_pfx": [..]})`` -- a
+        file survives only if EVERY named column's path value is in
+        that column's value set, so a (source, fp_pfx)-layout table
+        prunes on both axes.  Values compare as their unescaped string
+        form (``str(v)``), which is exact for the int/hex-string
         partition keys this repo partitions on; ``None`` matches the
         hive NULL sentinel."""
-        if col not in self.partition_by:
-            raise ValueError(
-                f"{col!r} is not a partition column of {self.root} "
-                f"(partition_by={self.partition_by})"
-            )
+        spec = self._prune_spec(col, values)
+        for c in spec:
+            if c not in self.partition_by:
+                raise ValueError(
+                    f"{c!r} is not a partition column of {self.root} "
+                    f"(partition_by={self.partition_by})"
+                )
         from urllib.parse import unquote
 
-        want = {None if v is None else str(v) for v in values}
-        prefix = col + "="
+        want = {
+            c: {None if v is None else str(v) for v in vals}
+            for c, vals in spec.items()
+        }
         keep = []
         unpartitioned = []
         for rel in self._live_files():
-            for comp in rel.split(os.sep)[:-1]:
-                if comp.startswith(prefix):
-                    raw = comp[len(prefix):]
-                    val = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
-                    if val in want:
-                        keep.append(rel)
-                    break
-            else:
+            comps = rel.split(os.sep)[:-1]
+            vals: dict[str, str | None] = {}
+            for comp in comps:
+                if "=" in comp:
+                    name, raw = comp.split("=", 1)
+                    vals[name] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(raw)
+                    )
+            if not all(c in vals for c in spec):
                 unpartitioned.append(rel)
+            elif all(vals[c] in want[c] for c in spec):
+                keep.append(rel)
         if unpartitioned:
-            # a live file with no col= path component holds rows of
-            # UNKNOWN partition value (e.g. written by a pre-upgrade
-            # bare handle before the spec was log-persisted).
-            # Skipping it would silently drop rows from the claimed
-            # read().where(isin) equivalence -- refuse instead;
-            # read_partitions catches this and falls back to a full
-            # scan, and repartition_layout rewrites the table clean.
+            # a live file missing ANY spec'd col= path component holds
+            # rows of unknown partition value (e.g. written by a
+            # pre-upgrade bare handle before the spec was
+            # log-persisted).  Skipping it would silently drop rows
+            # from the claimed read().where(...) equivalence -- refuse
+            # instead; read_partitions catches this and falls back to
+            # a full scan, and repartition_layout rewrites the table
+            # clean.
             raise MixedPartitionLayoutError(
                 f"{len(unpartitioned)} live file(s) at {self.root} lack "
-                f"the {prefix} path component (e.g. "
-                f"{unpartitioned[0]!r}); partition pruning on {col!r} "
-                f"would silently miss their rows"
+                f"the {sorted(spec)} path component(s) (e.g. "
+                f"{unpartitioned[0]!r}); partition pruning would "
+                f"silently miss their rows"
             )
         return keep
 
-    def read_partitions(self, spark: SparkSession, col: str, values) -> DataFrame:
-        """Partition-pruned scan: only the files under ``col=value``
-        directories for the given values are ever listed or opened --
-        the ivf_probe strict-file-subset contract applied to a
-        TxTable partition column.  Results equal
-        ``read().where(col.isin(values))``; the residual predicate is
-        NOT re-applied because hive partition dirs are exact, not
-        min/max bounds.  An empty match returns a typed empty frame
-        through the logged schema, like :meth:`read` on a
+    def read_partitions(self, spark: SparkSession, col, values=None) -> DataFrame:
+        """Partition-pruned scan: only the files under matching
+        ``col=value`` directories are ever listed or opened -- the
+        ivf_probe strict-file-subset contract applied to TxTable
+        partition columns.  Accepts the same two call forms as
+        :meth:`partition_files` (single column, or a dict conjunction
+        over several).  Results equal ``read().where(...)`` with the
+        conjunction of per-column isin predicates; the residual
+        predicate is NOT re-applied because hive partition dirs are
+        exact, not min/max bounds.  An empty match returns a typed
+        empty frame through the logged schema, like :meth:`read` on a
         fully-deleted table.
 
-        Mixed layouts degrade, never lie: if any live file lacks the
-        ``col=`` component (:class:`MixedPartitionLayoutError`), the
-        claimed equivalence cannot be met by path pruning, so this
+        Mixed layouts degrade, never lie: if any live file lacks a
+        spec'd ``col=`` component (:class:`MixedPartitionLayoutError`),
+        the claimed equivalence cannot be met by path pruning, so this
         falls back to the FULL scan plus the exact predicate --
         correct on every layout, merely unpruned -- and warns so the
         operator knows :meth:`repartition_layout` is due."""
@@ -1096,11 +1128,13 @@ class TxTable:
                 f"{exc}",
                 stacklevel=2,
             )
-            values = list(values)
-            vals = [v for v in values if v is not None]
-            cond = F_col(col).isin(vals) if vals else F_lit(False)
-            if any(v is None for v in values):
-                cond = cond | F_col(col).isNull()
+            cond = None
+            for c, vlist in self._prune_spec(col, values).items():
+                vals = [v for v in vlist if v is not None]
+                c_cond = F_col(c).isin(vals) if vals else F_lit(False)
+                if any(v is None for v in vlist):
+                    c_cond = c_cond | F_col(c).isNull()
+                cond = c_cond if cond is None else (cond & c_cond)
             return self.read(spark).where(cond)
         schema = self.logged_schema()
         if not files:

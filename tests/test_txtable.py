@@ -1484,3 +1484,75 @@ def test_repartition_layout_migrates_mixed_to_clean(spark, tmp_path):
     part2.repartition_layout(spark, ["v"])
     assert TxTable(str(tmp_path / "t")).partition_by == ["v"]
     assert rows(part2.read(spark)) == before
+
+
+def test_multi_column_partition_pruning(spark, tmp_path):
+    """Dict-conjunction pruning on a 2-column layout: partition_files
+    keeps exactly the files under BOTH matching components (strict
+    file subset), read_partitions equals the 2-predicate filtered
+    read, NULL values match via the hive sentinel, and a file missing
+    EITHER component trips the mixed-layout degrade (r8 VERDICT:
+    a (source, fp_pfx)-style layout must prune on both axes)."""
+    import warnings
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        MixedPartitionLayoutError,
+    )
+
+    rows = [
+        (i, ["s1", "s2", None][i % 3], f"p{i % 2}", f"v{i}") for i in range(12)
+    ]
+    t = TxTable(str(tmp_path / "t"), partition_by=["src", "pfx"])
+    t.init(spark.createDataFrame(rows, "k long, src string, pfx string, v string"))
+
+    spec = {"src": ["s1", None], "pfx": ["p0"]}
+    files = t.partition_files(spec)
+    assert files, "expected matching partitions"
+    # strict subset: every kept file carries BOTH matching components
+    for f in files:
+        comps = f.split(os.sep)[:-1]
+        assert any(c in ("src=s1", "src=__HIVE_DEFAULT_PARTITION__") for c in comps), f
+        assert "pfx=p0" in comps, f
+    assert len(files) < len(t._live_files())  # actually pruned
+    got = sorted(r["k"] for r in t.read_partitions(spark, spec).collect())
+    want = sorted(
+        r["k"]
+        for r in t.read(spark)
+        .where((F.col("src").isin("s1") | F.col("src").isNull()) & (F.col("pfx") == "p0"))
+        .collect()
+    )
+    assert got == want and got  # non-empty parity
+    # single-col form unchanged
+    assert sorted(
+        r["k"] for r in t.read_partitions(spark, "pfx", ["p1"]).collect()
+    ) == sorted(r["k"] for r in t.read(spark).where("pfx = 'p1'").collect())
+    # unknown column still refused
+    with pytest.raises(ValueError, match="not a partition column"):
+        t.partition_files({"nope": [1]})
+    with pytest.raises(ValueError, match="not both"):
+        t.partition_files({"src": ["s1"]}, ["p0"])
+
+    # mixed layout on ONE axis: a flat-era file (no components at all)
+    # degrades the conjunction read too
+    u = TxTable(str(tmp_path / "u"))
+    u.init(spark.createDataFrame(rows, "k long, src string, pfx string, v string"))
+    up = TxTable(str(tmp_path / "u"), partition_by=["src", "pfx"])
+    up.append(
+        spark.createDataFrame(
+            [(100, "s1", "p0", "x")], "k long, src string, pfx string, v string"
+        )
+    )
+    with pytest.raises(MixedPartitionLayoutError):
+        up.partition_files({"src": ["s1"], "pfx": ["p0"]})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got2 = sorted(
+            r["k"]
+            for r in up.read_partitions(spark, {"src": ["s1"], "pfx": ["p0"]}).collect()
+        )
+    assert any("full scan" in str(x.message) for x in w)
+    want2 = sorted(
+        r["k"]
+        for r in up.read(spark).where("src = 's1' and pfx = 'p0'").collect()
+    )
+    assert got2 == want2 and 100 in got2
