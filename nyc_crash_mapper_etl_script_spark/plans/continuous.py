@@ -282,6 +282,7 @@ def chain_rollup_stream(
     max_versions_per_batch: int | None = None,
     max_bytes_per_batch: int | None = None,
     columns: "list[str] | None" = None,
+    compact_every_n_commits: int | None = None,
 ) -> StreamingQuery:
     """TABLE-TO-TABLE chaining (r3 VERDICT item 2): a downstream
     pipeline consumes an upstream TxTable's commit log through the
@@ -316,7 +317,15 @@ def chain_rollup_stream(
     Without a ``transform`` the feed is auto-projected at the source
     to exactly the group keys + sum sources (the txtable-changes
     ``columns`` option); with one, pass ``columns`` to prune to what
-    the transform reads."""
+    the transform reads.
+
+    ``compact_every_n_commits`` (opt-in) runs
+    ``TxTable.compact_if_due`` on the rollup after each batch.  A
+    signed-MV rollup refreshed by ``overwrite`` is naturally
+    file-bounded (every commit replaces the whole file set), so the
+    counter resets each batch and the policy stays dormant -- it
+    exists here for derived tables whose transform APPENDS instead
+    (the policy fires only when append commits actually accumulate)."""
     from nyc_crash_mapper_etl_script_spark.operators.mv import (
         refresh_signed_mv,
         signed_mv_init,
@@ -351,6 +360,7 @@ def chain_rollup_stream(
             rollup.overwrite(nxt, app_txn=(app_id, batch_id))
         else:
             rollup.init(nxt, app_txn=(app_id, batch_id))
+        rollup.compact_if_due(spark, compact_every_n_commits)
 
     if columns is None and transform is None:
         # the rollup's plan is fully known here: project exactly the

@@ -316,6 +316,8 @@ def semantic_dedup_stream(
     trigger_available_now: bool = True,
     max_versions_per_batch: int | None = None,
     max_bytes_per_batch: int | None = None,
+    compact_every_n_commits: int | None = None,
+    requantize_drift_threshold_e6: int | None = None,
 ) -> StreamingQuery:
     """Open the chained stream: ``source``'s commit log ->
     quantizer/index/kept state tables.  Restart-safe from
@@ -323,7 +325,24 @@ def semantic_dedup_stream(
     design (an embedding corpus is append-only in the ingest path --
     retracting vectors is a batch rebuild).  ``max_versions_per_batch``
     / ``max_bytes_per_batch`` right-size catch-up micro-batches by
-    commit count / changed-file bytes (see ``read_txtable_stream``)."""
+    commit count / changed-file bytes (see ``read_txtable_stream``).
+
+    ``compact_every_n_commits`` (opt-in) bounds the index/kept
+    tables' live-file counts under continuous appends via
+    ``TxTable.compact_if_due`` after each batch (r8 VERDICT #3).
+
+    ``requantize_drift_threshold_e6`` (opt-in) wires the measured
+    drift signal to the audited rebuild (r8 VERDICT #7): after each
+    batch, :func:`assignment_drift` is evaluated and, when
+    ``mean_dist_e6`` reaches the threshold, the exact
+    :func:`requantize_semantic_index` runs between batches with
+    ``rebuild_id=batch_id`` -- so a threshold-triggered rebuild is
+    byte-for-byte the manual one an operator would have run at that
+    boundary, idempotent under micro-batch replay through the same
+    app_txn bookkeeping.  Cost when armed: one index scan + one
+    aggregate per batch for the signal; the rebuild itself is the
+    documented O(index) maintenance op and runs only at the
+    threshold."""
     from nyc_crash_mapper_etl_script_spark.sources.txstream import (
         CHANGE_COL,
         read_txtable_stream,
@@ -349,6 +368,30 @@ def semantic_dedup_stream(
             id_col=id_col,
             vec_col=vec_col,
         )
+        if requantize_drift_threshold_e6 is not None and index.exists():
+            drift = assignment_drift(
+                spark, quantizer, index, vec_col=vec_col
+            ).collect()[0]
+            if (
+                drift["n"] > 0
+                and drift["mean_dist_e6"] >= requantize_drift_threshold_e6
+            ):
+                requantize_semantic_index(
+                    spark,
+                    quantizer,
+                    index,
+                    kept,
+                    rebuild_id=batch_id,
+                    n_cells=n_cells,
+                    threshold=threshold,
+                    max_cluster=max_cluster,
+                    impl=impl,
+                    hash_fn=hash_fn,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+        index.compact_if_due(spark, compact_every_n_commits)
+        kept.compact_if_due(spark, compact_every_n_commits)
 
     writer = (
         read_txtable_stream(

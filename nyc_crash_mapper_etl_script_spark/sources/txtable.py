@@ -1647,6 +1647,113 @@ class TxTable:
             self._raise_if_concurrent(e, base_version)
         return self._commit(mapping, removes, "compact", base_version=base_version)
 
+    def commits_since_rewrite(self) -> int:
+        """Commits since the last whole-table rewrite (init / compact /
+        compact_small / overwrite / repartition) -- the auto-compaction
+        policy's trigger counter.  Pure log read."""
+        n = 0
+        for e in reversed(self._entries()):
+            if e.get("op") in (
+                "init",
+                "compact",
+                "compact_small",
+                "overwrite",
+                "repartition",
+            ):
+                break
+            n += 1
+        return n
+
+    def compact_small(
+        self,
+        spark: SparkSession,
+        target_mb: float = 128,
+        small_mb: float = 32,
+    ) -> "int | None":
+        """INCREMENTAL OPTIMIZE (Delta's bin-packing OPTIMIZE, minus
+        zorder): rewrite only the live files SMALLER than ``small_mb``
+        into ~``target_mb`` files, leaving well-sized files untouched
+        -- contents unchanged, one atomic commit.  This is the
+        steady-state repair for append-per-micro-batch tables: cost is
+        O(small-file bytes) per run, never O(table), which is what a
+        100 TB corpus accumulating one small file per trigger needs
+        (:meth:`compact` rewrites everything and stays the full-repair
+        / re-layout tool).  On a partitioned table the merged rows are
+        re-hashed on the partition columns so each touched partition
+        gets ~one merged file; flat pre-upgrade files below the
+        threshold migrate into the hive layout as a side effect
+        (mixed-layout rows stay reachable either way --
+        :meth:`_read_files` handles the classification).  Returns the
+        committed version, or None when fewer than two small files
+        exist (nothing to merge -- no commit, no churn).  Optimistic
+        concurrency like merge/delete.  Not applicable to cluster_by
+        tables (bucket files merge only via the full :meth:`compact`,
+        which re-buckets)."""
+        if self.cluster_spec() is not None:
+            raise ValueError(
+                "compact_small cannot preserve a cluster_by bucket "
+                "layout; use compact() (it re-buckets and re-sorts)"
+            )
+        self._recover()
+        base_version = self._snapshot_version()
+        try:
+            sizes = {
+                f: os.path.getsize(os.path.join(self.root, f))
+                for f in self._live_files()
+            }
+            small = [
+                f for f, s in sizes.items() if s < small_mb * 1024 * 1024
+            ]
+            if len(small) < 2:
+                return None
+            base = self._read_files(
+                spark, [os.path.join(self.root, f) for f in small]
+            )
+            if self.partition_by:
+                # ~one merged file per touched partition value: the
+                # staged partitionBy write splits by value, so one
+                # hash task per value is the minimal-file layout
+                merged = base.repartition(
+                    *[F_col(c) for c in self.partition_by]
+                )
+            else:
+                total = sum(sizes[f] for f in small)
+                n_files = max(1, round(total / (target_mb * 1024 * 1024)))
+                merged = base.repartition(n_files)
+            merged = merged.localCheckpoint()
+            _, mapping = self._stage(merged)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self._raise_if_concurrent(e, base_version)
+        return self._commit(
+            mapping, sorted(small), "compact_small", base_version=base_version
+        )
+
+    def compact_if_due(
+        self,
+        spark: SparkSession,
+        every_n_commits: "int | None",
+        target_mb: float = 128,
+        small_mb: float = 32,
+    ) -> "int | None":
+        """The opt-in auto-compaction policy for long-running writers
+        (Delta's optimize-after-N-commits analog): when at least
+        ``every_n_commits`` commits have landed since the last
+        whole-table rewrite, run :meth:`compact_small`.  Streaming
+        sinks call this after their per-batch commit, so a pipeline
+        left running for days keeps a bounded live-file count with no
+        operator intervention.  Content-neutral and log-serialized
+        with the caller's own commits (the sink is the table's only
+        writer), so it needs no app_txn of its own: a crash between
+        the data commit and the compaction just defers the compaction
+        to a later batch.  ``None``/``<=0`` disables; returns the
+        compaction's version or None when not due / nothing to
+        merge."""
+        if not every_n_commits or every_n_commits <= 0:
+            return None
+        if self.commits_since_rewrite() < every_n_commits:
+            return None
+        return self.compact_small(spark, target_mb=target_mb, small_mb=small_mb)
+
     def repartition_layout(
         self, spark: SparkSession, partition_by: list[str]
     ) -> int:

@@ -184,3 +184,71 @@ def test_corpus_stream_crash_replay_is_idempotent(spark, corpus_env):
     source.append(_docs(spark, [(9, GOOD + " and then some", "web")]))
     _drain(spark, source, corpus, ckpt)
     assert {r["doc_id"] for r in corpus.read(spark).collect()} == {1, 9}
+
+
+def test_auto_compaction_bounds_live_files(spark, corpus_env):
+    """r8 VERDICT #3: with compact_every_n_commits=N, a stream driven
+    for >=3N batches keeps the corpus table's live-file count bounded
+    (merged + at most N recent appends) while the no-policy twin grows
+    O(batches) -- and the rows stay exactly the batch recompute."""
+    from nyc_crash_mapper_etl_script_spark.functions.text import doc_fingerprint
+
+    source, corpus, ckpt = corpus_env
+
+    # craft gate-passing docs that all share ONE fingerprint prefix,
+    # so every batch appends a file into the SAME partition dir (the
+    # accumulation the policy exists to bound).  Prefix discovered
+    # from the real fingerprint function, not assumed.
+    cands = spark.createDataFrame(
+        [(i, GOOD + f" variant tail number {i}") for i in range(4000)],
+        "i long, text string",
+    ).select("i", "text", F.substring(doc_fingerprint(F.col("text")), 1, 2).alias("p"))
+    by_p = {}
+    for r in cands.collect():
+        by_p.setdefault(r["p"], []).append((r["i"], r["text"]))
+    texts = [t for (_, t) in max(by_p.values(), key=len)]
+    assert len(texts) >= 12, "fixture: need 12 same-prefix docs"
+
+    N = 2
+    n_batches = 6  # 3N
+    root2 = os.path.dirname(corpus.root)
+    src_b = TxTable(os.path.join(root2, "docs_nopolicy"), retain_history=True)
+    corp_b = TxTable(os.path.join(root2, "scored_nopolicy"))
+    ckpt_b = os.path.join(root2, "ck_nopolicy")
+
+    max_live = 0
+    for b in range(n_batches):
+        batch = _docs(
+            spark,
+            [(b * 2 + j, texts[b * 2 + j], "web") for j in range(2)],
+        )
+        (source.append if source.exists() else source.init)(batch)
+        q = corpus_prep_stream(
+            spark, source, corpus, ckpt,
+            threshold_logit=-0.35,
+            compact_every_n_commits=N,
+        )
+        q.awaitTermination(300)
+        max_live = max(max_live, len(corpus._live_files()))
+        (src_b.append if src_b.exists() else src_b.init)(batch)
+        qb = corpus_prep_stream(spark, src_b, corp_b, ckpt_b, threshold_logit=-0.35)
+        qb.awaitTermination(300)
+
+    # bounded: merged file + at most N uncompacted appends (an append
+    # may write a couple of files depending on task layout), ever
+    assert max_live <= 2 * N + 1, max_live
+    # the twin without the policy really does grow O(batches)
+    assert len(corp_b._live_files()) >= n_batches
+    assert len(corp_b._live_files()) > max_live
+    # the policy actually fired, as compact_small commits
+    ops = [e["op"] for e in corpus.history()]
+    assert ops.count("compact_small") >= 2, ops
+    # and rows are unchanged vs both the twin and the batch recompute
+    pol = sorted(tuple(r) for r in corpus.read(spark).drop("fp_pfx").collect())
+    twin = sorted(tuple(r) for r in corp_b.read(spark).drop("fp_pfx").collect())
+    assert pol == twin
+    all_docs = _docs(
+        spark, [(i, texts[i], "web") for i in range(n_batches * 2)]
+    )
+    want = sorted(tuple(r) for r in prep_batch(all_docs).collect())
+    assert pol == want

@@ -1556,3 +1556,89 @@ def test_multi_column_partition_pruning(spark, tmp_path):
         for r in up.read(spark).where("src = 's1' and pfx = 'p0'").collect()
     )
     assert got2 == want2 and 100 in got2
+
+
+def test_compact_small_merges_only_small_files(spark, tmp_path):
+    """Incremental OPTIMIZE (r8 VERDICT #3): compact_small bin-packs
+    only the live files below the size threshold -- the big file's rel
+    survives untouched, the small ones merge, contents are unchanged,
+    and a second run with nothing to merge is a no-commit no-op."""
+    t = TxTable(str(tmp_path / "t"))
+    big = spark.range(20000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    t.init(big.repartition(1))  # one ~incompressible several-hundred-KB file
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(100000 + i, f"s{i}")], "k long, v string")
+        )
+    live0 = t._live_files()
+    sizes = {f: os.path.getsize(os.path.join(t.root, f)) for f in live0}
+    big_rel = max(sizes, key=sizes.get)
+    assert sizes[big_rel] > 0.01 * 1024 * 1024  # fixture sanity: it IS big
+    before = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+    v = t.compact_small(spark, target_mb=1, small_mb=0.01)
+    assert v == t._snapshot_version()
+    live1 = t._live_files()
+    assert big_rel in live1, "well-sized file must not be rewritten"
+    assert len(live1) == 2  # big + one merged file
+    assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == before
+
+    # nothing left to merge (one small merged file): no-op, no commit
+    assert t.compact_small(spark, target_mb=1, small_mb=0.01) is None
+    assert t._snapshot_version() == v
+
+
+def test_compact_small_partitioned_preserves_layout(spark, tmp_path):
+    """On a hive-partitioned table the merged small files land ~one
+    per touched partition value, every surviving file still carries
+    the col= component (strict pruning keeps working), and rows are
+    conserved."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.init(
+        spark.createDataFrame(
+            [(i, i % 2, f"r{i}") for i in range(8)], "k long, grp int, v string"
+        )
+    )
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(100 + 2 * i, 0, "x"), (101 + 2 * i, 1, "y")],
+                "k long, grp int, v string",
+            )
+        )
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    n_before = len(t._live_files())
+    assert t.compact_small(spark, small_mb=1) is not None
+    live = t._live_files()
+    assert len(live) < n_before
+    assert len(live) == 2  # one merged file per grp value
+    assert all("grp=" in f for f in live)
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+    # strict pruning still works post-compaction
+    files = t.partition_files("grp", [0])
+    assert files and all("grp=0" in f for f in files)
+
+
+def test_compact_if_due_policy_counter(spark, tmp_path):
+    """compact_if_due fires only at the commit threshold and resets
+    through the rewrite: the counter counts commits since the last
+    whole-table rewrite, a due-but-nothing-to-merge call stays
+    commit-free, and cluster_by tables refuse compact_small."""
+    t = TxTable(str(tmp_path / "t"))
+    t.init(spark.createDataFrame([(0, "z")], "k long, v string"))
+    assert t.commits_since_rewrite() == 0
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert t.commits_since_rewrite() == 2
+    assert t.compact_if_due(spark, None) is None          # disabled
+    assert t.compact_if_due(spark, 3) is None             # not due yet
+    v = t.compact_if_due(spark, 2, small_mb=1)            # due: merges 3 smalls
+    assert v is not None
+    assert t.commits_since_rewrite() == 0                 # reset by the rewrite
+    assert len(t._live_files()) == 1
+    cl = TxTable(str(tmp_path / "c"), cluster_by=(["k"], ["k"], 2))
+    cl.init(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    with pytest.raises(ValueError, match="cluster_by"):
+        cl.compact_small(spark)
