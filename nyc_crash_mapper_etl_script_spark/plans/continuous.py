@@ -282,7 +282,6 @@ def chain_rollup_stream(
     max_versions_per_batch: int | None = None,
     max_bytes_per_batch: int | None = None,
     columns: "list[str] | None" = None,
-    compact_every_n_commits: int | None = None,
 ) -> StreamingQuery:
     """TABLE-TO-TABLE chaining (r3 VERDICT item 2): a downstream
     pipeline consumes an upstream TxTable's commit log through the
@@ -319,13 +318,12 @@ def chain_rollup_stream(
     ``columns`` option); with one, pass ``columns`` to prune to what
     the transform reads.
 
-    ``compact_every_n_commits`` (opt-in) runs
-    ``TxTable.compact_if_due`` on the rollup after each batch.  A
-    signed-MV rollup refreshed by ``overwrite`` is naturally
-    file-bounded (every commit replaces the whole file set), so the
-    counter resets each batch and the policy stays dormant -- it
-    exists here for derived tables whose transform APPENDS instead
-    (the policy fires only when append commits actually accumulate)."""
+    No auto-compaction knob here, deliberately: a signed-MV rollup
+    refreshed by ``overwrite`` is file-bounded by construction (every
+    commit replaces the whole file set), so ``compact_if_due``'s
+    commits-since-rewrite counter would reset each batch and the
+    policy could never fire -- the knob belongs to the APPEND-based
+    pipelines (``corpus_prep_stream``, ``semantic_dedup_stream``)."""
     from nyc_crash_mapper_etl_script_spark.operators.mv import (
         refresh_signed_mv,
         signed_mv_init,
@@ -360,7 +358,6 @@ def chain_rollup_stream(
             rollup.overwrite(nxt, app_txn=(app_id, batch_id))
         else:
             rollup.init(nxt, app_txn=(app_id, batch_id))
-        rollup.compact_if_due(spark, compact_every_n_commits)
 
     if columns is None and transform is None:
         # the rollup's plan is fully known here: project exactly the

@@ -369,19 +369,46 @@ def semantic_dedup_stream(
             vec_col=vec_col,
         )
         if requantize_drift_threshold_e6 is not None and index.exists():
-            drift = assignment_drift(
-                spark, quantizer, index, vec_col=vec_col
-            ).collect()[0]
-            if (
-                drift["n"] > 0
-                and drift["mean_dist_e6"] >= requantize_drift_threshold_e6
-            ):
+            # crash-resume FIRST, signal second: a crash between the
+            # rebuild's three overwrites leaves the state tables at
+            # different requant app_txn versions, and the partial
+            # rebuild itself suppresses the drift signal (the new
+            # quantizer scores its own assignments near zero) -- so a
+            # resume gated on the live signal would never happen.
+            # Detect the half-done rebuild from the app_txn log and
+            # complete it through the same idempotent _done() path
+            # before consulting the signal at all.
+            requant_app = f"semantic_requant:{os.path.abspath(index.root)}"
+            rebuilt = [
+                t.last_txn_version(requant_app)
+                for t in (quantizer, index, kept)
+                if t.exists()
+            ]
+            done = {v for v in rebuilt if v is not None}
+            resume_id = max(done) if len(done) > 0 and (
+                len(done) > 1 or any(v is None for v in rebuilt)
+            ) else None
+            if resume_id is None:
+                drift = assignment_drift(
+                    spark, quantizer, index, vec_col=vec_col
+                ).collect()[0]
+                # mean can be NULL with n > 0 (zero-norm vectors make
+                # every cosine NULL; sum() skips NULLs) -- a NULL
+                # signal must not kill the stream, and it cannot
+                # justify a rebuild either
+                if (
+                    drift["n"] > 0
+                    and drift["mean_dist_e6"] is not None
+                    and drift["mean_dist_e6"] >= requantize_drift_threshold_e6
+                ):
+                    resume_id = batch_id
+            if resume_id is not None:
                 requantize_semantic_index(
                     spark,
                     quantizer,
                     index,
                     kept,
-                    rebuild_id=batch_id,
+                    rebuild_id=resume_id,
                     n_cells=n_cells,
                     threshold=threshold,
                     max_cluster=max_cluster,

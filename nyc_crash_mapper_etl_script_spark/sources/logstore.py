@@ -115,6 +115,15 @@ class PosixLogStore(LogStore):
         return os.listdir(path)
 
     def move(self, src: str, dst: str) -> None:
+        # rename() between two hard links of ONE inode is a POSIX
+        # no-op (returns success, removes nothing) -- after a
+        # link-based restore, retiring the restored file to its
+        # still-present archive twin would otherwise leave the source
+        # live forever.  Same inode at both names IS the move's
+        # post-condition, so just drop the source name.
+        if os.path.exists(dst) and os.path.samefile(src, dst):
+            os.unlink(src)
+            return
         os.rename(src, dst)
 
     def link_or_copy(self, src: str, dst: str) -> None:
@@ -127,6 +136,32 @@ class PosixLogStore(LogStore):
 
     def delete(self, path: str) -> None:
         os.unlink(path)
+
+
+#: name -> zero-arg factory.  The streaming source can only carry
+#: STRINGS through its options, so backends register here by name and
+#: ``read_txtable_stream(..., log_store="myname")`` reaches the
+#: planner process (which re-imports this module and re-resolves the
+#: name -- a custom backend must therefore register at import time of
+#: a module the planner also imports, exactly Delta's
+#: spark.delta.logStore.class contract).
+_REGISTRY: dict = {}
+
+
+def register_log_store(name: str, factory) -> None:
+    """Register a LogStore backend under a stream-option-addressable
+    name.  ``factory`` is a zero-arg callable returning a LogStore."""
+    _REGISTRY[name] = factory
+
+
+def make_log_store(name: str) -> LogStore:
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown log store {name!r}; registered: "
+            f"{sorted(_REGISTRY)} (register_log_store adds backends)"
+        ) from None
 
 
 class FakeObjectStore(LogStore):
@@ -250,3 +285,7 @@ class FakeObjectStore(LogStore):
 
     def delete(self, path: str) -> None:
         os.unlink(path)
+
+
+register_log_store("posix", PosixLogStore)
+register_log_store("fake_object_store", FakeObjectStore)

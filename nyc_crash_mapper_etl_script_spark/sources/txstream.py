@@ -246,11 +246,26 @@ class TxTableStreamReader(DataSourceStreamReader):
         #: pass the option -- read_txtable_stream always does)
         mp = options.get("minpartitions")
         self.min_partitions = int(mp) if mp is not None else (os.cpu_count() or 1)
+        #: commit-protocol backend by REGISTERED NAME (logstore.py):
+        #: options are strings, so the seam crosses the DataSource
+        #: boundary as a registry lookup re-resolved inside the
+        #: planner process.  All log reads this planner does
+        #: (_entries/_snapshot_version via _table()) go through it;
+        #: executor-side DATA file reads stay outside the seam by the
+        #: documented contract.
+        self.log_store_name = options.get("logstore", "posix")
         self._paced_from: int | None = None
         self.schema = schema
 
     def _table(self) -> TxTable:
-        return TxTable(self.root)
+        return TxTable(self.root, log_store=self._make_store())
+
+    def _make_store(self):
+        from nyc_crash_mapper_etl_script_spark.sources.logstore import (
+            make_log_store,
+        )
+
+        return make_log_store(self.log_store_name)
 
     def initialOffset(self) -> dict:
         # only called for FRESH queries (a restart resumes from the
@@ -555,6 +570,7 @@ def read_txtable_stream(
     bucket_aware: bool = True,
     max_bytes_per_partition: int | None = None,
     columns: Sequence[str] | None = None,
+    log_store: str = "posix",
 ) -> DataFrame:
     """Register the source (idempotent) and open the change stream.
     ``starting_version=0`` replays from the init commit (the initial
@@ -584,7 +600,10 @@ def read_txtable_stream(
     columns at the source (the metadata columns always ride): the
     Python DataSource API has no automatic projection pushdown, so a
     rollup consumer that needs two columns should say so and skip the
-    parquet I/O and Arrow transport of the rest."""
+    parquet I/O and Arrow transport of the rest.  ``log_store`` names
+    the commit-protocol backend (``logstore.register_log_store``) the
+    PLANNER reads the table's log through -- the streaming half of the
+    TxTable LogStore seam; default POSIX."""
     spark.dataSource.register(TxTableChangesDataSource)
     reader = (
         spark.readStream.format("txtable-changes")
@@ -592,6 +611,7 @@ def read_txtable_stream(
         .option("startingVersion", str(starting_version))
         .option("bucketAware", "true" if bucket_aware else "false")
         .option("minPartitions", str(spark.sparkContext.defaultParallelism))
+        .option("logstore", log_store)
     )
     if max_versions_per_batch is not None:
         reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))

@@ -1036,6 +1036,11 @@ class TxTable:
             if not col:
                 raise ValueError("empty pruning spec")
             return {c: list(v) for c, v in col.items()}
+        if values is None:
+            raise ValueError(
+                "missing values: call as (col, values) for one column "
+                "or ({col: values, ...}) for a conjunction"
+            )
         return {col: list(values)}
 
     def partition_files(self, col, values=None) -> list[str]:
@@ -1650,9 +1655,22 @@ class TxTable:
     def commits_since_rewrite(self) -> int:
         """Commits since the last whole-table rewrite (init / compact /
         compact_small / overwrite / repartition) -- the auto-compaction
-        policy's trigger counter.  Pure log read."""
+        policy's trigger counter.  Walks the log TAIL newest-first and
+        stops at the first rewrite op, so the per-call cost is O(the
+        counter value) -- bounded by the policy's own N in steady
+        state -- not O(full history): a stream armed with the policy
+        calls this every micro-batch, and parsing thousands of old
+        entries per batch would make the file-growth fix itself grow
+        with the history it exists to bound."""
+        d = self._log_dir()
+        names = sorted(
+            n
+            for n in self.store.list_dir(d)
+            if n.endswith(".json") and not n.startswith(".")
+        )
         n = 0
-        for e in reversed(self._entries()):
+        for name in reversed(names):
+            e = json.loads(self.store.read_bytes(os.path.join(d, name)))
             if e.get("op") in (
                 "init",
                 "compact",
@@ -1769,10 +1787,15 @@ class TxTable:
         prunes again, and bare handles inherit the new spec from the
         log.  O(table) by nature (every row moves directories) --
         run it like compact(): once, off the hot path.  Optimistic
-        concurrency like merge/delete."""
+        concurrency like merge/delete.
+
+        ``partition_by=[]`` FLATTENS the table: files rewrite without
+        hive components and the commit logs the empty spec, so bare
+        handles stop inheriting the old layout -- the sanctioned path
+        the ``partition_by`` setter's fail-loud error points at (the
+        only other way to an empty spec is restore() to a pre-layout
+        version)."""
         partition_by = list(partition_by)
-        if not partition_by:
-            raise ValueError("partition_by must name at least one column")
         if self.cluster_spec() is not None:
             raise ValueError(
                 "cluster_by and partition_by are mutually exclusive: "
@@ -1786,7 +1809,12 @@ class TxTable:
             pinned = self.read(spark).localCheckpoint()
             # bypass the setter: contradicting the logged spec is the
             # point here, and the commit below re-logs the new one as
-            # the newest (inherited-by-all) entry.
+            # the newest (inherited-by-all) entry.  A FLATTEN must log
+            # the explicit empty spec (same rule as restore-to-
+            # pre-layout), so mark a spec as ever-logged whenever one
+            # was -- _commit writes [] only under that flag.
+            if self._logged_partition_by() is not None:
+                self._partition_spec_logged = True
             self._partition_by = partition_by
             self._partition_reconciled = True
             _, mapping = self._stage(pinned)

@@ -423,3 +423,61 @@ def test_drift_triggered_requantize_equals_manual(spark, env, tmp_path_factory):
     _drain(spark, env2)
     for t in ("quantizer", "index", "kept"):
         assert "overwrite" not in [e["op"] for e in env2[t].history()], t
+
+
+def test_armed_stream_resumes_half_done_rebuild(spark, env):
+    """Review regression (r9): a crash between the rebuild's three
+    overwrites suppresses the drift signal (the new quantizer scores
+    its own assignments near zero), so resume must key off the
+    requant app_txn inconsistency, not the live signal.  Simulate the
+    crash (quantizer overwritten under rebuild_id, index/kept not),
+    then drain one batch with a threshold the post-crash drift can
+    never reach: the sink must still complete the rebuild."""
+    from nyc_crash_mapper_etl_script_spark.operators.similarity import (
+        select_centroids,
+    )
+
+    env["source"].init(_vecs(spark, 0, 20))
+    _drain(spark, env)  # unarmed first drain builds the state tables
+
+    # simulate requantize crashing right after its quantizer commit
+    requant_app = f"semantic_requant:{os.path.abspath(env['index'].root)}"
+    vecs = env["index"].read(spark).select("vec_id", "embedding")
+    env["quantizer"].overwrite(
+        select_centroids(vecs, 2, hash_fn="md5"), app_txn=(requant_app, 7)
+    )
+    # index assignments are now STALE vs the new quantizer, kept too
+
+    env["source"].append(_vecs(spark, 20, 24))
+    q = semantic_dedup_stream(
+        spark, env["source"], env["quantizer"], env["index"], env["kept"],
+        env["ckpt"], n_cells=2, threshold=0.95, impl="column",
+        # absurdly high: the signal alone would NEVER trigger
+        requantize_drift_threshold_e6=10**12,
+    )
+    q.awaitTermination(300)
+
+    # the half-done rebuild 7 completed: all three tables agree on it
+    assert env["index"].last_txn_version(requant_app) == 7
+    assert env["kept"].last_txn_version(requant_app) == 7
+    # and the state equals a full manual rebuild with those centroids
+    cents = env["quantizer"].read(spark)
+    all_ids = {r["vec_id"] for r in env["index"].read(spark).collect()}
+    assert all_ids == set(range(24))
+    want_idx = {
+        (r["vec_id"], r["cell_id"])
+        for r in ivf_assign(
+            _vecs(spark, 0, 24), cents, impl="column"
+        ).collect()
+    }
+    got_idx = {
+        (r["vec_id"], r["cell_id"]) for r in env["index"].read(spark).collect()
+    }
+    assert got_idx == want_idx
+    want_kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            _vecs(spark, 0, 24), threshold=0.95, impl="column", centroids=cents
+        ).collect()
+    }
+    assert _kept_ids(spark, env) == want_kept

@@ -223,3 +223,76 @@ def test_restore_links_on_posix_copies_on_object_store(spark, tmp_path):
     t2 = build(str(tmp_path / "fake"), fake)
     assert sorted(r["k"] for r in t2.read(spark).collect()) == [1, 2]
     assert fake.copies > 0  # the no-links fallback actually copied
+
+
+def test_retire_after_link_restore_really_removes_source(spark, tmp_path):
+    """Review regression (r9): restore() hard-links archived files
+    back under their ORIGINAL names, so a later retire of a restored
+    file targets its still-present archive twin -- and POSIX rename()
+    between two hard links of one inode is a silent no-op.  The move
+    must still remove the source name, or the superseded file stays
+    live in the root and a plain parquet read returns resurrected
+    rows forever (recovery cannot repair a no-op)."""
+    t = TxTable(str(tmp_path / "t"), retain_history=True)
+    t.init(spark.createDataFrame([(1, "A")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(2, "B")], "k long, v string"))
+    t.restore(1)  # root file is now the SAME INODE as its archive twin
+    t.overwrite(spark.createDataFrame([(3, "C")], "k long, v string"))
+    assert [(r["k"], r["v"]) for r in t.read(spark).collect()] == [(3, "C")]
+    # the invariant the bug broke: a plain parquet read of the root
+    # sees ONLY the committed rows (no resurrected restore-era file)
+    plain = [(r["k"], r["v"]) for r in spark.read.parquet(t.root).collect()]
+    assert plain == [(3, "C")]
+    # recovery finds nothing left to repair, and history still works
+    t._recover()
+    plain2 = [(r["k"], r["v"]) for r in spark.read.parquet(t.root).collect()]
+    assert plain2 == [(3, "C")]
+    assert [(r["k"], r["v"]) for r in t.read(spark, version=1).collect()] == [
+        (1, "A")
+    ]
+    assert [(r["k"], r["v"]) for r in t.read(spark, version=3).collect()] == [
+        (1, "A")
+    ]
+
+
+def test_stream_planner_uses_named_log_store(spark, tmp_path):
+    """The LogStore seam crosses the DataSource boundary by registry
+    name: a change-feed opened with log_store='fake_object_store'
+    plans through the object-store backend in the planner process and
+    the drain is byte-identical to the POSIX default."""
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        read_txtable_stream,
+    )
+
+    store = FakeObjectStore()
+    t = TxTable(str(tmp_path / "t"), log_store=store, retain_history=True)
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    def drain(name, log_store):
+        out = str(tmp_path / name)
+        q = (
+            read_txtable_stream(spark, t.root, log_store=log_store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    got_fake = drain("fake", "fake_object_store")
+    got_posix = drain("posix", "posix")
+    assert got_fake == got_posix
+    assert {k for (k, *_rest) in got_fake} == {1, 2, 3}
+    # unknown names fail fast at the registry
+    from nyc_crash_mapper_etl_script_spark.sources.logstore import (
+        make_log_store,
+    )
+
+    with pytest.raises(ValueError, match="unknown log store"):
+        make_log_store("nope")

@@ -1642,3 +1642,30 @@ def test_compact_if_due_policy_counter(spark, tmp_path):
     cl.init(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
     with pytest.raises(ValueError, match="cluster_by"):
         cl.compact_small(spark)
+
+
+def test_repartition_layout_empty_flattens(spark, tmp_path):
+    """The partition_by setter's fail-loud error points at
+    repartition_layout as the flatten path -- so it must BE one:
+    repartition_layout([]) rewrites every file without hive
+    components, logs the explicit empty spec (bare handles stop
+    inheriting the old layout), and strict pruning afterwards refuses
+    with not-a-partition-column."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["grp"])
+    rows = [(i, i % 2, f"r{i}") for i in range(6)]
+    t.init(spark.createDataFrame(rows, "k long, grp int, v string"))
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    t.repartition_layout(spark, [])
+    assert t.partition_by == []
+    assert all("=" not in f for f in t._live_files()), t._live_files()
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+    bare = TxTable(str(tmp_path / "t"))
+    assert bare.partition_by == []  # inherits the logged EMPTY spec
+    with pytest.raises(ValueError, match="not a partition column"):
+        t.partition_files("grp", [0])
+    # and the single-col form without values fails with the call-form
+    # hint, not a bare NoneType TypeError
+    u = TxTable(str(tmp_path / "u"), partition_by=["g"])
+    u.init(spark.createDataFrame([(1, 0)], "k long, g int"))
+    with pytest.raises(ValueError, match="missing values"):
+        u.partition_files("g")
