@@ -46,6 +46,14 @@ Reading removed files requires ``retain_history=True`` on the
 producing table (files retire to ``_archive/``, same requirement as
 ``changes()``); the reader resolves both locations.
 
+Deletion vectors (``delete_where(dv=True)``) keep the feed exact
+without any file churn: a dv commit emits exactly its positions as
+``delete`` rows; removed/re-added files emit only their
+then-visible rows (the dv'd positions were already emitted when the
+dv committed); a restore that retires a dv while its file stays live
+emits the resurfacing rows as ``insert``.  Signed consumers stay
+exact through any mix of dv deletes, rewrites, and restores.
+
 Executors read the parquet files directly with pyarrow (Arrow
 RecordBatches cross into Spark with zero row-wise Python), so this
 source never nests a Spark job inside a stream planner.
@@ -67,6 +75,9 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from nyc_crash_mapper_etl_script_spark.sources.txtable import (
     _ARCHIVE_DIR,
+    _DV_DIR,
+    _TXDV_FILE,
+    _TXDV_POS,
     TxTable,
 )
 
@@ -78,7 +89,21 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 class _ChangeFilePartition(InputPartition):
     """One changed file of one commit: everything read() needs,
-    driver-resolved and picklable."""
+    driver-resolved and picklable.
+
+    Deletion-vector interplay (both lists hold driver-resolved dv
+    parquet paths; ``rel`` is the data file's logged rel the dv rows
+    key on):
+
+    - ``dv_subtract``: positions ALREADY deleted as of the change --
+      a removed file emits only its then-visible rows as ``delete``
+      (its dv'd rows were emitted as deletes when their dv
+      committed; re-emitting them would double-count in a signed
+      consumer), and a re-added file (restore) emits only the rows
+      visible under the restored dv set.
+    - ``dv_only``: emit ONLY these positions -- the row form of a dv
+      commit itself (``delete``) or of a dv retired by restore while
+      its file stays live (``insert``: those rows resurface)."""
 
     def __init__(
         self,
@@ -86,11 +111,17 @@ class _ChangeFilePartition(InputPartition):
         change: str,
         version: int,
         part_values: dict[str, str | None],
+        rel: str = "",
+        dv_subtract: "list[str] | None" = None,
+        dv_only: "list[str] | None" = None,
     ) -> None:
         self.candidates = candidates
         self.change = change
         self.version = version
         self.part_values = part_values
+        self.rel = rel
+        self.dv_subtract = dv_subtract
+        self.dv_only = dv_only
 
 
 class _PackedChangesPartition(InputPartition):
@@ -311,7 +342,25 @@ class TxTableStreamReader(DataSourceStreamReader):
         if cached is not None:
             return cached
         total = 0
-        for rel in list(entry.get("add", [])) + list(entry.get("remove", [])):
+        # dv commits change rows without changing file sets: their
+        # read cost is the referenced data files (emitted as position
+        # rows) plus the sidecars themselves
+        dv_rels = set(entry.get("dv_add", {})) | set(entry.get("dv_remove", []))
+        dv_data = {
+            f
+            for fr in entry.get("dv_add", {}).values()
+            for f in fr
+        }
+        for rel in sorted(dv_rels):
+            try:
+                total += os.path.getsize(os.path.join(self.root, rel))
+            except OSError:
+                pass  # gc'd/vacuumed dv -- emits nothing
+        for rel in (
+            list(entry.get("add", []))
+            + list(entry.get("remove", []))
+            + sorted(dv_data)
+        ):
             for cand in (
                 os.path.join(self.root, rel),
                 os.path.join(self.root, _ARCHIVE_DIR, rel),
@@ -375,23 +424,93 @@ class TxTableStreamReader(DataSourceStreamReader):
             }
         t = self._table()
         parts: list[_ChangeFilePartition] = []
+        # one forward replay of the log keeps the live-file and
+        # live-dv state the dv emission rules need at each version --
+        # O(entries) once per batch, the same cost class as the entry
+        # listing itself.  ``dv_for_of`` registers every dv ever
+        # added (a restore's dv_remove names dvs popped from the live
+        # set long ago), ``dv_live`` tracks the currently-replaying
+        # set.
+        live: set[str] = set()
+        dv_live: set[str] = set()
+        dv_for_of: dict[str, list[str]] = {}
+
+        def _dv_paths(rels) -> list[str]:
+            return [os.path.join(self.root, r) for r in sorted(rels)]
+
+        def _part(rel, change, v, dv_subtract=None, dv_only=None):
+            return _ChangeFilePartition(
+                [
+                    os.path.join(self.root, rel),
+                    os.path.join(self.root, _ARCHIVE_DIR, rel),
+                ],
+                change,
+                v,
+                _partition_values(rel),
+                rel=rel,
+                dv_subtract=dv_subtract,
+                dv_only=dv_only,
+            )
+
+        def _dvs_for(rel) -> list[str]:
+            return _dv_paths(d for d in dv_live if rel in dv_for_of[d])
+
         for e in t._entries():
             v = e["version"]
-            if v <= lo or v > hi:
-                continue
-            for rels, change in ((e.get("add", []), "insert"), (e.get("remove", []), "delete")):
-                for rel in rels:
+            in_range = lo < v <= hi
+            dv_added = e.get("dv_add", {})
+            dv_removed = e.get("dv_remove", [])
+            if in_range:
+                # removed files emit their rows still VISIBLE at v-1
+                # (dv state before this entry applies): their dv'd
+                # rows were already emitted as deletes when the dv
+                # committed, and re-emitting would double-count in a
+                # signed consumer
+                for rel in e.get("remove", []):
                     parts.append(
-                        _ChangeFilePartition(
-                            [
-                                os.path.join(self.root, rel),
-                                os.path.join(self.root, _ARCHIVE_DIR, rel),
-                            ],
-                            change,
-                            v,
-                            _partition_values(rel),
-                        )
+                        _part(rel, "delete", v, dv_subtract=_dvs_for(rel) or None)
                     )
+            dv_live.difference_update(dv_removed)
+            dv_live.update(dv_added)
+            dv_for_of.update(dv_added)
+            live.difference_update(e.get("remove", []))
+            live.update(e.get("add", []))
+            if not in_range:
+                continue
+            # added files emit rows visible at v: a restore re-adding
+            # a dv'd file must not re-emit its deleted rows
+            for rel in e.get("add", []):
+                parts.append(
+                    _part(rel, "insert", v, dv_subtract=_dvs_for(rel) or None)
+                )
+            # dv-level deltas apply only to files that were live
+            # ACROSS this entry: a file (re-)added at v already
+            # emitted its rows under the post-entry dv state, so
+            # emitting its dv delta too would double-count (a restore
+            # both re-adds files and moves the dv set in one entry)
+            added_now = set(e.get("add", []))
+            # a dv commit's rows ARE the delta: its positions, tagged
+            # delete, per referenced file still live at v
+            if dv_added:
+                dv_paths = _dv_paths(dv_added)
+                for rel in sorted({f for fr in dv_added.values() for f in fr}):
+                    if rel in live and rel not in added_now:
+                        parts.append(
+                            _part(rel, "delete", v, dv_only=dv_paths)
+                        )
+            # a dv retired while its file stays live (restore across
+            # a dv commit) RESURFACES those rows as inserts; inert-gc
+            # dv_removes reference only dead files and emit nothing
+            if dv_removed:
+                gone_paths = _dv_paths(dv_removed)
+                referenced = sorted(
+                    {f for d in dv_removed for f in dv_for_of.get(d, [])}
+                )
+                for rel in referenced:
+                    if rel in live and rel not in added_now:
+                        parts.append(
+                            _part(rel, "insert", v, dv_only=gone_paths)
+                        )
         spec = t.cluster_spec() if self.bucket_aware else None
         if not parts:
             return parts
@@ -499,7 +618,6 @@ class TxTableStreamReader(DataSourceStreamReader):
             )
         target = to_arrow_schema(self.schema)
         pf = pq.ParquetFile(path)
-        n = pf.metadata.num_rows
         # read ONLY the projected data columns (the source schema may
         # be column-pruned via the `columns` option): parquet is
         # columnar, so unselected columns cost zero I/O and zero
@@ -511,6 +629,23 @@ class TxTableStreamReader(DataSourceStreamReader):
             if f.name not in (CHANGE_COL, VERSION_COL) and f.name in avail
         ]
         raw = pf.read(columns=want)
+        if partition.dv_subtract or partition.dv_only:
+            # deletion-vector interplay: keep only the positions the
+            # partition's emission rule names (see _ChangeFilePartition)
+            # -- dv sidecars are position-keyed by this file's rel, so
+            # one filtered dv read + one arrow take, no join
+            import numpy as np
+
+            pos = self._dv_positions(
+                partition.dv_subtract or partition.dv_only, partition.rel
+            )
+            if partition.dv_only is not None:
+                raw = raw.take(pa.array(sorted(pos), type=pa.int64()))
+            elif pos:
+                mask = np.ones(pf.metadata.num_rows, dtype=bool)
+                mask[np.fromiter(pos, dtype=np.int64)] = False
+                raw = raw.take(pa.array(np.flatnonzero(mask)))
+        n = raw.num_rows
         arrays = []
         for field in target:
             name = field.name
@@ -536,6 +671,24 @@ class TxTableStreamReader(DataSourceStreamReader):
                 # evolved column absent from this (older) file
                 arrays.append(pa.nulls(n, type=field.type))
         yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
+
+    @staticmethod
+    def _dv_positions(dv_paths: list[str], rel: str) -> set[int]:
+        """The row positions a set of dv sidecars name for one data
+        file rel -- a row-group-pruned pyarrow read of the two key
+        columns (dv files are written repartitioned by file rel, so
+        the equality filter usually skips whole files)."""
+        import pyarrow.parquet as pq
+
+        pos: set[int] = set()
+        for p in dv_paths:
+            tbl = pq.read_table(
+                p,
+                columns=[_TXDV_POS],
+                filters=[(_TXDV_FILE, "==", rel)],
+            )
+            pos.update(tbl.column(_TXDV_POS).to_pylist())
+        return pos
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
         pass

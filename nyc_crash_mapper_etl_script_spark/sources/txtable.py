@@ -68,6 +68,14 @@ from nyc_crash_mapper_etl_script_spark.sources.logstore import (
 _LOG_DIR = "_txlog"
 _STAGING_DIR = "_staging"
 _ARCHIVE_DIR = "_archive"
+#: deletion-vector sidecars: parquet files of (file rel, row position)
+#: pairs naming rows DELETED without rewriting their data file
+#: (underscore dir -- invisible to plain Spark scans, like _txlog)
+_DV_DIR = "_dv"
+#: deletion-vector join keys; reserved -- a dv delete refuses tables
+#: whose schema uses either name
+_TXDV_FILE = "_txdv_file"
+_TXDV_POS = "_txdv_pos"
 
 #: sentinel distinguishing "conf never captured" from "conf was unset"
 _UNSET = object()
@@ -301,6 +309,27 @@ class TxTable:
                 live[f] = None
         return list(live)
 
+    def _live_dvs(
+        self, entries: list[dict] | None = None, version: int | None = None
+    ) -> dict[str, list[str]]:
+        """The LIVE deletion vectors as of ``version`` (``None`` =
+        head): dv rel -> the data-file rels its positions reference.
+        Replayed from the log exactly like :meth:`_live_files`
+        (``dv_add`` maps in, ``dv_remove`` lists out), so a restore
+        that rolled the dv set back to an older version's is honored
+        by every as-of read.  Live position sets are pairwise disjoint
+        per data file by construction: a dv delete only ever records
+        positions that were VISIBLE at its snapshot, i.e. not already
+        in any then-live dv."""
+        live: dict[str, list[str]] = {}
+        for e in entries if entries is not None else self._entries():
+            if version is not None and e["version"] > version:
+                break
+            for rel in e.get("dv_remove", []):
+                live.pop(rel, None)
+            live.update(e.get("dv_add", {}))
+        return live
+
     def _publish(self, entry: dict, base_version: int | None = None) -> int:
         """Atomically claim the next version number via the log
         store's put-if-absent -- link(2) CAS on POSIX, conditional PUT
@@ -349,9 +378,14 @@ class TxTable:
         for e in entries:
             for rel, staged in e.get("staged", {}).items():
                 staged_of[rel] = staged
+            for rel, staged in e.get("staged_dv", {}).items():
+                staged_of[rel] = staged
         live = set(self._live_files(entries))
         # 1. finish renames for live files still sitting in staging
-        for rel in live:
+        # (data files AND published-but-unmoved deletion vectors: a
+        # crash between a dv commit's publish and finalize must not
+        # resurrect the deleted rows)
+        for rel in list(live) + list(self._live_dvs(entries)):
             final = os.path.join(self.root, rel)
             if not os.path.exists(final):
                 src = os.path.join(self.root, staged_of.get(rel, ""))
@@ -453,7 +487,14 @@ class TxTable:
 
     # -- read -------------------------------------------------------------
 
-    def _read_resolved(self, spark: SparkSession, rels: list[str], schema) -> DataFrame:
+    def _read_resolved(
+        self,
+        spark: SparkSession,
+        rels: list[str],
+        schema,
+        dvs: "list[str] | None" = None,
+        keep_pos: bool = False,
+    ) -> DataFrame:
         """Read a set of logged rels wherever they live NOW.  A
         time-travel or CDC read can legitimately mix still-live files
         (under the root) with superseded ones (under ``_archive``);
@@ -474,7 +515,21 @@ class TxTable:
         Classifying against the current spec instead would silently
         drop flat files from the scan (the r7-ADVICE invisibility
         bug) or NULL-fill the old partition column of archived
-        old-layout snapshots."""
+        old-layout snapshots.
+
+        ``dvs`` is the set of live DELETION-VECTOR rels to subtract:
+        each scan group derives its (file rel, row position) key from
+        ``_metadata`` -- the rel as the path's trailing
+        hive-components+filename segments (identical whether the file
+        currently sits under the root or ``_archive/``), the position
+        as the parquet ``row_index`` Spark generates for exactly this
+        purpose (Delta's DV read path) -- and the union anti-joins the
+        dv parquet ONCE.  Catalyst broadcasts the dv side when small
+        (the sparse-delete case; AQE handles the rest), filters and
+        projection still push into the scan, and a table with NO live
+        dvs takes the zero-overhead original plan.  ``keep_pos=True``
+        retains the two key columns on the output (the dv WRITER and
+        CDC position reads need them)."""
         if not rels:
             # make the empty-group invariant explicit instead of dying
             # as NoneType.select below: a typed empty frame when the
@@ -486,6 +541,14 @@ class TxTable:
                 f"_read_resolved at {self.root}: no files and no "
                 "schema to type an empty frame with"
             )
+        track_pos = bool(dvs) or keep_pos
+        if track_pos and schema is None:
+            raise ValueError(
+                f"_read_resolved at {self.root}: position tracking "
+                "requires a logged schema (dv tables always log one)"
+            )
+        from pyspark.sql import functions as FF
+
         groups: dict[tuple[str, tuple[str, ...]], list[str]] = {}
         for rel in rels:
             p = self._resolve(rel)
@@ -504,7 +567,25 @@ class TxTable:
             if schema is not None:
                 reader = reader.schema(schema)
             df = reader.parquet(*sorted(paths))
+            if track_pos:
+                # the rel = the path's last (hive components + 1)
+                # segments, constant per group; matches the logged rel
+                # regardless of root/_archive residence
+                depth = len(colset) + 1
+                df = df.select(
+                    "*",
+                    FF.substring_index(
+                        FF.col("_metadata.file_path"), "/", -depth
+                    ).alias(_TXDV_FILE),
+                    FF.col("_metadata.row_index").alias(_TXDV_POS),
+                )
             out = df if out is None else out.unionByName(df)
+        if dvs:
+            out = out.join(
+                self._read_dv_frame(spark, dvs),
+                [_TXDV_FILE, _TXDV_POS],
+                "left_anti",
+            )
         if schema is not None:
             # Spark appends path-inferred partition columns at the END
             # regardless of the given schema, and WHICH columns those
@@ -512,17 +593,41 @@ class TxTable:
             # over different layouts (changes()'s exceptAll diff sides,
             # as-of reads across repartition_layout) line up
             # positionally, not just by name
-            out = out.select(*[f.name for f in schema.fields])
+            cols = [f.name for f in schema.fields]
+            if keep_pos:
+                cols += [_TXDV_FILE, _TXDV_POS]
+            out = out.select(*cols)
         return out
+
+    def _read_dv_frame(self, spark: SparkSession, dv_rels: list[str]) -> DataFrame:
+        """The (file rel, row position) pairs of a set of deletion
+        vectors, as a DataFrame keyed to anti-join against a
+        position-tracked scan.  Dv files never move (they retire by
+        log ``dv_remove``, physically only via vacuum), so a missing
+        one means vacuumed history."""
+        paths = []
+        for rel in sorted(dv_rels):
+            p = os.path.join(self.root, rel)
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"{rel}: deletion vector missing at {self.root} "
+                    "(vacuumed history?)"
+                )
+            paths.append(p)
+        return spark.read.parquet(*paths)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Current table, or -- with ``version`` and
         ``retain_history=True`` -- the table exactly as of that
         committed version (partition columns included via basePath;
         a snapshot whose files now straddle the root and the archive
-        reads correctly -- _read_resolved groups by base)."""
+        reads correctly -- _read_resolved groups by base).  Rows named
+        by a deletion vector live at that version are subtracted (see
+        :meth:`delete_where`; zero plan overhead when none exist)."""
         self._recover()
-        files = self._live_files(version=version)
+        entries = self._entries()
+        files = self._live_files(entries, version=version)
+        dvs = sorted(self._live_dvs(entries, version=version))
         if not files:
             # A fully-deleted table is still a table: its schema rides
             # in the commit log (newest entry that recorded one), so
@@ -532,10 +637,12 @@ class TxTable:
 
             from pyspark.sql.types import StructType
 
-            entries = self._entries()
-            if version is not None:
-                entries = [e for e in entries if e["version"] <= version]
-            for e in reversed(entries):
+            scoped = (
+                entries
+                if version is None
+                else [e for e in entries if e["version"] <= version]
+            )
+            for e in reversed(scoped):
                 if "schema" in e:
                     return spark.createDataFrame(
                         [], StructType.fromJson(_json.loads(e["schema"]))
@@ -546,7 +653,9 @@ class TxTable:
         # mixed schemas, and an explicit schema makes older files
         # surface NULL for later columns instead of sampling one file's
         # footer and dropping the rest
-        return self._read_resolved(spark, files, self.logged_schema(version))
+        return self._read_resolved(
+            spark, files, self.logged_schema(version), dvs=dvs
+        )
 
     def history(self) -> list[dict]:
         """Commit audit trail, newest first: version, operation, and
@@ -559,6 +668,9 @@ class TxTable:
                 "op": e.get("op", "?"),
                 "files_added": len(e.get("add", [])),
                 "files_removed": len(e.get("remove", [])),
+                "dvs_added": len(e.get("dv_add", {})),
+                "dvs_removed": len(e.get("dv_remove", [])),
+                "rows_dv_deleted": e.get("dv_rows", 0),
                 "partitions": sorted(
                     {os.path.dirname(f) for f in e.get("add", []) if os.sep in f}
                 ),
@@ -581,33 +693,79 @@ class TxTable:
         that were added or removed in (v_from, v_to] -- cost is
         O(changed partitions), never O(table).  The residual
         ``exceptAll`` is an exact multiset diff (duplicate rows
-        handled), one shuffle over the changed subset."""
+        handled), one shuffle over the changed subset.
+
+        DELETION VECTORS change rows without changing file sets, so
+        each diff side subtracts the dvs live AT ITS VERSION, and
+        files live at BOTH endpoints contribute a position-level
+        delta: rows at positions deleted in the window surface as
+        ``delete``, positions un-deleted (a restore across a dv
+        commit) as ``insert``.  The position sets themselves diff
+        with ``exceptAll`` first, so delete-restore-redelete churn
+        inside the window cancels exactly like file-level churn; the
+        row fetch is then one position-keyed semi-join against only
+        the common files the delta names -- still O(changed), never
+        O(table)."""
         from pyspark.sql import functions as F
 
         self._recover()
-        v_to = v_to if v_to is not None else self._snapshot_version()
-        before = set(self._live_files(version=v_from))
-        after = set(self._live_files(version=v_to))
+        entries = self._entries()
+        v_to = v_to if v_to is not None else self._snapshot_version(entries)
+        before = set(self._live_files(entries, version=v_from))
+        after = set(self._live_files(entries, version=v_to))
+        dv_before = self._live_dvs(entries, version=v_from)
+        dv_after = self._live_dvs(entries, version=v_to)
         schema = self.logged_schema(v_to)
 
-        def _read(rels: set[str]) -> DataFrame:
+        def _read(rels: set[str], dvs: dict[str, list[str]]) -> DataFrame:
             if not rels:
                 if schema is None:
                     raise FileNotFoundError("no logged schema for empty diff side")
                 return spark.createDataFrame([], schema)
             # a diff side can mix live and archived files (e.g. after
             # a restore) -- group by resolution base like read()
-            return self._read_resolved(spark, sorted(rels), schema)
+            return self._read_resolved(spark, sorted(rels), schema, dvs=sorted(dvs))
 
-        added = _read(after - before)
-        removed = _read(before - after)
+        added = _read(after - before, dv_after)
+        removed = _read(before - after, dv_before)
         inserts = added.exceptAll(removed).withColumn(
             "_change_type", F.lit("insert")
         )
         deletes = removed.exceptAll(added).withColumn(
             "_change_type", F.lit("delete")
         )
-        return inserts.unionByName(deletes)
+        out = inserts.unionByName(deletes)
+        dv_new = sorted(set(dv_after) - set(dv_before))
+        dv_gone = sorted(set(dv_before) - set(dv_after))
+        common = after & before
+        # scan only the common files the position delta actually
+        # references (dv_for, recorded at dv-commit time) -- the delta
+        # of a sparse delete names a handful of files, and scanning
+        # all of ``common`` would silently regress to O(table)
+        touched: set[str] = set()
+        for rel in dv_new:
+            touched.update(dv_after[rel])
+        for rel in dv_gone:
+            touched.update(dv_before[rel])
+        scan_rels = sorted(touched & common)
+        if scan_rels:
+            empty_pos = spark.createDataFrame(
+                [], f"{_TXDV_FILE} string, {_TXDV_POS} long"
+            )
+            new_pos = self._read_dv_frame(spark, dv_new) if dv_new else empty_pos
+            gone_pos = self._read_dv_frame(spark, dv_gone) if dv_gone else empty_pos
+            for pos, tag in (
+                (new_pos.exceptAll(gone_pos), "delete"),
+                (gone_pos.exceptAll(new_pos), "insert"),
+            ):
+                rows = (
+                    self._read_resolved(spark, scan_rels, schema, keep_pos=True)
+                    .join(pos, [_TXDV_FILE, _TXDV_POS], "left_semi")
+                    .drop(_TXDV_FILE, _TXDV_POS)
+                    .withColumn("_change_type", F.lit(tag))
+                )
+                out = out.unionByName(rows)
+        return out
 
     def restore(self, version: int) -> int:
         """Delta RESTORE: roll the table back to a committed version
@@ -645,6 +803,21 @@ class TxTable:
             self.store.link_or_copy(src, staged_abs)
             mapping[rel] = os.path.relpath(staged_abs, self.root)
         removes = sorted(current - set(target))
+        # the dv set rolls back WITH the file set: rows deleted by a
+        # dv after the target version resurrect, rows whose dv was
+        # live at the target stay deleted.  Dv files never moved, so
+        # this is pure log arithmetic -- re-adds only need the file to
+        # still exist (vacuum may have dropped truly-dead history).
+        dv_target = self._live_dvs(version=version)
+        dv_now = self._live_dvs()
+        dv_readd = {r: f for r, f in dv_target.items() if r not in dv_now}
+        dv_drop = sorted(set(dv_now) - set(dv_target))
+        for rel in dv_readd:
+            if not os.path.exists(os.path.join(self.root, rel)):
+                raise FileNotFoundError(
+                    f"{rel}: deletion vector of v{version} missing "
+                    "(vacuumed history?)"
+                )
         schema = self.logged_schema(version)
         self._staged_schema = schema.json() if schema is not None else None
         if self._staged_schema is None:
@@ -664,7 +837,12 @@ class TxTable:
         self._partition_reconciled = True
         try:
             return self._commit(
-                mapping, removes, "restore", base_version=base_version
+                mapping,
+                removes,
+                "restore",
+                base_version=base_version,
+                dv_add=dv_readd,
+                dv_remove=dv_drop,
             )
         except Exception:
             if not self._head_is_ours("restore", mapping):
@@ -692,30 +870,48 @@ class TxTable:
         travel within the window keeps working (and concurrent readers
         pinned to a recent snapshot don't lose their files);
         ``keep_versions=0`` drops all history.  The current version is
-        never touched.  Returns the number of files removed."""
-        adir = os.path.join(self.root, _ARCHIVE_DIR)
-        if not os.path.isdir(adir):
-            return 0
-        if keep_versions <= 0:
-            n = 0
-            for dirpath, _, filenames in os.walk(adir):
-                n += len(filenames)
-            shutil.rmtree(adir)
-            return n
-        current = self._snapshot_version()
-        needed: set[str] = set()
-        for v in range(max(1, current - keep_versions), current + 1):
-            needed.update(self._live_files(version=v))
+        never touched (a deletion vector the HEAD still replays is
+        part of the current version and always survives).  Returns
+        the number of files removed."""
         n = 0
-        for dirpath, _, filenames in os.walk(adir, topdown=False):
-            for name in filenames:
-                p = os.path.join(dirpath, name)
-                rel = os.path.relpath(p, adir)
-                if rel not in needed:
-                    self.store.delete(p)
+        entries = self._entries()
+        current = self._snapshot_version(entries)
+        adir = os.path.join(self.root, _ARCHIVE_DIR)
+        if os.path.isdir(adir):
+            if keep_versions <= 0:
+                for dirpath, _, filenames in os.walk(adir):
+                    n += len(filenames)
+                shutil.rmtree(adir)
+            else:
+                needed: set[str] = set()
+                for v in range(max(1, current - keep_versions), current + 1):
+                    needed.update(self._live_files(entries, version=v))
+                for dirpath, _, filenames in os.walk(adir, topdown=False):
+                    for name in filenames:
+                        p = os.path.join(dirpath, name)
+                        rel = os.path.relpath(p, adir)
+                        if rel not in needed:
+                            self.store.delete(p)
+                            n += 1
+                    try:
+                        os.rmdir(dirpath)  # only succeeds when emptied
+                    except OSError:
+                        pass
+        # deletion vectors follow the same retention rule: keep every
+        # dv that some retained version's live set replays
+        dv_dir = os.path.join(self.root, _DV_DIR)
+        if os.path.isdir(dv_dir):
+            needed_dv = set(self._live_dvs(entries))
+            for v in range(
+                max(1, current - max(0, keep_versions)), current + 1
+            ):
+                needed_dv.update(self._live_dvs(entries, version=v))
+            for name in os.listdir(dv_dir):
+                if os.path.join(_DV_DIR, name) not in needed_dv:
+                    self.store.delete(os.path.join(dv_dir, name))
                     n += 1
             try:
-                os.rmdir(dirpath)  # only succeeds when emptied
+                os.rmdir(dv_dir)  # only succeeds when emptied
             except OSError:
                 pass
         return n
@@ -917,18 +1113,38 @@ class TxTable:
                 spark.conf.set(conf_key, self._prior_bucket_conf)
             self._prior_bucket_conf = _UNSET
 
-    def _finalize(self, mapping: dict[str, str], removes: list[str]) -> None:
+    def _finalize(
+        self,
+        mapping: dict[str, str],
+        removes: list[str],
+        staged_dv: "dict[str, str] | None" = None,
+        dv_drop: "list[str] | None" = None,
+    ) -> None:
         for final_rel, staged_rel in mapping.items():
+            final = os.path.join(self.root, final_rel)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            self.store.move(os.path.join(self.root, staged_rel), final)
+        for final_rel, staged_rel in (staged_dv or {}).items():
             final = os.path.join(self.root, final_rel)
             os.makedirs(os.path.dirname(final), exist_ok=True)
             self.store.move(os.path.join(self.root, staged_rel), final)
         for rel in removes:
             if os.path.exists(os.path.join(self.root, rel)):
                 self._retire(rel)
+        if dv_drop and not self.retain_history:
+            # dv files retired from the live set are pure history; a
+            # no-history table deletes them eagerly like _retire does
+            # data files (retain_history keeps them in place -- as-of
+            # reads replay them, and they never move, so there is no
+            # archive step)
+            for rel in dv_drop:
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    self.store.delete(p)
         # clean up THIS transaction's staging dirs only (a peer's live
         # staging under the same table must not be touched)
         own_txn_dirs = set()
-        for staged_rel in mapping.values():
+        for staged_rel in list(mapping.values()) + list((staged_dv or {}).values()):
             parts = staged_rel.split(os.sep)
             if len(parts) >= 2 and parts[0] == _STAGING_DIR:
                 own_txn_dirs.add(os.path.join(self.root, parts[0], parts[1]))
@@ -1146,7 +1362,25 @@ class TxTable:
             if schema is None:
                 raise FileNotFoundError(f"no logged schema at {self.root}")
             return spark.createDataFrame([], schema)
-        return self._read_resolved(spark, files, schema)
+        return self._read_resolved(
+            spark, files, schema, dvs=sorted(self._live_dvs())
+        )
+
+    def _inert_dvs(self, removes: list[str]) -> list[str]:
+        """Live deletion vectors whose referenced data files will ALL
+        be dead once ``removes`` retire -- pure log arithmetic.  A
+        rewrite that replaces a dv'd file materializes its deletions
+        (the rewrite read subtracts dvs), so the dv is pure dead
+        weight afterwards; dropping it from the live set keeps every
+        future read's anti-join sized by OUTSTANDING deletes, not by
+        delete history.  Physical deletion stays with vacuum/retention
+        (older versions still replay the dv)."""
+        remaining = set(self._live_files()) - set(removes)
+        return sorted(
+            rel
+            for rel, dv_for in self._live_dvs().items()
+            if not (set(dv_for) & remaining)
+        )
 
     def _commit(
         self,
@@ -1155,6 +1389,10 @@ class TxTable:
         op: str,
         base_version: int | None = None,
         app_txn: "tuple[str, int] | None" = None,
+        dv_add: "dict[str, list[str]] | None" = None,
+        staged_dv: "dict[str, str] | None" = None,
+        dv_rows: "int | None" = None,
+        dv_remove: "list[str] | None" = None,
     ) -> int:
         entry = {
             "op": op,
@@ -1162,6 +1400,19 @@ class TxTable:
             "remove": sorted(removes),
             "staged": mapping,
         }
+        if dv_add is None and dv_remove is None and removes:
+            # data-file rewrites retire the dvs they made inert (the
+            # caller that manages dvs explicitly -- restore, the dv
+            # delete itself -- passes its own sets and skips this)
+            dv_remove = self._inert_dvs(removes) or None
+        if dv_add:
+            entry["dv_add"] = {r: sorted(f) for r, f in sorted(dv_add.items())}
+            if dv_rows is not None:
+                entry["dv_rows"] = int(dv_rows)
+        if staged_dv:
+            entry["staged_dv"] = staged_dv
+        if dv_remove:
+            entry["dv_remove"] = sorted(dv_remove)
         if app_txn is not None:
             entry["txn"] = {"app_id": app_txn[0], "version": int(app_txn[1])}
         stats = self._file_stats(mapping)
@@ -1172,6 +1423,16 @@ class TxTable:
             entry["schema"] = schema
         spec = self.cluster_spec()
         if spec is not None:
+            if self._live_dvs():
+                # read_clustered hands Spark the raw files as a catalog
+                # bucketed scan -- it cannot carry the dv anti-join, so
+                # the two features are mutually exclusive (same rule as
+                # _dv_delete's refusal, enforced from the other side:
+                # a constructor-clustered handle over a dv'd table)
+                raise ValueError(
+                    f"{self.root} has live deletion vectors; cluster_by "
+                    "requires materializing them first (compact())"
+                )
             entry["cluster_by"] = {
                 "bucket_cols": spec[0],
                 "sort_cols": spec[1],
@@ -1200,7 +1461,12 @@ class TxTable:
         if cons:
             entry["constraints"] = cons
         version = self._publish(entry, base_version=base_version)
-        self._finalize(mapping, removes)
+        self._finalize(
+            mapping,
+            removes,
+            staged_dv=staged_dv,
+            dv_drop=entry.get("dv_remove"),
+        )
         return version
 
     def _snapshot_version(self, entries: "list[dict] | None" = None) -> int:
@@ -1432,7 +1698,16 @@ class TxTable:
         the silent-drop-hazard classification."""
         root = self.root + os.sep
         rels = [p[len(root):] if p.startswith(root) else p for p in paths]
-        return self._read_resolved(spark, rels, self.logged_schema())
+        return self._read_resolved(
+            spark,
+            rels,
+            self.logged_schema(),
+            # rewrites read the CURRENT rows of the files they replace:
+            # without the live-dv subtraction a merge/compact of a file
+            # carrying deletion vectors would resurrect its deleted
+            # rows into the rewrite
+            dvs=sorted(self._live_dvs()),
+        )
 
     def _scoped_removes(self, touched_rels) -> list[str]:
         """The rewrite set of a partition-scoped RMW: live files under
@@ -1839,13 +2114,123 @@ class TxTable:
                 self._partition_by, self._partition_reconciled = prior
             raise
 
-    def delete_where(self, spark: SparkSession, condition) -> int:
+    def _dv_delete(self, spark: SparkSession, select_doomed) -> int:
+        """The DELETION-VECTOR write path shared by
+        :meth:`delete_where` / :meth:`delete` with ``dv=True``
+        (Delta's deletion-vector DELETE): instead of rewriting every
+        file that holds a doomed row, record the doomed rows' (file,
+        position) pairs as a parquet sidecar under ``_dv/`` and log it
+        -- every subsequent read subtracts them.  Write cost is
+        O(deleted rows), never O(touched-file bytes): deleting 0.01%
+        of a 100 TB corpus (a PII takedown, a licensing retraction)
+        writes megabytes where the rewrite path would churn terabytes.
+        The read-side cost is one anti-join against the OUTSTANDING
+        dv rows (broadcast-sized for sparse deletes; rewrites retire
+        dvs they make inert, and compact() materializes everything it
+        rewrites, so the set never grows monotonically).
+
+        ``select_doomed`` filters the current position-tracked frame
+        to the rows to delete.  Same optimistic concurrency as the
+        rewrite path: positions are computed against a snapshot, and
+        ANY concurrent commit (a compact moving rows between files
+        invalidates positions) aborts with ConcurrentWriteError.
+        Refused on cluster_by tables: ``read_clustered`` hands Spark
+        the raw files as a catalog bucketed scan, which cannot carry
+        the anti-join."""
+        self._recover()
+        if self.cluster_spec() is not None:
+            raise ValueError(
+                "deletion vectors are not supported on cluster_by "
+                "tables: read_clustered scans the raw files and would "
+                "resurrect deleted rows; use the rewrite delete"
+            )
+        base_version = self._snapshot_version()
+        entries = self._entries()
+        schema = self.logged_schema()
+        if schema is not None and (
+            {_TXDV_FILE, _TXDV_POS} & {f.name for f in schema.fields}
+        ):
+            raise ValueError(
+                f"table schema uses reserved column name(s) "
+                f"{_TXDV_FILE!r}/{_TXDV_POS!r}"
+            )
+        files = self._live_files(entries)
+        if not files:
+            return self._snapshot_version(entries)
+        dvs = sorted(self._live_dvs(entries))
+        txn = uuid.uuid4().hex
+        staging = os.path.join(self.root, _STAGING_DIR, txn)
+        try:
+            current = self._read_resolved(
+                spark, files, schema, dvs=dvs, keep_pos=True
+            )
+            # pin the doomed positions before anything else runs: the
+            # distinct-file collect and the staged write must see one
+            # snapshot
+            doomed = (
+                select_doomed(current)
+                .select(_TXDV_FILE, _TXDV_POS)
+                .localCheckpoint()
+            )
+            touched = [r[_TXDV_FILE] for r in
+                       doomed.select(_TXDV_FILE).distinct().collect()]
+            if not touched:
+                return self._snapshot_version(entries)
+            unknown = set(touched) - set(files)
+            if unknown:
+                # the path-derived rel must round-trip to the logged
+                # rel (true for the int/hex/date partition values this
+                # repo uses); exotic values that URI-escape differently
+                # must use the rewrite delete
+                raise ValueError(
+                    f"dv delete at {self.root}: derived file rel(s) "
+                    f"{sorted(unknown)[:3]} not in the live set -- "
+                    "partition values do not round-trip through the "
+                    "scan path; use the rewrite delete"
+                )
+            n_doomed = doomed.count()
+            # one small shuffle keyed by file: AQE coalesces a sparse
+            # delete to ~one dv file while a huge one stays parallel
+            doomed.repartition(F_col(_TXDV_FILE)).write.mode(
+                "overwrite"
+            ).parquet(staging)
+        except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            shutil.rmtree(staging, ignore_errors=True)
+            self._raise_if_concurrent(e, base_version)
+        staged_dv: dict[str, str] = {}
+        i = 0
+        for dirpath, _, filenames in os.walk(staging):
+            for name in sorted(filenames):
+                if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                    continue
+                final_rel = os.path.join(_DV_DIR, f"{txn}-{i:05d}.parquet")
+                staged_dv[final_rel] = os.path.relpath(
+                    os.path.join(dirpath, name), self.root
+                )
+                i += 1
+        return self._commit(
+            {},
+            [],
+            "delete_dv",
+            base_version=base_version,
+            dv_add={rel: sorted(touched) for rel in staged_dv},
+            staged_dv=staged_dv,
+            dv_rows=n_doomed,
+        )
+
+    def delete_where(self, spark: SparkSession, condition, dv: bool = False) -> int:
         """Predicate DELETE (Delta's ``DELETE FROM t WHERE cond``):
         rewrite only the partitions that hold a matching row, keeping
         their non-matching rows; partitions with no match carry over
         untouched.  ``condition`` is a Column over the table's rows.
         The doomed-partition probe is one filtered scan collecting
-        DISTINCT partition values -- partition-dimension sized."""
+        DISTINCT partition values -- partition-dimension sized.
+
+        ``dv=True`` records the doomed rows as a DELETION VECTOR
+        instead of rewriting any file -- O(deleted rows) write cost,
+        the sparse-delete path at scale (see :meth:`_dv_delete`)."""
+        if dv:
+            return self._dv_delete(spark, lambda cur: cur.where(condition))
         self._recover()
         base_version = self._snapshot_version()
         try:
@@ -1882,9 +2267,17 @@ class TxTable:
             mapping, removes, "delete_where", base_version=base_version
         )
 
-    def delete(self, keys: DataFrame, key: str) -> int:
+    def delete(self, keys: DataFrame, key: str, dv: bool = False) -> int:
         """DELETE-by-key (S10): rewrite only the partitions holding
-        doomed rows."""
+        doomed rows.  ``dv=True`` records a deletion vector instead of
+        rewriting (one left-semi join to find the doomed positions --
+        the by-key form of :meth:`_dv_delete`'s sparse-delete path)."""
+        if dv:
+            ks = keys.select(key).distinct()
+            return self._dv_delete(
+                keys.sparkSession,
+                lambda cur: cur.join(ks, key, "left_semi"),
+            )
         self._recover()
         base_version = self._snapshot_version()
         spark = keys.sparkSession

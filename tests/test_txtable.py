@@ -121,9 +121,9 @@ def test_crash_after_commit_recovers_forward(spark, table):
     src = _rows(spark, [(2, "B", "2024-05")])
     orig_finalize = TxTable._finalize
     try:
-        TxTable._finalize = lambda self, mapping, removes: (_ for _ in ()).throw(
-            RuntimeError("killed after commit")
-        )
+        TxTable._finalize = lambda self, mapping, removes, **kw: (
+            _ for _ in ()
+        ).throw(RuntimeError("killed after commit"))
         with pytest.raises(RuntimeError, match="killed after commit"):
             table.merge(src, "k")
     finally:
@@ -1395,8 +1395,8 @@ def test_repartition_layout_keeps_new_spec_after_post_publish_failure(
     ))
     real_finalize = t._finalize
 
-    def boom(mapping, removes):
-        real_finalize(mapping, removes)
+    def boom(mapping, removes, **kw):
+        real_finalize(mapping, removes, **kw)
         raise OSError("simulated post-publish failure")
 
     monkeypatch.setattr(t, "_finalize", boom)
