@@ -147,6 +147,12 @@ _tx_op = st.one_of(
     st.tuples(st.just("overwrite"), _tx_batch(min_size=0)),
     st.tuples(st.just("delete_where_k_ge"), _tx_key),
     st.tuples(st.just("merge_update_v"), _tx_batch()),
+    # deletion-vector forms: same model semantics as their rewrite
+    # twins, but no file churn -- interleavings with merge/compact/
+    # overwrite pin the non-resurrection invariant (a rewrite of a
+    # dv'd file must materialize, never resurrect)
+    st.tuples(st.just("dv_delete"), st.lists(_tx_key, min_size=1, max_size=3)),
+    st.tuples(st.just("dv_delete_where_k_ge"), _tx_key),
 )
 
 
@@ -231,10 +237,25 @@ def test_txtable_matches_model_under_random_ops(
             model = [
                 (k, vmap.get(k, v), ym) for (k, v, ym) in model
             ]
+        elif op == "dv_delete":
+            tx.delete(
+                spark.createDataFrame([(k,) for k in arg], "k long"),
+                "k",
+                dv=True,
+            )
+            model = [r for r in model if r[0] not in set(arg)]
+        elif op == "dv_delete_where_k_ge":
+            from pyspark.sql import functions as FF
+
+            tx.delete_where(spark, FF.col("k") >= arg, dv=True)
+            model = [r for r in model if r[0] < arg]
 
     got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
-    if model:
+    if model and not tx._live_dvs():
+        # the plain-parquet-read invariant holds exactly while no dv
+        # is OUTSTANDING (dv'd rows need the TxTable reader, like
+        # Delta; a rewrite/compact materializes and restores parity)
         plain = sorted(
             (r["k"], r["v"], r["ym"])
             for r in spark.read.parquet(root).select("k", "v", "ym").collect()
@@ -311,6 +332,16 @@ def test_txtable_matches_model_from_mixed_layout(
             tx.merge_update(df_of(arg), "k", set_cols=["v"])
             vmap = {r[0]: r[1] for r in arg}
             model = [(k, vmap.get(k, v), ym) for (k, v, ym) in model]
+        elif op == "dv_delete":
+            tx.delete(
+                spark.createDataFrame([(k,) for k in arg], "k long"),
+                "k",
+                dv=True,
+            )
+            model = [r for r in model if r[0] not in set(arg)]
+        elif op == "dv_delete_where_k_ge":
+            tx.delete_where(spark, FF.col("k") >= arg, dv=True)
+            model = [r for r in model if r[0] < arg]
 
     got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
