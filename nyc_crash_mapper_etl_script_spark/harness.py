@@ -6861,6 +6861,77 @@ def txtable_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "o_orderstatus string, n long")
 
 
+@register(
+    "txtable_dv_delete",
+    """
+    WITH kept AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE NOT coalesce(o_totalprice > 250000.0, FALSE)
+        AND NOT coalesce(o_orderkey % 97 = 0, FALSE)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 1000 = 0 AND o_totalprice > 250000.0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def txtable_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR delete (Delta's DV path, txtable.py
+    ``_dv_delete``): two composed sparse deletes record (file, row
+    position) sidecars under ``_dv/`` instead of rewriting any data
+    file -- O(deleted rows) write cost, the 100 TB PII-takedown shape
+    where the rewrite path churns every touched file.  Reads subtract
+    outstanding positions with ONE broadcast anti-join keyed on
+    parquet ``_metadata.row_index``; the append after the deletes
+    pins that new files are never consulted against old dvs.  The
+    asserted zero-churn check is structural (no files added/removed
+    by either delete commit); the oracle applies the identical
+    predicate algebra.  Exact integer key_sum keeps the value hash
+    float-free."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txdv_")
+    try:
+        t = TxTable(os.path.join(base, "t"), partition_by=["o_orderstatus"])
+        t.init(o)
+        t.delete_where(spark, F.col("o_totalprice") > 250000.0, dv=True)
+        t.delete_where(spark, F.col("o_orderkey") % 97 == 0, dv=True)
+        for h in t.history()[:2]:  # structural: dv deletes churn no files
+            assert h["op"] == "delete_dv"
+            assert h["files_added"] == 0 and h["files_removed"] == 0
+        t.append(
+            o.where(
+                (F.col("o_orderkey") % 1000 == 0)
+                & (F.col("o_totalprice") > 250000.0)
+            )
+        )
+        rows = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n long, key_sum long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 5 additions: retrieval ranking, LM quality scoring, mixture
 # budgeting, and chunking -- the remaining standard shapes of a
