@@ -61,6 +61,7 @@ source never nests a Spark job inside a stream planner.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from typing import Iterator, Sequence
@@ -305,18 +306,29 @@ class TxTableStreamReader(DataSourceStreamReader):
         self._paced_from = self.starting_version
         return {"version": self.starting_version}
 
+    @staticmethod
+    def _entries_range(t: TxTable, lo: int, hi: int) -> list[dict]:
+        """Commit entries for versions in (lo, hi], read individually
+        by name -- O(range), never O(history): a long-lived stream's
+        per-trigger planning cost must not grow with the table's
+        commit count."""
+        entry_names, _ = t._list_log()
+        out = []
+        for name in entry_names:
+            v = t._entry_version(name)
+            if lo < v <= hi:
+                out.append(
+                    json.loads(
+                        t.store.read_bytes(os.path.join(t._log_dir(), name))
+                    )
+                )
+        return out
+
     def latestOffset(self) -> dict:
         t = self._table()
-        if self.max_bytes is None:
-            current = t._snapshot_version()
-            if self.max_versions is None:
-                return {"version": current}
-        else:
-            # byte pacing needs the entries anyway -- parse the log
-            # ONCE per trigger, not once for the head and again for
-            # the size walk
-            entries = t._entries()
-            current = t._snapshot_version(entries)
+        current = t._snapshot_version()  # one listing, no entry reads
+        if self.max_bytes is None and self.max_versions is None:
+            return {"version": current}
         # None here => fresh query (see the __init__ call-order
         # invariant: any restart seeds via partitions() first), so
         # starting_version is the true position and capping the first
@@ -330,7 +342,10 @@ class TxTableStreamReader(DataSourceStreamReader):
         if self.max_versions is not None:
             end = min(end, anchor + self.max_versions)
         if self.max_bytes is not None and end > anchor:
-            end = self._cap_by_bytes(entries, anchor, end)
+            # byte pacing sizes only the PENDING range (anchor, end]
+            end = self._cap_by_bytes(
+                self._entries_range(t, anchor, end), anchor, end
+            )
         return {"version": max(end, anchor)}  # never step backwards
 
     def _version_bytes(self, entry: dict) -> int:
@@ -424,16 +439,18 @@ class TxTableStreamReader(DataSourceStreamReader):
             }
         t = self._table()
         parts: list[_ChangeFilePartition] = []
-        # one forward replay of the log keeps the live-file and
-        # live-dv state the dv emission rules need at each version --
-        # O(entries) once per batch, the same cost class as the entry
-        # listing itself.  ``dv_for_of`` registers every dv ever
-        # added (a restore's dv_remove names dvs popped from the live
-        # set long ago), ``dv_live`` tracks the currently-replaying
-        # set.
-        live: set[str] = set()
-        dv_live: set[str] = set()
-        dv_for_of: dict[str, list[str]] = {}
+        # the live-file and live-dv state the dv emission rules need
+        # is SEEDED from the checkpointed state at the batch's start
+        # version and folded forward over only the range entries --
+        # O(batch), never O(history), however long the table has been
+        # running.  ``dv_for_of`` registers dvs by their file lists (a
+        # restore's dv_remove can name dvs retired from the live set
+        # within the range); dvs retired BEFORE the range start can
+        # never be re-removed, so the seed's live map suffices.
+        seed = t._state(lo)
+        live: set[str] = set(seed["live"])
+        dv_live: set[str] = set(seed["dv_live"])
+        dv_for_of: dict[str, list[str]] = dict(seed["dv_live"])
 
         def _dv_paths(rels) -> list[str]:
             return [os.path.join(self.root, r) for r in sorted(rels)]
@@ -455,9 +472,9 @@ class TxTableStreamReader(DataSourceStreamReader):
         def _dvs_for(rel) -> list[str]:
             return _dv_paths(d for d in dv_live if rel in dv_for_of[d])
 
-        for e in t._entries():
+        for e in self._entries_range(t, lo, hi):
             v = e["version"]
-            in_range = lo < v <= hi
+            in_range = True  # range read IS (lo, hi]
             dv_added = e.get("dv_add", {})
             dv_removed = e.get("dv_remove", [])
             if in_range:

@@ -133,6 +133,7 @@ class TxTable:
         cluster_by: tuple[list[str], list[str], int] | None = None,
         constraints: dict[str, str] | None = None,
         log_store: LogStore | None = None,
+        checkpoint_every: int = 10,
     ) -> None:
         self.root = root.rstrip("/")
         #: the commit-protocol backend (logstore.py): put-if-absent
@@ -203,6 +204,16 @@ class TxTable:
         #: ordering conf's value before this handle first flipped it.
         self._clustered_names: set[str] = set()
         self._prior_bucket_conf = _UNSET
+        #: write a log CHECKPOINT (the fully-replayed state, Delta's
+        #: _last_checkpoint analog) every N commits, so state
+        #: reconstruction -- every open, read, and commit -- costs
+        #: O(tail since the last checkpoint) instead of O(all commits
+        #: ever).  A checkpoint is a pure replay cache: readers that
+        #: find none (or a corrupt one) fold the full log; 0 disables.
+        self.checkpoint_every = int(checkpoint_every or 0)
+        #: version-keyed replay cache (a committed version's state is
+        #: immutable, so entries never go stale); tiny LRU
+        self._state_cache: dict[int, dict] = {}
 
     # -- log plumbing -----------------------------------------------------
 
@@ -279,12 +290,8 @@ class TxTable:
         recorded.  An explicit empty list IS a recorded spec (a
         restore to a pre-layout version logs ``[]`` so bare handles
         stop inheriting the later layout)."""
-        for e in reversed(self._entries()):
-            if version is not None and e["version"] > version:
-                continue
-            if "partition_by" in e:
-                return list(e["partition_by"])
-        return None
+        st = self._state(version)
+        return list(st["partition_by"]) if "partition_by" in st else None
 
     def _entries(self) -> list[dict]:
         d = self._log_dir()
@@ -296,11 +303,198 @@ class TxTable:
                 )
         return out
 
+    # -- checkpointed state reconstruction ---------------------------------
+    #
+    # Every table operation needs the REPLAYED state (live files, live
+    # dvs, newest schema/layout/constraints, app txns, skipping stats),
+    # and folding the whole log per operation is O(all commits ever) --
+    # a stream appending one commit per trigger for a week pays the
+    # week on every batch.  A checkpoint entry (hidden
+    # ``.ckpt_v{n}.json``, Delta's checkpoint-parquet analog) stores
+    # the fold at version n; _state() resumes from the newest one at or
+    # below the asked version and folds only the tail.  Checkpoints are
+    # pure caches -- optional, best-effort, CAS-published like entries
+    # so racing writers cannot corrupt one -- EXCEPT after
+    # :meth:`cleanup_log`, which deletes entries a checkpoint covers
+    # and makes it load-bearing (guarded by the continuity check).
+
+    @staticmethod
+    def _entry_version(name: str) -> int:
+        return int(name[1:-5])  # vNNNNNN.json
+
+    @staticmethod
+    def _ckpt_version(name: str) -> int:
+        return int(name[7:-5])  # .ckpt_vNNNNNN.json
+
+    def _ckpt_name(self, version: int) -> str:
+        return f".ckpt_v{version:06d}.json"
+
+    def _list_log(self) -> "tuple[list[str], list[str]]":
+        """ONE log-dir listing, split into (commit entry names,
+        checkpoint names), each sorted ascending by version."""
+        entries, ckpts = [], []
+        for name in self.store.list_dir(self._log_dir()):
+            if name.startswith(".ckpt_v") and name.endswith(".json"):
+                ckpts.append(name)
+            elif name.endswith(".json") and not name.startswith("."):
+                entries.append(name)
+        return sorted(entries), sorted(ckpts)
+
+    @staticmethod
+    def _fold(state: dict, e: dict) -> None:
+        """Apply one commit entry to a replayed state (the single
+        definition of the log's fold semantics -- checkpoints are
+        serialized states, so writer and readers share this)."""
+        state["version"] = e["version"]
+        staged = e.get("staged", {})
+        for f in e.get("remove", []):
+            state["live"].pop(f, None)
+        for f in e.get("add", []):
+            state["live"][f] = staged.get(f, "")
+        for r in e.get("dv_remove", []):
+            state["dv_live"].pop(r, None)
+            state["dv_staged"].pop(r, None)
+        state["dv_live"].update(e.get("dv_add", {}))
+        state["dv_staged"].update(e.get("staged_dv", {}))
+        for k in ("schema", "partition_by", "cluster_by", "constraints"):
+            if k in e:
+                state[k] = e[k]
+        txn = e.get("txn")
+        if txn is not None:
+            state["txn"][txn["app_id"]] = int(txn["version"])
+        for f, cols in e.get("stats", {}).items():
+            state["stats"][f] = cols
+
+    def _state(self, version: "int | None" = None) -> dict:
+        """The replayed table state as of ``version`` (``None`` =
+        head): the newest checkpoint at or below it plus a fold of the
+        tail entries -- O(tail), not O(history).  States of committed
+        versions are immutable, so the per-handle cache never goes
+        stale.  Raises FileNotFoundError when the range needed for an
+        exact fold has holes (cleanup_log removed history below the
+        asked version)."""
+        entry_names, ckpt_names = self._list_log()
+        versions = [self._entry_version(n) for n in entry_names]
+        head = versions[-1] if versions else 0
+        if ckpt_names:
+            head = max(head, self._ckpt_version(ckpt_names[-1]))
+        v = head if version is None else min(version, head)
+        cached = self._state_cache.get(v)
+        if cached is not None:
+            return cached
+        d = self._log_dir()
+        state = {
+            "version": 0,
+            "live": {},
+            "dv_live": {},
+            "dv_staged": {},
+            "txn": {},
+            "stats": {},
+        }
+        lo = 0
+        for name in reversed(ckpt_names):
+            cv = self._ckpt_version(name)
+            if cv <= v:
+                try:
+                    state.update(
+                        json.loads(
+                            self.store.read_bytes(os.path.join(d, name))
+                        )
+                    )
+                    lo = cv
+                    break
+                except Exception:  # noqa: BLE001 -- a checkpoint is a
+                    continue  # cache: corrupt/vanished -> older or full fold
+        tail = [
+            (vv, n) for vv, n in zip(versions, entry_names) if lo < vv <= v
+        ]
+        expect = list(range(lo + 1, tail[-1][0] + 1)) if tail else []
+        if [vv for vv, _ in tail] != expect or (
+            not tail and lo < v and v > 0
+        ):
+            raise FileNotFoundError(
+                f"{self.root}: commit log has no contiguous entries in "
+                f"({lo}, {v}] -- cleanup_log removed history below a "
+                "checkpoint this read needs"
+            )
+        for _, name in tail:
+            self._fold(
+                state, json.loads(self.store.read_bytes(os.path.join(d, name)))
+            )
+        if len(self._state_cache) >= 4:
+            self._state_cache.pop(next(iter(self._state_cache)))
+        self._state_cache[v] = state
+        return state
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Opportunistically publish the state fold at ``version``
+        as a checkpoint (every ``checkpoint_every`` commits).  Best
+        effort: a racing writer's CAS win or any IO failure leaves the
+        log exactly as functional, just uncached."""
+        if not self.checkpoint_every or version % self.checkpoint_every:
+            return
+        try:
+            state = dict(self._state(version))
+            # stats and staging references of dead files are dead
+            # weight in a cache meant to bound cost -- prune to live
+            state["stats"] = {
+                f: c for f, c in state["stats"].items() if f in state["live"]
+            }
+            state["dv_staged"] = {
+                r: s
+                for r, s in state["dv_staged"].items()
+                if r in state["dv_live"]
+            }
+            self.store.put_if_absent(
+                os.path.join(self._log_dir(), self._ckpt_name(version)),
+                json.dumps(state).encode(),
+            )
+        except FileExistsError:
+            pass  # a peer checkpointed the same version -- identical fold
+        except Exception:  # noqa: BLE001 -- cache write is best-effort
+            pass
+
+    def cleanup_log(self, before: "int | None" = None) -> int:
+        """Delete commit entries at or below a CHECKPOINTED version
+        (default: the newest checkpoint), Delta's log-retention
+        cleanup.  The checkpoint becomes load-bearing: state at or
+        above it folds checkpoint+tail exactly as before, while time
+        travel, changes(), and stream catch-up BELOW it now raise the
+        same vacuumed-history errors vacuum() already produces for
+        data files.  Returns the number of log files removed.  The
+        cutoff must equal a checkpoint version -- anything else would
+        leave a fold range no checkpoint covers."""
+        entry_names, ckpt_names = self._list_log()
+        ckpt_vs = [self._ckpt_version(n) for n in ckpt_names]
+        if before is None:
+            before = max(ckpt_vs, default=0)
+        if before <= 0:
+            return 0
+        if before not in ckpt_vs:
+            raise ValueError(
+                f"cleanup_log cutoff v{before} is not a checkpointed "
+                f"version (checkpoints: {ckpt_vs})"
+            )
+        d = self._log_dir()
+        n = 0
+        for name in entry_names:
+            if self._entry_version(name) <= before:
+                self.store.delete(os.path.join(d, name))
+                n += 1
+        for name in ckpt_names:
+            if self._ckpt_version(name) < before:
+                self.store.delete(os.path.join(d, name))
+                n += 1
+        return n
+
     def _live_files(
         self, entries: list[dict] | None = None, version: int | None = None
     ) -> list[str]:
+        if entries is None:
+            # checkpointed fast path: O(tail since last checkpoint)
+            return list(self._state(version)["live"])
         live: dict[str, None] = {}
-        for e in entries if entries is not None else self._entries():
+        for e in entries:
             if version is not None and e["version"] > version:
                 break
             for f in e.get("remove", []):
@@ -321,8 +515,10 @@ class TxTable:
         per data file by construction: a dv delete only ever records
         positions that were VISIBLE at its snapshot, i.e. not already
         in any then-live dv."""
+        if entries is None:
+            return dict(self._state(version)["dv_live"])
         live: dict[str, list[str]] = {}
-        for e in entries if entries is not None else self._entries():
+        for e in entries:
             if version is not None and e["version"] > version:
                 break
             for rel in e.get("dv_remove", []):
@@ -345,8 +541,10 @@ class TxTable:
         stale).  ``None`` (append/init) bumps freely."""
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
-        entries = self._entries()
-        version = (entries[-1]["version"] + 1) if entries else 1
+        # next version from ONE listing (entries AND checkpoints: after
+        # cleanup_log the head may survive only as a checkpoint, and
+        # restarting version numbers would corrupt the log)
+        version = self._snapshot_version() + 1
         if base_version is not None and version != base_version + 1:
             raise ConcurrentWriteError(
                 f"snapshot v{base_version} is stale: log is at v{version - 1}"
@@ -371,21 +569,20 @@ class TxTable:
         """Make the filesystem agree with the log: complete any
         committed-but-unfinalized renames, then remove files and
         staging dirs the log does not reference."""
-        entries = self._entries()
-        if not entries:
+        st = self._state()
+        if st["version"] == 0:
             return
-        staged_of: dict[str, str] = {}
-        for e in entries:
-            for rel, staged in e.get("staged", {}).items():
-                staged_of[rel] = staged
-            for rel, staged in e.get("staged_dv", {}).items():
-                staged_of[rel] = staged
-        live = set(self._live_files(entries))
+        # staging references of LIVE files/dvs only -- dead files'
+        # staging is litter step 3 sweeps (the checkpointed state
+        # prunes them, which is exactly the set recovery can act on)
+        staged_of: dict[str, str] = dict(st["live"])
+        staged_of.update(st["dv_staged"])
+        live = set(st["live"])
         # 1. finish renames for live files still sitting in staging
         # (data files AND published-but-unmoved deletion vectors: a
         # crash between a dv commit's publish and finalize must not
         # resurrect the deleted rows)
-        for rel in list(live) + list(self._live_dvs(entries)):
+        for rel in list(live) + list(st["dv_live"]):
             final = os.path.join(self.root, rel)
             if not os.path.exists(final):
                 src = os.path.join(self.root, staged_of.get(rel, ""))
@@ -421,10 +618,14 @@ class TxTable:
         if candidates:
             import time as _time
 
-            fresh_entries = self._entries()
-            fresh_live = set(self._live_files(fresh_entries))
+            # rare path (a quiescent table has no candidates): one
+            # full log read for the ever-logged set -- after
+            # cleanup_log it is partial, and a pre-cutoff file merely
+            # falls to the age guard instead of immediate retirement
+            self._state_cache.clear()
+            fresh_live = set(self._live_files())
             ever_logged = {
-                f for e in fresh_entries for f in e.get("add", [])
+                f for e in self._entries() for f in e.get("add", [])
             }
             now = _time.time()
             for rel in candidates:
@@ -625,9 +826,9 @@ class TxTable:
         by a deletion vector live at that version are subtracted (see
         :meth:`delete_where`; zero plan overhead when none exist)."""
         self._recover()
-        entries = self._entries()
-        files = self._live_files(entries, version=version)
-        dvs = sorted(self._live_dvs(entries, version=version))
+        st = self._state(version)
+        files = list(st["live"])
+        dvs = sorted(st["dv_live"])
         if not files:
             # A fully-deleted table is still a table: its schema rides
             # in the commit log (newest entry that recorded one), so
@@ -637,16 +838,10 @@ class TxTable:
 
             from pyspark.sql.types import StructType
 
-            scoped = (
-                entries
-                if version is None
-                else [e for e in entries if e["version"] <= version]
-            )
-            for e in reversed(scoped):
-                if "schema" in e:
-                    return spark.createDataFrame(
-                        [], StructType.fromJson(_json.loads(e["schema"]))
-                    )
+            if "schema" in st:
+                return spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(st["schema"]))
+                )
             raise FileNotFoundError(f"empty tx table at {self.root}")
         # read through the LOGGED schema (as of the requested version):
         # after add-column evolution the live files legitimately carry
@@ -709,12 +904,12 @@ class TxTable:
         from pyspark.sql import functions as F
 
         self._recover()
-        entries = self._entries()
-        v_to = v_to if v_to is not None else self._snapshot_version(entries)
-        before = set(self._live_files(entries, version=v_from))
-        after = set(self._live_files(entries, version=v_to))
-        dv_before = self._live_dvs(entries, version=v_from)
-        dv_after = self._live_dvs(entries, version=v_to)
+        v_to = v_to if v_to is not None else self._snapshot_version()
+        st_from, st_to = self._state(v_from), self._state(v_to)
+        before = set(st_from["live"])
+        after = set(st_to["live"])
+        dv_before = st_from["dv_live"]
+        dv_after = st_to["dv_live"]
         schema = self.logged_schema(v_to)
 
         def _read(rels: set[str], dvs: dict[str, list[str]]) -> DataFrame:
@@ -855,12 +1050,16 @@ class TxTable:
         _recover()-able state)?  Decides whether in-memory layout
         state should roll back with the exception or stand with the
         published log."""
-        entries = self._entries()
-        head = entries[-1] if entries else None
+        entry_names, _ = self._list_log()
+        if not entry_names:
+            return False
+        head = json.loads(
+            self.store.read_bytes(
+                os.path.join(self._log_dir(), entry_names[-1])
+            )
+        )
         return bool(
-            head
-            and head.get("op") == op
-            and head.get("add") == sorted(mapping)
+            head.get("op") == op and head.get("add") == sorted(mapping)
         )
 
     def vacuum(self, keep_versions: int = 0) -> int:
@@ -874,8 +1073,16 @@ class TxTable:
         part of the current version and always survives).  Returns
         the number of files removed."""
         n = 0
-        entries = self._entries()
-        current = self._snapshot_version(entries)
+        current = self._snapshot_version()
+
+        def _live_at(v: int) -> list[str]:
+            try:
+                return list(self._state(v)["live"])
+            except FileNotFoundError:
+                # history below a cleanup_log cutoff: unreachable by
+                # any read, so it pins nothing
+                return []
+
         adir = os.path.join(self.root, _ARCHIVE_DIR)
         if os.path.isdir(adir):
             if keep_versions <= 0:
@@ -885,7 +1092,7 @@ class TxTable:
             else:
                 needed: set[str] = set()
                 for v in range(max(1, current - keep_versions), current + 1):
-                    needed.update(self._live_files(entries, version=v))
+                    needed.update(_live_at(v))
                 for dirpath, _, filenames in os.walk(adir, topdown=False):
                     for name in filenames:
                         p = os.path.join(dirpath, name)
@@ -901,11 +1108,14 @@ class TxTable:
         # dv that some retained version's live set replays
         dv_dir = os.path.join(self.root, _DV_DIR)
         if os.path.isdir(dv_dir):
-            needed_dv = set(self._live_dvs(entries))
+            needed_dv = set(self._live_dvs())
             for v in range(
                 max(1, current - max(0, keep_versions)), current + 1
             ):
-                needed_dv.update(self._live_dvs(entries, version=v))
+                try:
+                    needed_dv.update(self._state(v)["dv_live"])
+                except FileNotFoundError:
+                    pass  # cleaned history pins nothing
             for name in os.listdir(dv_dir):
                 if os.path.join(_DV_DIR, name) not in needed_dv:
                     self.store.delete(os.path.join(dv_dir, name))
@@ -924,27 +1134,24 @@ class TxTable:
         without the argument still writes/reads clustered)."""
         if self._cluster_by is not None:
             return self._cluster_by
-        for e in reversed(self._entries()):
-            if "cluster_by" in e:
-                c = e["cluster_by"]
-                self._cluster_by = (
-                    list(c["bucket_cols"]),
-                    list(c["sort_cols"]),
-                    int(c["n_buckets"]),
-                )
-                return self._cluster_by
-        return None
+        c = self._state().get("cluster_by")
+        if c is not None:
+            self._cluster_by = (
+                list(c["bucket_cols"]),
+                list(c["sort_cols"]),
+                int(c["n_buckets"]),
+            )
+        return self._cluster_by
 
     def constraint_spec(self) -> dict[str, str] | None:
         """Effective CHECK constraints: the constructor's, or the
         newest set recorded in the commit log."""
         if self._constraints is not None:
             return self._constraints
-        for e in reversed(self._entries()):
-            if "constraints" in e:
-                self._constraints = dict(e["constraints"])
-                return self._constraints
-        return None
+        c = self._state().get("constraints")
+        if c is not None:
+            self._constraints = dict(c)
+        return self._constraints
 
     def _check_constraints(self, df: DataFrame) -> None:
         """Raise on the first row violating any CHECK constraint --
@@ -1208,12 +1415,10 @@ class TxTable:
         intersect [lo, hi] -- pure log arithmetic, no file IO.  Files
         committed without stats for ``col`` are kept (conservative:
         pruning may only skip provably-disjoint files)."""
-        stats: dict[str, dict] = {}
-        for e in self._entries():
-            for f, cols in e.get("stats", {}).items():
-                stats[f] = cols
+        st = self._state()
+        stats = st["stats"]
         keep = []
-        for f in self._live_files():
+        for f in st["live"]:
             cs = stats.get(f, {}).get(col)
             if cs is None or not (cs[1] < lo or cs[0] > hi):
                 keep.append(f)
@@ -1467,13 +1672,20 @@ class TxTable:
             staged_dv=staged_dv,
             dv_drop=entry.get("dv_remove"),
         )
+        self._maybe_checkpoint(version)
         return version
 
     def _snapshot_version(self, entries: "list[dict] | None" = None) -> int:
         """Head of the log; pass pre-parsed ``entries`` to avoid a
-        second log scan (the byte-paced stream planner does)."""
-        entries = self._entries() if entries is None else entries
-        return entries[-1]["version"] if entries else 0
+        second log scan (the byte-paced stream planner does).  The
+        no-argument form is ONE directory listing -- no entry reads."""
+        if entries is not None:
+            return entries[-1]["version"] if entries else 0
+        entry_names, ckpt_names = self._list_log()
+        head = self._entry_version(entry_names[-1]) if entry_names else 0
+        if ckpt_names:
+            head = max(head, self._ckpt_version(ckpt_names[-1]))
+        return head
 
     def _raise_if_concurrent(self, exc: Exception, base_version: int):
         """Surface a mid-transaction read failure caused by a
@@ -1546,13 +1758,8 @@ class TxTable:
 
         from pyspark.sql.types import StructType
 
-        entries = self._entries()
-        if version is not None:
-            entries = [e for e in entries if e["version"] <= version]
-        for e in reversed(entries):
-            if "schema" in e:
-                return StructType.fromJson(_json.loads(e["schema"]))
-        return None
+        s = self._state(version).get("schema")
+        return StructType.fromJson(_json.loads(s)) if s is not None else None
 
     def _evolve(self, df: DataFrame) -> DataFrame:
         """ADD-COLUMN schema evolution (Delta mergeSchema's safe
@@ -1587,11 +1794,7 @@ class TxTable:
         idempotent-writes analog): commits made with ``app_txn=(app_id,
         v)`` record v in the log; a batch-id-aware sink no-ops any
         replayed micro-batch whose id is <= this.  Pure log read."""
-        for e in reversed(self._entries()):
-            txn = e.get("txn")
-            if txn is not None and txn.get("app_id") == app_id:
-                return int(txn["version"])
-        return None
+        return self._state()["txn"].get(app_id)
 
     def init(
         self, df: DataFrame, app_txn: "tuple[str, int] | None" = None
@@ -2145,7 +2348,6 @@ class TxTable:
                 "resurrect deleted rows; use the rewrite delete"
             )
         base_version = self._snapshot_version()
-        entries = self._entries()
         schema = self.logged_schema()
         if schema is not None and (
             {_TXDV_FILE, _TXDV_POS} & {f.name for f in schema.fields}
@@ -2154,10 +2356,11 @@ class TxTable:
                 f"table schema uses reserved column name(s) "
                 f"{_TXDV_FILE!r}/{_TXDV_POS!r}"
             )
-        files = self._live_files(entries)
+        st = self._state()
+        files = list(st["live"])
         if not files:
-            return self._snapshot_version(entries)
-        dvs = sorted(self._live_dvs(entries))
+            return base_version
+        dvs = sorted(st["dv_live"])
         txn = uuid.uuid4().hex
         staging = os.path.join(self.root, _STAGING_DIR, txn)
         try:
@@ -2175,7 +2378,7 @@ class TxTable:
             touched = [r[_TXDV_FILE] for r in
                        doomed.select(_TXDV_FILE).distinct().collect()]
             if not touched:
-                return self._snapshot_version(entries)
+                return base_version
             unknown = set(touched) - set(files)
             if unknown:
                 # the path-derived rel must round-trip to the logged
@@ -2290,7 +2493,7 @@ class TxTable:
                     for r in doomed.select(*self.partition_by).distinct().collect()
                 ]
                 if not touched:
-                    return self._entries()[-1]["version"]
+                    return self._snapshot_version()
                 removes = self._scoped_removes(touched)
                 base = self._read_files(
                     spark, [os.path.join(self.root, f) for f in removes]
