@@ -185,7 +185,14 @@ def test_txtable_matches_model_under_random_ops(
     from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
 
     root = str(tmp_path_factory.mktemp("txprop") / "t")
-    tx = TxTable(root, partition_by=["ym"], log_store=_make_store(store_kind))
+    # checkpoint_every=2: every generated op sequence crosses several
+    # checkpoints, so the model compare also pins ckpt-resumed folds
+    tx = TxTable(
+        root,
+        partition_by=["ym"],
+        log_store=_make_store(store_kind),
+        checkpoint_every=2,
+    )
 
     def df_of(rows):
         return spark.createDataFrame(rows, "k long, v string, ym string")
@@ -288,7 +295,12 @@ def test_txtable_matches_model_from_mixed_layout(
     TxTable(root).init(  # flat era: no spec logged, files carry no ym=
         spark.createDataFrame(init, "k long, v string, ym string")
     )
-    tx = TxTable(root, partition_by=["ym"], log_store=_make_store(store_kind))
+    tx = TxTable(
+        root,
+        partition_by=["ym"],
+        log_store=_make_store(store_kind),
+        checkpoint_every=2,
+    )
     model = list(init)
 
     def df_of(rows):

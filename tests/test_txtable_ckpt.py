@@ -1,0 +1,200 @@
+"""Log checkpoints: O(tail) state reconstruction, checkpoint-resumed
+folds equal full folds at every version, cleanup_log's load-bearing
+contract (exact continuity guard, vacuumed-history errors below the
+cutoff, version numbering continues), and spec inheritance from a
+checkpoint alone."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+    _LOG_DIR,
+    TxTable,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .withColumn("ym", (F.col("id") % 2).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def _drive(spark, root, n_commits=12, every=4):
+    """A mixed op sequence long enough to cross several checkpoints."""
+    t = TxTable(root, partition_by=["ym"], retain_history=True,
+                checkpoint_every=every)
+    t.init(_df(spark, 0, 20))
+    for i in range(1, n_commits):
+        if i % 5 == 2:
+            t.delete_where(spark, F.col("id") == 20 + (i - 1) * 10)
+        elif i % 5 == 4:
+            t.delete_where(spark, F.col("id") % 17 == i % 17, dv=True)
+        else:
+            t.append(_df(spark, 20 + i * 10, 20 + i * 10 + 5))
+    return t
+
+
+def _ckpt_files(root):
+    d = os.path.join(root, _LOG_DIR)
+    return sorted(n for n in os.listdir(d) if n.startswith(".ckpt_v"))
+
+
+def test_checkpointed_state_equals_full_fold(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _drive(spark, root)
+    assert _ckpt_files(root), "no checkpoint written"
+    entries = t._entries()
+    head = entries[-1]["version"]
+    for v in range(1, head + 1):
+        t._state_cache.clear()
+        st = t._state(v)
+        assert sorted(st["live"]) == sorted(
+            t._live_files(entries, version=v)
+        ), f"live mismatch at v{v}"
+        assert st["dv_live"] == t._live_dvs(entries, version=v), (
+            f"dv mismatch at v{v}"
+        )
+
+
+def test_checkpoints_hidden_from_entries_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _drive(spark, root)
+    vs = [e["version"] for e in t._entries()]
+    assert vs == list(range(1, len(vs) + 1))
+    assert all(isinstance(h["op"], str) for h in t.history())
+
+
+def test_corrupt_checkpoint_falls_back_to_full_fold(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _drive(spark, root)
+    before = _ids(t.read(spark))
+    for name in _ckpt_files(root):
+        with open(os.path.join(root, _LOG_DIR, name), "w") as f:
+            f.write("{corrupt json")
+    t._state_cache.clear()
+    assert _ids(t.read(spark)) == before
+
+
+def test_reads_prefer_checkpoint_over_tail_reread(spark, tmp_path):
+    """The newest checkpoint at or below the version seeds the fold:
+    poisoning it (valid JSON, wrong content) must CHANGE the result --
+    structural proof the fast path is actually taken."""
+    root = str(tmp_path / "t")
+    t = _drive(spark, root)
+    name = _ckpt_files(root)[-1]
+    p = os.path.join(root, _LOG_DIR, name)
+    state = json.loads(open(p).read())
+    victim = next(iter(state["live"]))
+    state["live"] = {
+        r: s for r, s in state["live"].items() if r != victim
+    }
+    os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(state, f)
+    t._state_cache.clear()
+    full = set(t._live_files(t._entries()))
+    assert set(t._state()["live"]) == full - {victim}
+
+
+def test_cleanup_log_keeps_head_reads_working(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    before = _ids(t.read(spark))
+    ckpt_v = int(_ckpt_files(root)[-1][7:-5])
+    removed = t.cleanup_log()
+    assert removed >= ckpt_v
+    t._state_cache.clear()
+    assert _ids(t.read(spark)) == before
+    # time travel at/above the cutoff works; below raises loudly
+    assert _ids(t.read(spark, version=ckpt_v)) is not None
+    with pytest.raises(FileNotFoundError, match="cleanup_log"):
+        t.read(spark, version=ckpt_v - 2)
+    with pytest.raises(FileNotFoundError, match="cleanup_log"):
+        t.changes(spark, 1)
+
+
+def test_cleanup_log_requires_checkpointed_cutoff(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _drive(spark, root)
+    with pytest.raises(ValueError, match="not a checkpointed"):
+        t.cleanup_log(before=3)
+
+
+def test_writes_continue_after_cleanup_at_head(spark, tmp_path):
+    """cleanup_log at a head-version checkpoint can delete EVERY
+    entry; the next commit must continue the version numbering from
+    the checkpoint, and a bare handle must still inherit the logged
+    layout from it."""
+    root = str(tmp_path / "t")
+    t = TxTable(root, partition_by=["ym"], checkpoint_every=2)
+    t.init(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 15))  # v2 -> checkpoint at 2
+    t.cleanup_log()
+    d = os.path.join(root, _LOG_DIR)
+    assert not [n for n in os.listdir(d) if n.endswith(".json") and not n.startswith(".")]
+    bare = TxTable(root)
+    assert bare.exists()
+    assert bare.partition_by == ["ym"]  # inherited from the checkpoint
+    v = bare.append(_df(spark, 15, 20))
+    assert v == 3  # numbering continues past the cleaned entries
+    assert _ids(bare.read(spark)) == list(range(20))
+
+
+def test_stream_reads_tail_after_cleanup(spark, tmp_path):
+    """A paced stream starting at the checkpointed cutoff consumes the
+    surviving tail; starting below it fails with the cleaned-history
+    error instead of a silently partial feed."""
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        read_txtable_stream,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable(root, retain_history=True, checkpoint_every=2)
+    t.init(spark.range(0, 10).withColumn("v", F.col("id")))
+    t.append(spark.range(10, 20).withColumn("v", F.col("id")))  # v2: ckpt
+    t.append(spark.range(20, 30).withColumn("v", F.col("id")))  # v3
+    t.cleanup_log()  # drops v1, v2 entries
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        read_txtable_stream(spark, root, starting_version=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert _ids(got) == list(range(20, 30))
+    assert {r["_commit_version"] for r in got.collect()} == {3}
+
+
+def test_checkpointing_disabled_writes_none(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable(root, checkpoint_every=0)
+    t.init(_df(spark, 0, 10))
+    for i in range(12):
+        t.append(_df(spark, 10 + i, 11 + i))
+    assert not _ckpt_files(root)
+    assert _ids(t.read(spark)) == list(range(10)) + list(range(10, 22))
+
+
+def test_vacuum_after_cleanup(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    t.cleanup_log()
+    before = _ids(t.read(spark))
+    t.vacuum(keep_versions=2)
+    t._state_cache.clear()
+    assert _ids(t.read(spark)) == before
