@@ -254,6 +254,17 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
                 shutil.rmtree(out + "_ck", ignore_errors=True)
 
             rec("tx_stream_drain_steady", drain_steady)
+            # deletion-vector sparse delete, LAST so the dv commit
+            # perturbs no other row's feed or scan: O(deleted rows)
+            # written instead of rewriting every touched partition
+            # (BENCH_DV_AB.json holds the byte asymmetry; this row
+            # tracks the wall cost per round)
+            rec(
+                "tx_dv_delete",
+                lambda: t.delete_where(
+                    spark, F.col("o_orderkey") % 89 == 0, dv=True
+                ),
+            )
         finally:
             shutil.rmtree(base, ignore_errors=True)
     return {k: round(min(v), 3) for k, v in samples.items()}

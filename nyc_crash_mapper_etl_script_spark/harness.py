@@ -6862,6 +6862,70 @@ def txtable_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txtable_log_checkpoint",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE NOT coalesce(o_orderkey % 11 = 3, FALSE)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def txtable_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG CHECKPOINTS + retention cleanup under the driver gate
+    (txtable.py ``_state``/``cleanup_log``, Delta's checkpoint + log
+    retention): the table builds over 11 modulus-slice commits
+    crossing several checkpoint boundaries (every 4), takes a
+    deletion-vector delete, then ``cleanup_log(keep_versions=2)``
+    drops every entry a checkpoint covers outside the trailing
+    window.  The final read folds checkpoint+tail -- ONE log read for
+    the base state instead of the full commit history (the
+    object-store GET count, BENCH_LOG_CKPT.json) -- and must equal
+    the plain SQL over the union of the slices minus the dv'd rows.
+    Structural asserts pin that entries were actually removed and a
+    checkpoint actually exists."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txck_")
+    try:
+        t = TxTable(os.path.join(base, "t"), checkpoint_every=4)
+        t.init(o.where(F.col("o_orderkey") % 11 == 0))
+        for m in range(1, 11):
+            t.append(o.where(F.col("o_orderkey") % 11 == m))
+        t.delete_where(spark, F.col("o_orderkey") % 11 == 3, dv=True)
+        n_before = len(t._entries())
+        removed = t.cleanup_log(keep_versions=2)  # entries + stale ckpts
+        assert removed > 0 and len(t._entries()) < n_before
+        assert any(
+            n.startswith(".ckpt_v")
+            for n in os.listdir(os.path.join(t.root, "_txlog"))
+        )
+        rows = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n long, key_sum long"
+    )
+
+
+@register(
     "txtable_dv_delete",
     """
     WITH kept AS (

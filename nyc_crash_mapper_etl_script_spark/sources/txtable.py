@@ -454,7 +454,9 @@ class TxTable:
         except Exception:  # noqa: BLE001 -- cache write is best-effort
             pass
 
-    def cleanup_log(self, before: "int | None" = None) -> int:
+    def cleanup_log(
+        self, before: "int | None" = None, keep_versions: int = 0
+    ) -> int:
         """Delete commit entries at or below a CHECKPOINTED version
         (default: the newest checkpoint), Delta's log-retention
         cleanup.  The checkpoint becomes load-bearing: state at or
@@ -463,11 +465,18 @@ class TxTable:
         same vacuumed-history errors vacuum() already produces for
         data files.  Returns the number of log files removed.  The
         cutoff must equal a checkpoint version -- anything else would
-        leave a fold range no checkpoint covers."""
+        leave a fold range no checkpoint covers.
+
+        ``keep_versions=N`` retains a trailing window: the cutoff is
+        the newest checkpoint at or below head-N, so a change-feed
+        consumer lagging up to N commits keeps its catch-up range (a
+        maintained long-running stream bounds its log listing with
+        this without orphaning its own downstream)."""
         entry_names, ckpt_names = self._list_log()
         ckpt_vs = [self._ckpt_version(n) for n in ckpt_names]
         if before is None:
-            before = max(ckpt_vs, default=0)
+            limit = self._snapshot_version() - max(0, keep_versions)
+            before = max((v for v in ckpt_vs if v <= limit), default=0)
         if before <= 0:
             return 0
         if before not in ckpt_vs:

@@ -180,6 +180,25 @@ def test_stream_reads_tail_after_cleanup(spark, tmp_path):
     assert {r["_commit_version"] for r in got.collect()} == {3}
 
 
+def test_cleanup_keep_versions_window(spark, tmp_path):
+    """keep_versions retains a lagging consumer's catch-up range: the
+    cutoff is the newest checkpoint at or below head-N."""
+    root = str(tmp_path / "t")
+    t = TxTable(root, checkpoint_every=2, retain_history=True)
+    t.init(_df(spark, 0, 5))
+    for i in range(7):  # head = 8, ckpts at 2,4,6,8
+        t.append(_df(spark, 5 + i, 6 + i))
+    t.cleanup_log(keep_versions=3)  # newest ckpt <= 5 -> cutoff 4
+    t._state_cache.clear()
+    remaining = [e["version"] for e in t._entries()]
+    assert remaining == [5, 6, 7, 8]
+    assert _ids(t.read(spark, version=5)) is not None
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=3)
+    # a window wider than history is a no-op
+    assert t.cleanup_log(keep_versions=100) == 0
+
+
 def test_checkpointing_disabled_writes_none(spark, tmp_path):
     root = str(tmp_path / "t")
     t = TxTable(root, checkpoint_every=0)
