@@ -97,6 +97,7 @@ def corpus_prep_stream(
     max_versions_per_batch: int | None = None,
     max_bytes_per_batch: int | None = None,
     compact_every_n_commits: int | None = None,
+    cleanup_log_keep_versions: int | None = None,
 ) -> StreamingQuery:
     """Open the chained stream: ``source``'s commit log -> scored
     ``corpus`` table.  Restart-safe from ``checkpoint_dir``; the
@@ -114,7 +115,16 @@ def corpus_prep_stream(
     commit, small files bin-pack via ``TxTable.compact_if_due`` --
     O(small-file bytes) per compaction, so a stream left running for
     days no longer accumulates O(batches) files between operator
-    interventions (r8 VERDICT #3)."""
+    interventions (r8 VERDICT #3).
+
+    ``cleanup_log_keep_versions`` (opt-in) bounds the LOG the same
+    way compaction bounds the files: after each batch,
+    ``TxTable.cleanup_log(keep_versions=N)`` drops entries a
+    checkpoint covers outside the trailing N-commit window --
+    O(listing) per trigger in steady state.  Pick N large enough for
+    the slowest downstream change-feed consumer's lag; the corpus's
+    own sink is idempotent via app_txn, which rides in every
+    checkpoint, so replay safety is unaffected."""
     from nyc_crash_mapper_etl_script_spark.sources.txstream import (
         CHANGE_COL,
         read_txtable_stream,
@@ -176,6 +186,8 @@ def corpus_prep_stream(
         else:
             corpus.init(kept, app_txn=(app_id, batch_id))
         corpus.compact_if_due(spark, compact_every_n_commits)
+        if cleanup_log_keep_versions:
+            corpus.cleanup_log(keep_versions=cleanup_log_keep_versions)
 
     writer = (
         read_txtable_stream(

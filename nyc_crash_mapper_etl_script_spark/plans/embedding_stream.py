@@ -318,6 +318,7 @@ def semantic_dedup_stream(
     max_bytes_per_batch: int | None = None,
     compact_every_n_commits: int | None = None,
     requantize_drift_threshold_e6: int | None = None,
+    cleanup_log_keep_versions: int | None = None,
 ) -> StreamingQuery:
     """Open the chained stream: ``source``'s commit log ->
     quantizer/index/kept state tables.  Restart-safe from
@@ -329,7 +330,10 @@ def semantic_dedup_stream(
 
     ``compact_every_n_commits`` (opt-in) bounds the index/kept
     tables' live-file counts under continuous appends via
-    ``TxTable.compact_if_due`` after each batch (r8 VERDICT #3).
+    ``TxTable.compact_if_due`` after each batch (r8 VERDICT #3);
+    ``cleanup_log_keep_versions`` (opt-in) bounds their LOGS the same
+    way via ``TxTable.cleanup_log(keep_versions=N)`` -- see
+    corpus_stream for the consumer-lag sizing rule.
 
     ``requantize_drift_threshold_e6`` (opt-in) wires the measured
     drift signal to the audited rebuild (r8 VERDICT #7): after each
@@ -419,6 +423,9 @@ def semantic_dedup_stream(
                 )
         index.compact_if_due(spark, compact_every_n_commits)
         kept.compact_if_due(spark, compact_every_n_commits)
+        if cleanup_log_keep_versions:
+            index.cleanup_log(keep_versions=cleanup_log_keep_versions)
+            kept.cleanup_log(keep_versions=cleanup_log_keep_versions)
 
     writer = (
         read_txtable_stream(

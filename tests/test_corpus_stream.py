@@ -252,3 +252,48 @@ def test_auto_compaction_bounds_live_files(spark, corpus_env):
     )
     want = sorted(tuple(r) for r in prep_batch(all_docs).collect())
     assert pol == want
+
+
+def test_log_retention_bounds_log_files(spark, corpus_env):
+    """Round 9: with cleanup_log_keep_versions=N the corpus table's
+    LOG listing stays bounded under continuous batches (checkpoint +
+    trailing window), while results stay exactly the batch recompute
+    -- the log-side twin of the compaction policy."""
+    source, corpus, ckpt = corpus_env
+    n_batches = 8
+    keep = 2
+    # checkpoint often so the retention window always has a cutoff
+    corpus.checkpoint_every = 2
+    for b in range(n_batches):
+        batch = _docs(
+            spark,
+            [(b * 2 + j,
+              GOOD + f" distinct tail {b * 2 + j} of the long story",
+              "web") for j in range(2)],
+        )
+        (source.append if source.exists() else source.init)(batch)
+        q = corpus_prep_stream(
+            spark, source, corpus, ckpt,
+            threshold_logit=-0.35,
+            cleanup_log_keep_versions=keep,
+        )
+        q.awaitTermination(300)
+        # the handle the SINK builds is fresh per batch; ours carries
+        # the aggressive checkpoint cadence for the next loop turn
+        corpus = TxTable(corpus.root, checkpoint_every=2)
+    log_dir = os.path.join(corpus.root, "_txlog")
+    entries = [
+        n for n in os.listdir(log_dir)
+        if n.endswith(".json") and not n.startswith(".")
+    ]
+    # bounded: at most keep + checkpoint cadence entries survive
+    assert len(entries) <= keep + 2, sorted(entries)
+    # and the table still reads exactly the batch recompute
+    all_docs = _docs(
+        spark,
+        [(i, GOOD + f" distinct tail {i} of the long story", "web")
+         for i in range(n_batches * 2)],
+    )
+    got = sorted(tuple(r) for r in corpus.read(spark).drop("fp_pfx").collect())
+    want = sorted(tuple(r) for r in prep_batch(all_docs).collect())
+    assert got == want
