@@ -307,11 +307,21 @@ class TxTableStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version}
 
     @staticmethod
-    def _entries_range(t: TxTable, lo: int, hi: int) -> list[dict]:
+    def _entries_range(
+        t: TxTable, lo: int, hi: int, require_contiguous: bool = False
+    ) -> list[dict]:
         """Commit entries for versions in (lo, hi], read individually
         by name -- O(range), never O(history): a long-lived stream's
         per-trigger planning cost must not grow with the table's
-        commit count."""
+        commit count.
+
+        ``require_contiguous`` guards correctness against
+        ``cleanup_log``: versions are dense, so a hole in the range
+        means retention deleted part of this batch's history -- a
+        fresh query starting at the default version 0, or a consumer
+        lagging past the producer's retention window, must FAIL
+        loudly here rather than silently emit a partial feed (the
+        offset would advance past rows that were never delivered)."""
         entry_names, _ = t._list_log()
         out = []
         for name in entry_names:
@@ -321,6 +331,15 @@ class TxTableStreamReader(DataSourceStreamReader):
                     json.loads(
                         t.store.read_bytes(os.path.join(t._log_dir(), name))
                     )
+                )
+        if require_contiguous:
+            got = [e["version"] for e in out]
+            if got != list(range(lo + 1, hi + 1)):
+                raise FileNotFoundError(
+                    f"{t.root}: commit entries for ({lo}, {hi}] are "
+                    f"incomplete (have {got}) -- cleanup_log removed "
+                    "history this stream still needs; restart from a "
+                    "version at or above the retention cutoff"
                 )
         return out
 
@@ -451,6 +470,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         live: set[str] = set(seed["live"])
         dv_live: set[str] = set(seed["dv_live"])
         dv_for_of: dict[str, list[str]] = dict(seed["dv_live"])
+        batch_entries = self._entries_range(t, lo, hi, require_contiguous=True)
 
         def _dv_paths(rels) -> list[str]:
             return [os.path.join(self.root, r) for r in sorted(rels)]
@@ -472,28 +492,23 @@ class TxTableStreamReader(DataSourceStreamReader):
         def _dvs_for(rel) -> list[str]:
             return _dv_paths(d for d in dv_live if rel in dv_for_of[d])
 
-        for e in self._entries_range(t, lo, hi):
+        for e in batch_entries:
             v = e["version"]
-            in_range = True  # range read IS (lo, hi]
             dv_added = e.get("dv_add", {})
             dv_removed = e.get("dv_remove", [])
-            if in_range:
-                # removed files emit their rows still VISIBLE at v-1
-                # (dv state before this entry applies): their dv'd
-                # rows were already emitted as deletes when the dv
-                # committed, and re-emitting would double-count in a
-                # signed consumer
-                for rel in e.get("remove", []):
-                    parts.append(
-                        _part(rel, "delete", v, dv_subtract=_dvs_for(rel) or None)
-                    )
+            # removed files emit their rows still VISIBLE at v-1 (dv
+            # state before this entry applies): their dv'd rows were
+            # already emitted as deletes when the dv committed, and
+            # re-emitting would double-count in a signed consumer
+            for rel in e.get("remove", []):
+                parts.append(
+                    _part(rel, "delete", v, dv_subtract=_dvs_for(rel) or None)
+                )
             dv_live.difference_update(dv_removed)
             dv_live.update(dv_added)
             dv_for_of.update(dv_added)
             live.difference_update(e.get("remove", []))
             live.update(e.get("add", []))
-            if not in_range:
-                continue
             # added files emit rows visible at v: a restore re-adding
             # a dv'd file must not re-emit its deleted rows
             for rel in e.get("add", []):

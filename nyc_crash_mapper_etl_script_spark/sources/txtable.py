@@ -359,6 +359,13 @@ class TxTable:
         for k in ("schema", "partition_by", "cluster_by", "constraints"):
             if k in e:
                 state[k] = e[k]
+        if e.get("op") in ("init", "compact", "compact_small", "overwrite",
+                           "repartition"):
+            # rides the state (and thus checkpoints) so the
+            # auto-compaction trigger survives cleanup_log deleting
+            # the rewrite's own entry -- a retention window smaller
+            # than the compaction cadence must not starve it
+            state["last_rewrite_version"] = e["version"]
         txn = e.get("txn")
         if txn is not None:
             state["txn"][txn["app_id"]] = int(txn["version"])
@@ -485,6 +492,20 @@ class TxTable:
                 f"version (checkpoints: {ckpt_vs})"
             )
         d = self._log_dir()
+        # the cutoff checkpoint becomes LOAD-BEARING the moment its
+        # entries are gone -- validate its content (not just its
+        # name) before the irreversible deletion, or a corrupt one
+        # bricks every future state fold
+        try:
+            ck = json.loads(
+                self.store.read_bytes(os.path.join(d, self._ckpt_name(before)))
+            )
+            assert ck["version"] == before and isinstance(ck["live"], dict)
+        except Exception as exc:  # noqa: BLE001 -- refuse, don't brick
+            raise ValueError(
+                f"checkpoint v{before} at {self.root} is unreadable "
+                f"({exc!r}); refusing to delete the entries it covers"
+            ) from exc
         n = 0
         for name in entry_names:
             if self._entry_version(name) <= before:
@@ -927,8 +948,15 @@ class TxTable:
                     raise FileNotFoundError("no logged schema for empty diff side")
                 return spark.createDataFrame([], schema)
             # a diff side can mix live and archived files (e.g. after
-            # a restore) -- group by resolution base like read()
-            return self._read_resolved(spark, sorted(rels), schema, dvs=sorted(dvs))
+            # a restore) -- group by resolution base like read().
+            # Subtract only the dvs whose referenced files intersect
+            # THIS side (dv_for, recorded at commit): a table carrying
+            # many outstanding sparse deletes must not pay the whole
+            # set on a small file-level diff.
+            side_dvs = sorted(
+                d for d, fr in dvs.items() if not rels.isdisjoint(fr)
+            )
+            return self._read_resolved(spark, sorted(rels), schema, dvs=side_dvs)
 
         added = _read(after - before, dv_after)
         removed = _read(before - after, dv_before)
@@ -2142,32 +2170,18 @@ class TxTable:
     def commits_since_rewrite(self) -> int:
         """Commits since the last whole-table rewrite (init / compact /
         compact_small / overwrite / repartition) -- the auto-compaction
-        policy's trigger counter.  Walks the log TAIL newest-first and
-        stops at the first rewrite op, so the per-call cost is O(the
-        counter value) -- bounded by the policy's own N in steady
-        state -- not O(full history): a stream armed with the policy
-        calls this every micro-batch, and parsing thousands of old
-        entries per batch would make the file-growth fix itself grow
-        with the history it exists to bound."""
-        d = self._log_dir()
-        names = sorted(
-            n
-            for n in self.store.list_dir(d)
-            if n.endswith(".json") and not n.startswith(".")
-        )
-        n = 0
-        for name in reversed(names):
-            e = json.loads(self.store.read_bytes(os.path.join(d, name)))
-            if e.get("op") in (
-                "init",
-                "compact",
-                "compact_small",
-                "overwrite",
-                "repartition",
-            ):
-                break
-            n += 1
-        return n
+        policy's trigger counter: head minus the state's
+        ``last_rewrite_version``.  O(tail since the last checkpoint)
+        like every state read, and -- because the rewrite version
+        rides the state and thus checkpoints -- immune to
+        ``cleanup_log`` deleting the rewrite's own entry (a retention
+        window smaller than the compaction cadence would otherwise
+        cap the counter below the threshold and starve the policy
+        forever).  A table whose visible history never recorded a
+        rewrite (pre-upgrade checkpoint) counts from zero --
+        conservative: the policy fires once and self-heals."""
+        st = self._state()
+        return st["version"] - st.get("last_rewrite_version", 0)
 
     def compact_small(
         self,

@@ -209,6 +209,68 @@ def test_checkpointing_disabled_writes_none(spark, tmp_path):
     assert _ids(t.read(spark)) == list(range(10)) + list(range(10, 22))
 
 
+def test_fresh_stream_from_zero_fails_loud_on_cleaned_log(spark, tmp_path):
+    """A fresh consumer with the default starting_version=0 over a
+    cleanup_log'd table must FAIL, never silently deliver only the
+    surviving tail (its offset would advance past rows it never
+    emitted)."""
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        read_txtable_stream,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable(root, retain_history=True, checkpoint_every=2)
+    t.init(spark.range(0, 10).withColumn("v", F.col("id")))
+    t.append(spark.range(10, 20).withColumn("v", F.col("id")))
+    t.append(spark.range(20, 30).withColumn("v", F.col("id")))
+    t.cleanup_log()  # drops v1, v2 entries
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        read_txtable_stream(spark, root)  # default: from version 0
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="cleanup_log|incomplete"):
+        q.awaitTermination(120)
+        raise AssertionError("stream drained a cleaned log silently")
+
+
+def test_commits_since_rewrite_survives_cleanup(spark, tmp_path):
+    """The auto-compaction trigger counts from the state's
+    last_rewrite_version, which rides checkpoints -- cleanup_log
+    deleting the rewrite's own entry must not cap the counter below
+    the compaction threshold (the starvation interaction between the
+    two retention policies)."""
+    root = str(tmp_path / "t")
+    t = TxTable(root, checkpoint_every=2)
+    t.init(_df(spark, 0, 10))  # v1: rewrite
+    for i in range(5):
+        t.append(_df(spark, 10 + i, 11 + i))  # v2..v6
+    assert t.commits_since_rewrite() == 5
+    t.cleanup_log()  # newest ckpt (v6) -> ALL entries deleted
+    t._state_cache.clear()
+    assert t.commits_since_rewrite() == 5  # still head - v1, via state
+
+
+def test_cleanup_refuses_corrupt_cutoff_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable(root, checkpoint_every=2)
+    t.init(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 15))  # v2: ckpt
+    name = _ckpt_files(root)[-1]
+    with open(os.path.join(root, _LOG_DIR, name), "w") as f:
+        f.write("{corrupt")
+    with pytest.raises(ValueError, match="unreadable"):
+        t.cleanup_log()
+    # nothing was deleted; the table still reads via the full fold
+    t._state_cache.clear()
+    assert len(t._entries()) == 2
+    assert _ids(t.read(spark)) == list(range(15))
+
+
 def test_vacuum_after_cleanup(spark, tmp_path):
     root = str(tmp_path / "t")
     t = _drive(spark, root, n_commits=12, every=4)

@@ -97,7 +97,6 @@ def main() -> None:
                     t.read(spark).agg(F.count(F.lit(1))).collect()
                 dt = time.perf_counter() - t0
                 samples.append(dt)
-                head = t.history()[0] if variant == "rewrite" else t.history()[0]
                 files_after = set(t._live_files())
                 if variant == "rewrite":
                     written = sum(
