@@ -579,9 +579,18 @@ class TxTable:
             raise ConcurrentWriteError(
                 f"snapshot v{base_version} is stale: log is at v{version - 1}"
             )
+        import time as _time
+
         while True:
             final = os.path.join(d, f"v{version:06d}.json")
-            data = json.dumps({**entry, "version": version}).encode()
+            # the commit wall-clock rides the entry for timestamp
+            # time travel (Delta's TIMESTAMP AS OF); taken at publish,
+            # so it is non-decreasing per writer and monotone enough
+            # across writers for the documented latest-at-or-before
+            # resolution rule
+            data = json.dumps(
+                {**entry, "version": version, "ts": _time.time()}
+            ).encode()
             try:
                 self.store.put_if_absent(final, data)
                 return version
@@ -847,14 +856,44 @@ class TxTable:
             paths.append(p)
         return spark.read.parquet(*paths)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Current table, or -- with ``version`` and
+    def version_at_timestamp(self, ts: float) -> int:
+        """The newest committed version whose commit wall-clock is at
+        or before ``ts`` (Delta's TIMESTAMP AS OF resolution rule).
+        Walks entries newest-first reading only until the boundary --
+        O(distance from head), which is O(1) for the common
+        "yesterday's table" ask.  Raises for a timestamp older than
+        the retained history (cleanup_log) or the first commit."""
+        entry_names, _ = self._list_log()
+        d = self._log_dir()
+        for name in reversed(entry_names):
+            e = json.loads(self.store.read_bytes(os.path.join(d, name)))
+            if e.get("ts", 0.0) <= ts:
+                return e["version"]
+        raise FileNotFoundError(
+            f"{self.root}: no retained commit at or before ts={ts} "
+            "(before the first commit, pre-upgrade entries without a "
+            "timestamp, or history removed by cleanup_log)"
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        timestamp: "float | None" = None,
+    ) -> DataFrame:
+        """Current table, or -- with ``version`` / ``timestamp`` and
         ``retain_history=True`` -- the table exactly as of that
         committed version (partition columns included via basePath;
         a snapshot whose files now straddle the root and the archive
-        reads correctly -- _read_resolved groups by base).  Rows named
-        by a deletion vector live at that version are subtracted (see
+        reads correctly -- _read_resolved groups by base).
+        ``timestamp`` (unix seconds) resolves to the newest commit at
+        or before it, Delta's ``TIMESTAMP AS OF``.  Rows named by a
+        deletion vector live at that version are subtracted (see
         :meth:`delete_where`; zero plan overhead when none exist)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         self._recover()
         st = self._state(version)
         files = list(st["live"])
@@ -890,6 +929,7 @@ class TxTable:
         return [
             {
                 "version": e["version"],
+                "ts": e.get("ts"),
                 "op": e.get("op", "?"),
                 "files_added": len(e.get("add", [])),
                 "files_removed": len(e.get("remove", [])),

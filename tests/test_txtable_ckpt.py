@@ -279,3 +279,29 @@ def test_vacuum_after_cleanup(spark, tmp_path):
     t.vacuum(keep_versions=2)
     t._state_cache.clear()
     assert _ids(t.read(spark)) == before
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read(timestamp=T) resolves to the newest commit at or before T
+    (Delta's TIMESTAMP AS OF): between-commit timestamps land on the
+    earlier version, pre-history timestamps raise, and the resolution
+    composes with dv deletes."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = TxTable(root, retain_history=True)
+    t.init(_df(spark, 0, 10))
+    ts1 = [e["ts"] for e in t.history() if e["version"] == 1][0]
+    _time.sleep(0.05)
+    t.append(_df(spark, 10, 20))
+    _time.sleep(0.05)
+    t.delete_where(spark, F.col("id") < 5, dv=True)
+    ts3 = [e["ts"] for e in t.history() if e["version"] == 3][0]
+    assert _ids(t.read(spark, timestamp=ts1)) == list(range(10))
+    mid = (ts1 + [e["ts"] for e in t.history() if e["version"] == 2][0]) / 2
+    assert _ids(t.read(spark, timestamp=mid)) == list(range(10))
+    assert _ids(t.read(spark, timestamp=ts3 + 10)) == list(range(5, 20))
+    with pytest.raises(FileNotFoundError, match="no retained commit"):
+        t.read(spark, timestamp=ts1 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, timestamp=ts1)
