@@ -347,3 +347,117 @@ def test_stream_removed_file_emits_only_visible_rows(spark, tmp_path):
     fold = signed.groupBy("id").agg(F.sum("w").alias("s"))
     assert fold.where("s not in (0, 1)").count() == 0
     assert fold.where("s = 1").count() == 45
+
+
+def test_dv_with_schema_evolution(spark, tmp_path):
+    """dv deletes compose with add-column evolution: evolved reads
+    NULL-fill old files AND subtract their dv'd positions; a dv
+    delete predicated on the evolved column sees NULLs as
+    provably-not-true (rows survive)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.init(spark.range(0, 20).withColumn("v", F.col("id") * 2))
+    t.delete_where(spark, F.col("id") < 5, dv=True)
+    t.append(
+        spark.range(20, 30)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("extra", F.lit("new")),
+        evolve_schema=True,
+    )
+    got = t.read(spark)
+    assert _ids(got) == list(range(5, 30))
+    assert got.where("id < 20 and extra is not null").count() == 0
+    # evolved-column predicate: NULL extra never matches -> only the
+    # new rows die
+    t.delete_where(spark, F.col("extra") == "new", dv=True)
+    assert _ids(t.read(spark)) == list(range(5, 20))
+
+
+def test_large_dv_set_parity_with_rewrite(spark, tmp_path):
+    """A dense delete (half the table) through the dv path must equal
+    the rewrite twin even when the dv side is too large to stay a
+    pure broadcast -- the anti-join is an equi-join either way."""
+    a = TxTable(str(tmp_path / "a"))
+    b = TxTable(str(tmp_path / "b"))
+    df = spark.range(0, 200_000).withColumn("v", F.col("id") * 2)
+    a.init(df)
+    b.init(df)
+    cond = F.col("id") % 2 == 0
+    a.delete_where(spark, cond)
+    b.delete_where(spark, cond, dv=True)
+    assert a.read(spark).count() == b.read(spark).count() == 100_000
+    assert (
+        a.read(spark).agg(F.sum("id")).first()[0]
+        == b.read(spark).agg(F.sum("id")).first()[0]
+    )
+
+
+def test_dv_delete_on_mixed_layout_table(spark, tmp_path):
+    """dv positions key on whatever path shape each file actually has
+    (flat-era files = bare filename, hive files = col components), so
+    a dv delete on a mixed pre-upgrade layout hits rows in BOTH."""
+    import warnings
+
+    root = str(tmp_path / "t")
+    TxTable(root).init(_df(spark, n=40))  # flat era, no ym= components
+    t = TxTable(root, partition_by=["ym"])
+    t.append(_df(spark, n=40).withColumn("id", F.col("id") + 100))
+    t.delete_where(spark, (F.col("id") % 10 == 1), dv=True)
+    got = _ids(t.read(spark))
+    assert 1 not in got and 11 not in got and 101 not in got
+    assert len(got) == 80 - 8
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # mixed-layout fallback warns
+        pr = _ids(t.read_partitions(spark, "ym", ["1"]))
+    assert all(i % 4 == 1 and i % 10 != 1 for i in pr)
+
+
+def test_restore_below_cleanup_cutoff_raises(spark, tmp_path):
+    t = TxTable(
+        str(tmp_path / "t"), retain_history=True, checkpoint_every=2
+    )
+    t.init(_df(spark, n=10))
+    t.append(_df(spark, n=5).withColumn("id", F.col("id") + 100))
+    t.append(_df(spark, n=5).withColumn("id", F.col("id") + 200))
+    t.cleanup_log(keep_versions=1)  # cutoff v2
+    # model a fresh handle: the old one may legitimately serve
+    # below-cutoff reads from its immutable version-keyed state cache
+    t._state_cache.clear()
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
+    # restore at/above the cutoff still works
+    t.restore(2)
+    assert max(_ids(t.read(spark))) == 104
+
+
+def test_stream_seeded_dv_subtracts_on_later_remove(spark, tmp_path):
+    """A dv committed BEFORE the stream's start version rides the
+    checkpoint seed: when its file is removed inside the batch range,
+    the delete emission must still subtract the pre-range dv'd
+    positions (they were consumed as deletes before this consumer's
+    window, or never -- either way re-emitting them would corrupt a
+    signed fold vs the table)."""
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        read_txtable_stream,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable(root, retain_history=True, checkpoint_every=2)
+    t.init(spark.range(0, 50).withColumn("v", F.col("id")))  # v1
+    t.delete_where(spark, F.col("id") < 10, dv=True)  # v2 (ckpt)
+    t.compact(spark)  # v3: removes the dv'd file, materializes
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        read_txtable_stream(spark, root, starting_version=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    v3 = res.where("_commit_version = 3")
+    # the removed file emits only its 40 then-visible rows
+    assert v3.where("_change_type = 'delete'").count() == 40
+    assert v3.where("_change_type = 'insert'").count() == 40
+    assert v3.where("id < 10").count() == 0
