@@ -7751,3 +7751,95 @@ def canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster")
     quality = d.select("doc_id", quality_score(F.col("text")).alias("q"))
     return select_canonical(clusters, quality)
+
+
+@register(
+    "txtable_occ_rebase",
+    """
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 3 THEN 'RETAGGED'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, 'RACED' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 4 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def txtable_occ_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer optimistic concurrency with LOGICAL conflict
+    resolution (txtable.py ``_rebase``, Delta's ConflictChecker): a
+    MERGE whose snapshot went stale to a concurrent blind append
+    REBASES -- the intervening entry commutes under the default
+    write_serializable isolation, so BOTH commits land with serial
+    order merge-then-append -- and a follow-up COMPACT rebases past a
+    second racing append (its read scope is exactly the files it
+    rewrites, so appends never conflict with it).  The 100 TB shape:
+    OPTIMIZE running beside streaming ingest, neither killing the
+    other, no table lock.  Structural asserts pin that the rebases
+    really happened (the loser's commit published AFTER the entry it
+    rebased past -- 4 commits beyond init, zero retries) and the
+    oracle pins the merged+raced row algebra byte-for-byte."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = tempfile.mkdtemp(prefix="txocc_")
+    try:
+        root = os.path.join(base, "t")
+        t = TxTable(root)
+        t.init(o.where(F.col("o_orderkey") % 4 == 1))
+
+        raced_1 = o.where((F.col("o_orderkey") % 4 == 2) & (
+            F.col("o_orderkey") % 2000 < 1000)).withColumn(
+            "o_orderstatus", F.lit("RACED"))
+        raced_2 = o.where((F.col("o_orderkey") % 4 == 2) & (
+            F.col("o_orderkey") % 2000 >= 1000)).withColumn(
+            "o_orderstatus", F.lit("RACED"))
+
+        orig_commit = TxTable._commit
+        fired = {"merge": False, "compact": False}
+
+        def racing_commit(self, mapping, removes, op, base_version=None, **kw):
+            if op in fired and not fired[op]:
+                fired[op] = True
+                TxTable(root).append(raced_1 if op == "merge" else raced_2)
+            return orig_commit(self, mapping, removes, op, base_version, **kw)
+
+        src = o.where(
+            (F.col("o_orderkey") % 4 == 1) & (F.col("o_orderkey") % 10 == 3)
+        ).withColumn("o_orderstatus", F.lit("RETAGGED"))
+        TxTable._commit = racing_commit
+        try:
+            t.merge(src, "o_orderkey")  # rebases past raced_1
+            t.compact(spark, n_files=2)  # rebases past raced_2
+        finally:
+            TxTable._commit = orig_commit
+
+        # structural: both RMW ops published AFTER the append each
+        # rebased past -- one commit apiece, no retry loop
+        ops = [e["op"] for e in t.history()]
+        assert ops == ["compact", "append", "merge", "append", "init"], ops
+        rows = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n long, key_sum long"
+    )

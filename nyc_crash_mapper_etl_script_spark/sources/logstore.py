@@ -271,7 +271,17 @@ class FakeObjectStore(LogStore):
         ]
 
     def move(self, src: str, dst: str) -> None:
-        shutil.copyfile(src, dst)
+        # the destination appears ATOMICALLY (unique temp + rename =
+        # the server's object swap, same mechanism as put_if_absent):
+        # a real store's PUT is never partially visible, and two
+        # concurrent movers of the same immutable object (a writer's
+        # finalize racing a peer's recovery) must each land a complete
+        # copy.  The modeled crash window stays copy-then-delete.
+        import uuid as _uuid
+
+        tmp = f"{dst}.{_uuid.uuid4().hex}.claim"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
         if self._countdown("fail_move_after_copy"):
             raise IOError(
                 "injected: crashed after copy, before source delete"

@@ -42,12 +42,28 @@ on a bare filesystem:
 Concurrency: blind appends are multi-writer-safe (the O_EXCL publish
 auto-bumps to the next free version -- no read dependency to
 invalidate).  Read-modify-write ops (merge/delete/compact) use
-optimistic concurrency: they record the snapshot version their file
-removals were computed against and raise :class:`ConcurrentWriteError`
--- table untouched -- if any other commit landed first; callers retry
-against fresh state (Delta's ConcurrentModificationException
-contract).  The streaming foreachBatch serializes its own batches, so
-it never hits the conflict path.
+optimistic concurrency with a LOGICAL conflict check (Delta's
+ConflictChecker analog): when another commit lands between a
+transaction's snapshot and its publish, the intervening log entries
+are classified against the transaction's read scope and removal set.
+Commits that provably commute -- a blind append racing a compaction,
+an append to rows a restore does not touch -- are REBASED: the same
+staged file actions republish at the new head, and both writers
+succeed.  True overlaps raise a typed subclass of
+:class:`ConcurrentWriteError` (delete/delete, delete/read, append
+under serializable isolation, metadata change) with the table
+untouched; callers retry against fresh state (Delta's
+ConcurrentModificationException contract).  The default isolation is
+``write_serializable`` (Delta's default): blind appends never
+conflict with predicate RMW ops -- the serial order is
+RMW-then-append.  ``isolation="serializable"`` makes appends that a
+full-table read would have seen conflict too.  Whole-table-replacing
+ops (overwrite / restore / repartition_layout) conflict with
+concurrent adds at EITHER level -- their contract is "the table is
+now exactly X", which no serial reordering can square with a row
+they never saw (Delta's readWholeTable).  The streaming
+foreachBatch serializes its own batches, so it never hits the
+conflict path.
 """
 
 from __future__ import annotations
@@ -105,12 +121,44 @@ class MixedPartitionLayoutError(RuntimeError):
 
 class ConcurrentWriteError(RuntimeError):
     """A read-modify-write commit (merge/delete/compact) lost the
-    version race: another writer committed after this transaction's
-    snapshot was taken, so its computed file removals may be stale.
-    The table is untouched; re-run the operation against the new
-    state (Delta's ConcurrentModificationException analog).  Blind
-    appends never raise this -- they carry no read dependency and
-    auto-bump to the next free version."""
+    version race to a commit it does NOT commute with: another writer
+    changed state this transaction read or removed, so its staged
+    actions are stale.  The table is untouched; re-run the operation
+    against the new state (Delta's ConcurrentModificationException
+    analog).  Blind appends never raise this -- they carry no read
+    dependency and auto-bump to the next free version -- and RMW ops
+    that lose the race to a COMMUTING commit (e.g. compact vs blind
+    append) rebase and succeed instead of raising (see
+    :meth:`TxTable._rebase`).  The typed subclasses below say WHICH
+    rule failed; catching this base class covers all of them."""
+
+
+class ConcurrentAppendError(ConcurrentWriteError):
+    """Files were added that this transaction's full-table read would
+    have seen (Delta's ConcurrentAppendException).  Raised only under
+    ``isolation="serializable"``: the default write_serializable
+    level accepts the serial order RMW-then-append and rebases."""
+
+
+class ConcurrentDeleteReadError(ConcurrentWriteError):
+    """A concurrent commit removed files -- or deletion-vectored rows
+    in files -- that this transaction read (Delta's
+    ConcurrentDeleteReadException).  The transaction's output was
+    computed from rows that no longer exist; rebasing would resurrect
+    or double-count them."""
+
+
+class ConcurrentDeleteDeleteError(ConcurrentWriteError):
+    """A concurrent commit removed files this transaction also
+    removes (Delta's ConcurrentDeleteDeleteException) -- two
+    compactions or two rewrites raced over the same files."""
+
+
+class MetadataChangedError(ConcurrentWriteError):
+    """A concurrent commit changed table metadata -- schema,
+    partition layout, cluster spec, constraints -- or was itself a
+    restore/repartition (Delta's MetadataChangedException).  File
+    actions computed under the old metadata cannot be replayed."""
 
 
 class TxTable:
@@ -134,8 +182,21 @@ class TxTable:
         constraints: dict[str, str] | None = None,
         log_store: LogStore | None = None,
         checkpoint_every: int = 10,
+        isolation: str = "write_serializable",
     ) -> None:
         self.root = root.rstrip("/")
+        #: conflict-detection level for read-modify-write commits
+        #: (Delta's isolation levels).  ``write_serializable``
+        #: (default): blind appends never conflict with predicate RMW
+        #: ops -- they rebase with serial order RMW-then-append.
+        #: ``serializable``: appends a full-table read would have seen
+        #: raise :class:`ConcurrentAppendError` instead.
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(
+                f"isolation must be 'write_serializable' or "
+                f"'serializable', got {isolation!r}"
+            )
+        self.isolation = isolation
         #: the commit-protocol backend (logstore.py): put-if-absent
         #: log publishes, finalize/retire moves, restore links.  The
         #: POSIX default covers local/NFS mounts; an object-store
@@ -556,7 +617,12 @@ class TxTable:
             live.update(e.get("dv_add", {}))
         return live
 
-    def _publish(self, entry: dict, base_version: int | None = None) -> int:
+    def _publish(
+        self,
+        entry: dict,
+        base_version: int | None = None,
+        read_scope: str = "files",
+    ) -> int:
         """Atomically claim the next version number via the log
         store's put-if-absent -- link(2) CAS on POSIX, conditional PUT
         on an object store (logstore.py holds the backend contract).
@@ -565,10 +631,24 @@ class TxTable:
         costs bump retries here, never a lost or duplicated commit.
 
         ``base_version`` is the snapshot version a read-modify-write
-        op computed its removals against: if any other commit landed
-        since, the claim is abandoned with ConcurrentWriteError
-        instead of silently bumping past it (the removals would be
-        stale).  ``None`` (append/init) bumps freely."""
+        op computed its file actions against.  If any other commit
+        landed since, the intervening entries go through
+        :meth:`_rebase` (Delta's ConflictChecker): commuting commits
+        -- blind appends vs a compaction, disjoint rewrites -- move
+        the base forward and the same entry republishes at the new
+        head; true conflicts raise a typed
+        :class:`ConcurrentWriteError` with the staged actions intact
+        and the table untouched.  ``read_scope`` declares what the
+        transaction's output depends on: ``"files"`` -- exactly its
+        removal set (compact; concurrent adds never conflict),
+        ``"full"`` -- the entire live set at the snapshot (merge/
+        delete read the table; adds conflict only under
+        ``isolation="serializable"``), ``"whole_table"`` -- the op
+        asserts the COMPLETE final table content (overwrite/restore/
+        repartition, Delta's readWholeTable; concurrent adds conflict
+        at either isolation, or the "replaced" table would keep rows
+        the op never saw).  A ``None`` ``base_version`` (append/init)
+        bumps freely."""
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
         # next version from ONE listing (entries AND checkpoints: after
@@ -576,11 +656,13 @@ class TxTable:
         # restarting version numbers would corrupt the log)
         version = self._snapshot_version() + 1
         if base_version is not None and version != base_version + 1:
-            raise ConcurrentWriteError(
-                f"snapshot v{base_version} is stale: log is at v{version - 1}"
+            base_version = self._rebase(
+                entry, base_version, version - 1, read_scope
             )
+            version = base_version + 1
         import time as _time
 
+        rebase_rounds = 0
         while True:
             final = os.path.join(d, f"v{version:06d}.json")
             # the commit wall-clock rides the entry for timestamp
@@ -596,11 +678,223 @@ class TxTable:
                 return version
             except FileExistsError:  # concurrent commit won this version
                 if base_version is not None:
-                    raise ConcurrentWriteError(
-                        f"lost commit race for v{version} "
-                        f"(snapshot was v{base_version})"
-                    ) from None
-                version += 1
+                    rebase_rounds += 1
+                    if rebase_rounds > 50:
+                        raise ConcurrentWriteError(
+                            f"gave up rebasing after {rebase_rounds} "
+                            f"rounds (snapshot was v{base_version}): "
+                            "the table is under sustained concurrent "
+                            "writes"
+                        ) from None
+                    # v{version} provably exists (the CAS just hit it),
+                    # so the true head is at least that even when the
+                    # store's LISTing lags -- entries are read by exact
+                    # path below, never through the listing
+                    head = max(self._snapshot_version(), version)
+                    base_version = self._rebase(
+                        entry, base_version, head, read_scope
+                    )
+                    version = base_version + 1
+                else:
+                    version += 1
+
+    @staticmethod
+    def _schema_key(sjson: "str | None") -> "str | None":
+        """Canonical comparison key for a logged schema json: field
+        names and types, recursively, with nullability and metadata
+        stripped (they differ across otherwise-identical write paths
+        and never invalidate a transaction's staged file actions)."""
+        if sjson is None:
+            return None
+        import json as _json
+
+        def strip(o):
+            if isinstance(o, dict):
+                return {
+                    k: strip(v)
+                    for k, v in o.items()
+                    if k
+                    not in (
+                        "nullable",
+                        "metadata",
+                        "containsNull",
+                        "valueContainsNull",
+                    )
+                }
+            if isinstance(o, list):
+                return [strip(x) for x in o]
+            return o
+
+        return _json.dumps(strip(_json.loads(sjson)), sort_keys=True)
+
+    def _rebase(
+        self,
+        entry: dict,
+        base_version: int,
+        head: int,
+        read_scope: str,
+    ) -> int:
+        """Delta's ConflictChecker: decide whether the staged actions
+        of a read-modify-write transaction snapshotted at
+        ``base_version`` remain valid with commits
+        ``base_version+1 .. head`` ahead of them, i.e. whether the
+        serial order <txn first, winners after> produces the state
+        the rebased commit creates.  Returns the new base (``head``)
+        when every intervening commit commutes; raises a typed
+        :class:`ConcurrentWriteError` subclass naming the first rule
+        violated otherwise.  Rules, in check order per entry:
+
+        - restore / repartition, or a changed schema / partition_by /
+          cluster_by / constraints -> :class:`MetadataChangedError`
+          (file actions computed under the old metadata).
+        - winner removed files this txn removes ->
+          :class:`ConcurrentDeleteDeleteError`.
+        - winner removed files this txn READ (the full live set at
+          the snapshot for full/whole_table scopes, the removal set
+          for file-scoped ops) -> :class:`ConcurrentDeleteReadError`.
+        - winner deletion-vectored rows in files this txn read: same
+          error -- a rewrite would resurrect those rows (its staged
+          output predates the dv), a dv delete could double-delete.
+        - winner carries the same app transaction id -> plain
+          :class:`ConcurrentWriteError` (idempotence marker raced;
+          the caller's last_txn_version re-check resolves it).
+        - winner added files -> :class:`ConcurrentAppendError` when
+          this txn asserts the whole table's final content
+          (``read_scope="whole_table"``: overwrite/restore/
+          repartition -- at either isolation level), or when it read
+          the full table under ``isolation="serializable"``;
+          write_serializable (the default, Delta's) accepts the
+          serial order txn-then-append for predicate ops and rebases.
+          File-scoped ops (compact) never conflict with adds.
+
+        History needed for the check but already deleted by
+        cleanup_log raises plain ConcurrentWriteError: safety cannot
+        be proven, so the caller retries from fresh state."""
+        try:
+            st_base = self._state(base_version)
+        except FileNotFoundError:
+            raise ConcurrentWriteError(
+                f"cannot verify conflicts: history at or below "
+                f"v{base_version} was cleaned from the log; retry "
+                "from fresh state"
+            ) from None
+        our_removes = set(entry.get("remove", []))
+        read_set = (
+            set(st_base["live"])
+            if read_scope in ("full", "whole_table")
+            else set(our_removes)
+        )
+        our_app = (entry.get("txn") or {}).get("app_id")
+        d = self._log_dir()
+        for v in range(base_version + 1, head + 1):
+            try:
+                e = json.loads(
+                    self.store.read_bytes(os.path.join(d, f"v{v:06d}.json"))
+                )
+            except FileNotFoundError:
+                raise ConcurrentWriteError(
+                    f"cannot verify conflicts: concurrent commit v{v} "
+                    "was already cleaned from the log; retry from "
+                    "fresh state"
+                ) from None
+            op = e.get("op", "?")
+            if op in ("restore", "repartition"):
+                raise MetadataChangedError(
+                    f"concurrent {op} at v{v} rewrote the table's "
+                    f"state under this transaction (snapshot "
+                    f"v{base_version})"
+                )
+            for k in ("schema", "partition_by", "cluster_by", "constraints"):
+                if k not in e:
+                    continue
+                # the winner commutes if its metadata matches EITHER
+                # what this transaction read (the snapshot state) OR
+                # what it is itself about to log (its own entry) --
+                # e.g. two partitioned handles racing on a pre-spec
+                # table both log the identical first spec, and an
+                # evolve-merge racing a plain old-schema append read
+                # exactly that old schema
+                candidates = (st_base.get(k), entry.get(k, st_base.get(k)))
+                if k == "schema":
+                    # names + types only: nullability and field
+                    # metadata legitimately flap between write paths
+                    # (a parquet read through the logged schema comes
+                    # back nullable), and neither invalidates staged
+                    # file actions
+                    ek = self._schema_key(e[k])
+                    same = any(
+                        ek == self._schema_key(c) for c in candidates
+                    )
+                else:
+                    same = e[k] in candidates
+                if not same:
+                    raise MetadataChangedError(
+                        f"concurrent commit v{v} ({op}) changed {k} "
+                        f"under this transaction (snapshot "
+                        f"v{base_version})"
+                    )
+            er = set(e.get("remove", []))
+            both = er & our_removes
+            if both:
+                raise ConcurrentDeleteDeleteError(
+                    f"concurrent commit v{v} ({op}) removed file(s) "
+                    f"this transaction also removes (e.g. "
+                    f"{sorted(both)[0]!r}; snapshot v{base_version})"
+                )
+            gone = er & read_set
+            if gone:
+                raise ConcurrentDeleteReadError(
+                    f"concurrent commit v{v} ({op}) removed file(s) "
+                    f"this transaction read (e.g. {sorted(gone)[0]!r}; "
+                    f"snapshot v{base_version})"
+                )
+            dv_files: set[str] = set()
+            for files in (e.get("dv_add") or {}).values():
+                dv_files.update(files)
+            dv_hit = dv_files & read_set
+            if dv_hit:
+                raise ConcurrentDeleteReadError(
+                    f"concurrent commit v{v} ({op}) deletion-vectored "
+                    f"rows in file(s) this transaction read (e.g. "
+                    f"{sorted(dv_hit)[0]!r}; snapshot v{base_version})"
+                )
+            if e.get("dv_remove") and not er:
+                # no legitimate op retires dvs without also removing
+                # files (rewrites) or being a restore (caught above);
+                # an unknown future op gets the conservative abort
+                raise ConcurrentWriteError(
+                    f"concurrent commit v{v} ({op}) retired deletion "
+                    "vectors without a file rewrite; cannot prove "
+                    "commutativity"
+                )
+            if our_app is not None and (
+                (e.get("txn") or {}).get("app_id") == our_app
+            ):
+                raise ConcurrentWriteError(
+                    f"concurrent commit v{v} carries the same app "
+                    f"transaction id {our_app!r}: exactly-once cannot "
+                    "be proven across a rebase; re-check "
+                    "last_txn_version and retry"
+                )
+            if e.get("add") and (
+                read_scope == "whole_table"
+                or (
+                    read_scope == "full"
+                    and self.isolation == "serializable"
+                )
+            ):
+                raise ConcurrentAppendError(
+                    f"concurrent commit v{v} ({op}) added files "
+                    + (
+                        "this whole-table-replacing transaction "
+                        "never saw"
+                        if read_scope == "whole_table"
+                        else f"a full-table read at snapshot "
+                        f"v{base_version} would have seen "
+                        "(isolation='serializable')"
+                    )
+                )
+        return head
 
     # -- crash recovery ---------------------------------------------------
 
@@ -627,7 +921,7 @@ class TxTable:
                 src = os.path.join(self.root, staged_of.get(rel, ""))
                 if staged_of.get(rel) and os.path.exists(src):
                     os.makedirs(os.path.dirname(final), exist_ok=True)
-                    self.store.move(src, final)
+                    self._move_into_place(src, final)
         # 2. retire data files the current version no longer references.
         # TOCTOU guard: a CONCURRENT writer may publish + finalize
         # between our log snapshot and this walk, so its fresh files
@@ -702,15 +996,42 @@ class TxTable:
             except OSError:
                 pass
 
+    def _move_into_place(self, src: str, dst: str) -> None:
+        """A finalize/recovery rename that tolerates the PEER having
+        completed the same rename first.  Finalize and recovery are
+        deliberately concurrent-idempotent: both drive <published
+        entry -> filesystem agreement>, a writer's own finalize can
+        race another handle's _recover() on the same commit (routine
+        under multi-writer rebase traffic, not just crashes), and
+        whichever loses an individual file must treat "source
+        consumed, destination present" as success."""
+        try:
+            self.store.move(src, dst)
+        except FileNotFoundError:
+            if not os.path.exists(src) and os.path.exists(dst):
+                return
+            raise
+
     def _retire(self, rel: str) -> None:
-        """Superseded file: archive (time travel) or delete."""
+        """Superseded file: archive (time travel) or delete.  A peer
+        retiring the same file first (its recovery racing our
+        finalize) is success, not an error -- the post-condition
+        (name gone from the root) already holds."""
         p = os.path.join(self.root, rel)
         if self.retain_history:
             dst = os.path.join(self.root, _ARCHIVE_DIR, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            self.store.move(p, dst)
+            try:
+                self.store.move(p, dst)
+            except FileNotFoundError:
+                if not os.path.exists(p) and os.path.exists(dst):
+                    return
+                raise
         else:
-            self.store.delete(p)
+            try:
+                self.store.delete(p)
+            except FileNotFoundError:
+                pass
 
     def _resolve(self, rel: str) -> str:
         """A logged file lives in the root while current, in _archive
@@ -1055,7 +1376,7 @@ class TxTable:
         if not (1 <= version <= base_version):
             raise ValueError(f"version {version} has never been committed")
         target = self._live_files(version=version)
-        current = set(self._live_files())
+        current = set(self._live_files(version=base_version))
         mapping: dict[str, str] = {}
         staging = os.path.join(self.root, _STAGING_DIR, uuid.uuid4().hex)
         for rel in target:
@@ -1081,7 +1402,7 @@ class TxTable:
         # this is pure log arithmetic -- re-adds only need the file to
         # still exist (vacuum may have dropped truly-dead history).
         dv_target = self._live_dvs(version=version)
-        dv_now = self._live_dvs()
+        dv_now = self._live_dvs(version=base_version)
         dv_readd = {r: f for r, f in dv_target.items() if r not in dv_now}
         dv_drop = sorted(set(dv_now) - set(dv_target))
         for rel in dv_readd:
@@ -1115,6 +1436,7 @@ class TxTable:
                 base_version=base_version,
                 dv_add=dv_readd,
                 dv_remove=dv_drop,
+                read_scope="whole_table",
             )
         except Exception:
             if not self._head_is_ours("restore", mapping):
@@ -1407,11 +1729,11 @@ class TxTable:
         for final_rel, staged_rel in mapping.items():
             final = os.path.join(self.root, final_rel)
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            self.store.move(os.path.join(self.root, staged_rel), final)
+            self._move_into_place(os.path.join(self.root, staged_rel), final)
         for final_rel, staged_rel in (staged_dv or {}).items():
             final = os.path.join(self.root, final_rel)
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            self.store.move(os.path.join(self.root, staged_rel), final)
+            self._move_into_place(os.path.join(self.root, staged_rel), final)
         for rel in removes:
             if os.path.exists(os.path.join(self.root, rel)):
                 self._retire(rel)
@@ -1423,8 +1745,11 @@ class TxTable:
             # archive step)
             for rel in dv_drop:
                 p = os.path.join(self.root, rel)
-                if os.path.exists(p):
-                    self.store.delete(p)
+                try:
+                    if os.path.exists(p):
+                        self.store.delete(p)
+                except FileNotFoundError:
+                    pass  # a peer's recovery dropped it first
         # clean up THIS transaction's staging dirs only (a peer's live
         # staging under the same table must not be touched)
         own_txn_dirs = set()
@@ -1675,6 +2000,7 @@ class TxTable:
         staged_dv: "dict[str, str] | None" = None,
         dv_rows: "int | None" = None,
         dv_remove: "list[str] | None" = None,
+        read_scope: str = "files",
     ) -> int:
         entry = {
             "op": op,
@@ -1742,7 +2068,9 @@ class TxTable:
         cons = self.constraint_spec()
         if cons:
             entry["constraints"] = cons
-        version = self._publish(entry, base_version=base_version)
+        version = self._publish(
+            entry, base_version=base_version, read_scope=read_scope
+        )
         self._finalize(
             mapping,
             removes,
@@ -1930,7 +2258,7 @@ class TxTable:
         self._check_constraints(df)
         base_version = self._snapshot_version()
         try:
-            removes = list(self._live_files())
+            removes = list(self._live_files(version=base_version))
             pinned = df.localCheckpoint()
             _, mapping = self._stage(pinned)
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
@@ -1941,6 +2269,7 @@ class TxTable:
             "overwrite",
             base_version=base_version,
             app_txn=app_txn,
+            read_scope="whole_table",
         )
 
     def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
@@ -1957,18 +2286,32 @@ class TxTable:
         self._check_constraints(source)
         try:
             staged = self._merge_staged(
-                source, key, spark, allow_missing=evolve_schema
+                source, key, spark, allow_missing=evolve_schema,
+                as_of=base_version,
             )
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
         if staged is None:  # empty source: no partitions touched, no commit
             return self._snapshot_version()
         mapping, removes = staged
-        return self._commit(mapping, removes, "merge", base_version=base_version)
+        return self._commit(
+            mapping, removes, "merge", base_version=base_version,
+            read_scope="full",
+        )
 
-    def _read_files(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        version: "int | None" = None,
+    ) -> DataFrame:
         """Read an explicit file subset through the LOGGED schema,
-        exactly as :meth:`read` does.  After add-column evolution the
+        exactly as :meth:`read` does.  ``version`` pins the schema
+        and live-dv lookups to the caller's snapshot so a rewrite's
+        inputs are consistent with the base_version its commit
+        validates against (an RMW must never mix state from two
+        versions -- the torn pair could REBASE past a commuting
+        concurrent append and publish).  After add-column evolution the
         touched-partition files legitimately carry mixed schemas; a
         bare ``spark.read.parquet`` samples ONE footer, so sampling a
         narrow pre-evolution file would silently NULL evolved columns
@@ -1981,15 +2324,17 @@ class TxTable:
         return self._read_resolved(
             spark,
             rels,
-            self.logged_schema(),
+            self.logged_schema(version),
             # rewrites read the CURRENT rows of the files they replace:
             # without the live-dv subtraction a merge/compact of a file
             # carrying deletion vectors would resurrect its deleted
             # rows into the rewrite
-            dvs=sorted(self._live_dvs()),
+            dvs=sorted(self._live_dvs(version=version)),
         )
 
-    def _scoped_removes(self, touched_rels) -> list[str]:
+    def _scoped_removes(
+        self, touched_rels, version: "int | None" = None
+    ) -> list[str]:
         """The rewrite set of a partition-scoped RMW: live files under
         the touched partition directories, PLUS every live file whose
         path does not carry the FULL current layout.  A flat or
@@ -2004,12 +2349,24 @@ class TxTable:
         prefixes = tuple(t + os.sep for t in sorted(touched_rels))
         return [
             f
-            for f in self._live_files()
+            for f in self._live_files(version=version)
             if f.startswith(prefixes) or not pb <= _path_partition_cols(f)
         ]
 
-    def _merge_staged(self, source, key, spark, allow_missing: bool = False):
-        current = self.read(spark)
+    def _merge_staged(
+        self,
+        source,
+        key,
+        spark,
+        allow_missing: bool = False,
+        as_of: "int | None" = None,
+    ):
+        # ONE snapshot feeds the probe read, the removal set, and the
+        # rewrite base: without the pin, a concurrent append landing
+        # between these calls tears them across two versions, and the
+        # conflict checker -- which correctly lets blind appends
+        # rebase -- would publish the inconsistent pair
+        current = self.read(spark, version=as_of)
         src_keys = source.select(key).where(source[key].isNotNull()).distinct()
         if self.partition_by:
             # Touched = source partitions UNION partitions currently
@@ -2041,15 +2398,15 @@ class TxTable:
                 # belongs to repartition_layout or to rewrites that
                 # actually touch rows -- a no-op merge is a no-op.
                 return None
-            removes = self._scoped_removes(touched)
+            removes = self._scoped_removes(touched, version=as_of)
             base_files = [os.path.join(self.root, f) for f in removes]
             base = (
-                self._read_files(spark, base_files)
+                self._read_files(spark, base_files, version=as_of)
                 if base_files
                 else current.where("1=0")
             )
         else:
-            removes = list(self._live_files())
+            removes = list(self._live_files(version=as_of))
             base = current
         merged = base.join(src_keys, on=key, how="left_anti").unionByName(
             source, allowMissingColumns=allow_missing
@@ -2083,7 +2440,7 @@ class TxTable:
         base_version = self._snapshot_version()
         spark = source.sparkSession
         try:
-            current = self.read(spark)
+            current = self.read(spark, version=base_version)
             src_keys = source.select(key).where(
                 source[key].isNotNull()
             ).distinct()
@@ -2097,12 +2454,14 @@ class TxTable:
                 }
                 if not touched:
                     return self._snapshot_version()
-                removes = self._scoped_removes(touched)
+                removes = self._scoped_removes(touched, version=base_version)
                 base = self._read_files(
-                    spark, [os.path.join(self.root, f) for f in removes]
+                    spark,
+                    [os.path.join(self.root, f) for f in removes],
+                    version=base_version,
                 )
             else:
-                removes = list(self._live_files())
+                removes = list(self._live_files(version=base_version))
                 base = current
             src = source.select(
                 FF.col(key).alias("__src_key"),
@@ -2138,7 +2497,8 @@ class TxTable:
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
         return self._commit(
-            mapping, removes, "merge_update", base_version=base_version
+            mapping, removes, "merge_update", base_version=base_version,
+            read_scope="full",
         )
 
     def compact(
@@ -2166,8 +2526,8 @@ class TxTable:
         self._recover()
         base_version = self._snapshot_version()
         try:
-            removes = list(self._live_files())
-            current = self.read(spark)
+            removes = list(self._live_files(version=base_version))
+            current = self.read(spark, version=base_version)
             if self.cluster_spec() is not None:
                 # clustered tables have ONE layout: the staged write
                 # re-buckets/re-sorts, restoring one file per bucket
@@ -2258,7 +2618,7 @@ class TxTable:
         try:
             sizes = {
                 f: os.path.getsize(os.path.join(self.root, f))
-                for f in self._live_files()
+                for f in self._live_files(version=base_version)
             }
             small = [
                 f for f, s in sizes.items() if s < small_mb * 1024 * 1024
@@ -2266,7 +2626,9 @@ class TxTable:
             if len(small) < 2:
                 return None
             base = self._read_files(
-                spark, [os.path.join(self.root, f) for f in small]
+                spark,
+                [os.path.join(self.root, f) for f in small],
+                version=base_version,
             )
             if self.partition_by:
                 # ~one merged file per touched partition value: the
@@ -2346,8 +2708,8 @@ class TxTable:
         base_version = self._snapshot_version()
         prior = (self._partition_by, self._partition_reconciled)
         try:
-            removes = list(self._live_files())
-            pinned = self.read(spark).localCheckpoint()
+            removes = list(self._live_files(version=base_version))
+            pinned = self.read(spark, version=base_version).localCheckpoint()
             # bypass the setter: contradicting the logged spec is the
             # point here, and the commit below re-logs the new one as
             # the newest (inherited-by-all) entry.  A FLATTEN must log
@@ -2364,7 +2726,8 @@ class TxTable:
             self._raise_if_concurrent(e, base_version)
         try:
             return self._commit(
-                mapping, removes, "repartition", base_version=base_version
+                mapping, removes, "repartition",
+                base_version=base_version, read_scope="whole_table",
             )
         except Exception:
             # a lost commit race must not leave this handle believing
@@ -2482,6 +2845,7 @@ class TxTable:
             dv_add={rel: sorted(touched) for rel in staged_dv},
             staged_dv=staged_dv,
             dv_rows=n_doomed,
+            read_scope="full",
         )
 
     def delete_where(self, spark: SparkSession, condition, dv: bool = False) -> int:
@@ -2500,7 +2864,7 @@ class TxTable:
         self._recover()
         base_version = self._snapshot_version()
         try:
-            current = self.read(spark)
+            current = self.read(spark, version=base_version)
             if self.partition_by:
                 touched = [
                     self._partition_rel(r)
@@ -2511,12 +2875,14 @@ class TxTable:
                 ]
                 if not touched:
                     return self._snapshot_version()
-                removes = self._scoped_removes(touched)
+                removes = self._scoped_removes(touched, version=base_version)
                 base = self._read_files(
-                    spark, [os.path.join(self.root, f) for f in removes]
+                    spark,
+                    [os.path.join(self.root, f) for f in removes],
+                    version=base_version,
                 )
             else:
-                removes = list(self._live_files())
+                removes = list(self._live_files(version=base_version))
                 base = current
             # SQL DELETE semantics: a NULL condition KEEPS the row
             # (only provably-TRUE rows die), so negate through a
@@ -2530,7 +2896,8 @@ class TxTable:
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
         return self._commit(
-            mapping, removes, "delete_where", base_version=base_version
+            mapping, removes, "delete_where", base_version=base_version,
+            read_scope="full",
         )
 
     def delete(self, keys: DataFrame, key: str, dv: bool = False) -> int:
@@ -2548,7 +2915,7 @@ class TxTable:
         base_version = self._snapshot_version()
         spark = keys.sparkSession
         try:
-            current = self.read(spark)
+            current = self.read(spark, version=base_version)
             doomed = current.join(keys.select(key).distinct(), key, "left_semi")
             if self.partition_by:
                 touched = [
@@ -2557,16 +2924,21 @@ class TxTable:
                 ]
                 if not touched:
                     return self._snapshot_version()
-                removes = self._scoped_removes(touched)
+                removes = self._scoped_removes(touched, version=base_version)
                 base = self._read_files(
-                    spark, [os.path.join(self.root, f) for f in removes]
+                    spark,
+                    [os.path.join(self.root, f) for f in removes],
+                    version=base_version,
                 )
             else:
-                removes = list(self._live_files())
+                removes = list(self._live_files(version=base_version))
                 base = current
             kept = base.join(keys.select(key).distinct(), key, "left_anti")
             kept = kept.localCheckpoint()
             _, mapping = self._stage(kept)
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
             self._raise_if_concurrent(e, base_version)
-        return self._commit(mapping, removes, "delete", base_version=base_version)
+        return self._commit(
+            mapping, removes, "delete", base_version=base_version,
+            read_scope="full",
+        )

@@ -153,6 +153,13 @@ _tx_op = st.one_of(
     # dv'd file must materialize, never resurrect)
     st.tuples(st.just("dv_delete"), st.lists(_tx_key, min_size=1, max_size=3)),
     st.tuples(st.just("dv_delete_where_k_ge"), _tx_key),
+    # multi-writer rebase: a blind append lands between the merge's
+    # snapshot and its publish; the conflict checker rebases (Delta
+    # write_serializable), so the model is merge-applied-THEN-append
+    # -- appended rows survive even when their keys overlap the merge
+    st.tuples(
+        st.just("merge_racing_append"), st.tuples(_tx_batch(), _tx_batch())
+    ),
 )
 
 
@@ -210,7 +217,7 @@ def test_txtable_matches_model_under_random_ops(
         elif op == "crashed_merge":
             orig = TxTable._publish
             try:
-                TxTable._publish = lambda self, e, base_version=None: (_ for _ in ()).throw(
+                TxTable._publish = lambda self, e, base_version=None, **kw: (_ for _ in ()).throw(
                     RuntimeError("crash")
                 )
                 try:
@@ -256,6 +263,29 @@ def test_txtable_matches_model_under_random_ops(
 
             tx.delete_where(spark, FF.col("k") >= arg, dv=True)
             model = [r for r in model if r[0] < arg]
+        elif op == "merge_racing_append":
+            m_arg, a_arg = arg
+            orig = TxTable._commit
+            fired = []
+
+            def racing(self, mapping, removes, op_, base_version=None,
+                       _a=a_arg, _f=fired, _o=orig, **kw):
+                if op_ == "merge" and not _f:
+                    _f.append(1)
+                    TxTable(
+                        root,
+                        partition_by=["ym"],
+                        log_store=_make_store(store_kind),
+                    ).append(df_of(_a))
+                return _o(self, mapping, removes, op_, base_version, **kw)
+
+            TxTable._commit = racing
+            try:
+                tx.merge(df_of(m_arg), "k")
+            finally:
+                TxTable._commit = orig
+            keys = {r[0] for r in m_arg}
+            model = [r for r in model if r[0] not in keys] + m_arg + a_arg
 
     got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
@@ -317,7 +347,7 @@ def test_txtable_matches_model_from_mixed_layout(
         elif op == "crashed_merge":
             orig = TxTable._publish
             try:
-                TxTable._publish = lambda self, e, base_version=None: (
+                TxTable._publish = lambda self, e, base_version=None, **kw: (
                     _ for _ in ()
                 ).throw(RuntimeError("crash"))
                 try:
@@ -354,6 +384,29 @@ def test_txtable_matches_model_from_mixed_layout(
         elif op == "dv_delete_where_k_ge":
             tx.delete_where(spark, FF.col("k") >= arg, dv=True)
             model = [r for r in model if r[0] < arg]
+        elif op == "merge_racing_append":
+            m_arg, a_arg = arg
+            orig = TxTable._commit
+            fired = []
+
+            def racing(self, mapping, removes, op_, base_version=None,
+                       _a=a_arg, _f=fired, _o=orig, **kw):
+                if op_ == "merge" and not _f:
+                    _f.append(1)
+                    TxTable(
+                        root,
+                        partition_by=["ym"],
+                        log_store=_make_store(store_kind),
+                    ).append(df_of(_a))
+                return _o(self, mapping, removes, op_, base_version, **kw)
+
+            TxTable._commit = racing
+            try:
+                tx.merge(df_of(m_arg), "k")
+            finally:
+                TxTable._commit = orig
+            keys = {r[0] for r in m_arg}
+            model = [r for r in model if r[0] not in keys] + m_arg + a_arg
 
     got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)

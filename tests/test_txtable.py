@@ -92,7 +92,7 @@ def test_crash_before_commit_leaves_old_version(spark, table):
     src = _rows(spark, [(2, "B", "2024-05")])
     orig_publish = TxTable._publish
     try:
-        TxTable._publish = lambda self, entry, base_version=None: (_ for _ in ()).throw(
+        TxTable._publish = lambda self, entry, **kw: (_ for _ in ()).throw(
             RuntimeError("killed before commit")
         )
         with pytest.raises(RuntimeError, match="killed before commit"):
@@ -191,12 +191,18 @@ def test_history_audit_trail(spark, table):
     assert all("ym=2024-05" in p for p in h[0]["partitions"])
 
 
-def test_concurrent_append_bumps_but_rmw_conflict_raises(spark, tmp_path_factory):
-    """Blind appends interleave freely; a merge whose snapshot went
-    stale raises ConcurrentWriteError and leaves the table untouched."""
+def test_concurrent_append_bumps_and_merge_rebases_or_raises(
+    spark, tmp_path_factory
+):
+    """Blind appends interleave freely.  A merge whose snapshot went
+    stale to a BLIND APPEND rebases under the default
+    write_serializable isolation -- both commits land, serial order
+    merge-then-append -- while ``isolation="serializable"`` raises
+    ConcurrentAppendError with the table untouched by the merge."""
     import pytest as _pytest
 
     from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        ConcurrentAppendError,
         ConcurrentWriteError,
         TxTable,
     )
@@ -218,29 +224,49 @@ def test_concurrent_append_bumps_but_rmw_conflict_raises(spark, tmp_path_factory
 
     TxTable._commit = racing_commit
     try:
-        with _pytest.raises(ConcurrentWriteError):
-            tx.merge(df([(1, "b", "2024-01")]), "k")
+        # write_serializable (default): the blind append commutes --
+        # the merge REBASES past it and both commits land
+        tx.merge(df([(1, "b", "2024-01")]), "k")
     finally:
         TxTable._commit = orig_commit
 
-    # table state: original row plus the racing append, merge absent
-    got = sorted(
-        (r["k"], r["v"]) for r in tx.read(spark).select("k", "v").collect()
-    )
-    assert got == [(1, "a"), (9, "z")]
-
-    # retry against fresh state succeeds
-    tx._raced = True
-    tx.merge(df([(1, "b", "2024-01")]), "k")
     got = sorted(
         (r["k"], r["v"]) for r in tx.read(spark).select("k", "v").collect()
     )
     assert got == [(1, "b"), (9, "z")]
+    # both commits in history: merge published AFTER the append it
+    # rebased past
+    ops = [e["op"] for e in tx.history()]
+    assert ops == ["merge", "append", "init"]
+
+    # serializable: the same race is a conflict -- appends a
+    # full-table read would have seen must raise, table untouched by
+    # the loser
+    strict = TxTable(root, partition_by=["ym"], isolation="serializable")
+    TxTable._commit = racing_commit
+    try:
+        with _pytest.raises(ConcurrentAppendError):
+            strict.merge(df([(2, "c", "2024-01")]), "k")
+    finally:
+        TxTable._commit = orig_commit
+        strict._raced = False
+    got = sorted(
+        (r["k"], r["v"]) for r in strict.read(spark).select("k", "v").collect()
+    )
+    assert got == [(1, "b"), (9, "z"), (9, "z")]  # two racing appends landed
+
+    # ConcurrentAppendError is catchable as the base class
+    assert issubclass(ConcurrentAppendError, ConcurrentWriteError)
+
+    # retry against fresh state succeeds even under serializable
+    strict._raced = True
+    strict.merge(df([(2, "c", "2024-01")]), "k")
+    assert strict.read(spark).count() == 4
 
     # two sequential appends from separate handles both land
-    TxTable(root, partition_by=["ym"]).append(df([(2, "c", "2024-01")]))
     TxTable(root, partition_by=["ym"]).append(df([(3, "d", "2024-01")]))
-    assert tx.read(spark).count() == 4
+    TxTable(root, partition_by=["ym"]).append(df([(4, "e", "2024-01")]))
+    assert tx.read(spark).count() == 6
 
 
 @pytest.mark.parametrize("store_kind", ["posix", "fake_object_store"])
@@ -751,41 +777,57 @@ def test_time_travel_mixed_root_and_archive_files(spark, tmp_path):
     assert diff == [(2, "B", "insert"), (2, "b", "delete")]
 
 
-def test_new_rmw_ops_raise_on_concurrent_commit(spark, tmp_path):
-    """overwrite / merge_update / delete_where / restore are
-    read-modify-write: each records its snapshot version and loses
-    cleanly (ConcurrentWriteError, table untouched by the loser) when
-    another commit lands first -- same contract as merge/delete."""
+def test_new_rmw_ops_conflict_or_rebase_on_concurrent_commit(spark, tmp_path):
+    """RMW ops racing a blind append, split by read scope: overwrite
+    and restore assert the COMPLETE final table content, so the race
+    is a conflict (ConcurrentAppendError, loser leaves no trace);
+    merge_update and delete_where are predicate RMW, so the identical
+    race REBASES under the default write_serializable isolation and
+    both commits land."""
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        ConcurrentAppendError,
+    )
+
     root = str(tmp_path / "t")
     t = TxTable(root, retain_history=True)
     t.init(spark.createDataFrame([(1, "a")], "k long, v string"))
 
-    def race_then(op):
+    def race_then(op, conflicts):
         orig = TxTable._publish
 
-        def racing_publish(self, entry, base_version=None):
+        def racing_publish(self, entry, base_version=None, **kw):
             TxTable._publish = orig  # race exactly once
             TxTable(root).append(
                 spark.createDataFrame([(9, "z")], "k long, v string")
             )
-            return orig(self, entry, base_version=base_version)
+            return orig(self, entry, base_version=base_version, **kw)
 
         TxTable._publish = racing_publish
         try:
-            with pytest.raises(ConcurrentWriteError):
+            if conflicts:
+                with pytest.raises(ConcurrentAppendError):
+                    op()
+            else:
                 op()
         finally:
             TxTable._publish = orig
 
     race_then(lambda: t.overwrite(
-        spark.createDataFrame([(5, "o")], "k long, v string")))
+        spark.createDataFrame([(5, "o")], "k long, v string")), True)
+    race_then(lambda: t.restore(1), True)
+    # two conflicted losers left no trace; their racing appends landed
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (9, "z"), (9, "z")]
+
     race_then(lambda: t.merge_update(
-        spark.createDataFrame([(1, "U")], "k long, v string"), "k", ["v"]))
-    race_then(lambda: t.delete_where(spark, F.col("k") == 1))
-    race_then(lambda: t.restore(1))
-    # losers left no trace beyond the racing appends
-    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
-    assert got[1] == "a" and 5 not in got
+        spark.createDataFrame([(1, "U")], "k long, v string"), "k", ["v"]),
+        False)
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, "U"), (9, "z"), (9, "z"), (9, "z")]
+
+    race_then(lambda: t.delete_where(spark, F.col("k") == 1), False)
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(9, "z")] * 4
 
 
 def test_check_constraints_gate_writes(spark, tmp_path):

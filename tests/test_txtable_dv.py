@@ -177,31 +177,50 @@ def test_changes_mixes_dv_and_file_level(spark, table):
     }
 
 
-def test_concurrent_commit_aborts_dv_delete(spark, table, monkeypatch):
-    """A commit landing between the dv delete's snapshot and its
-    publish invalidates the positions (a rewrite moves rows between
-    files) -- the CAS must abort, table untouched."""
-    orig = TxTable._dv_delete
-
+def test_concurrent_rewrite_aborts_dv_delete_append_rebases(
+    spark, table, monkeypatch
+):
+    """A REWRITE landing between the dv delete's snapshot and its
+    publish invalidates the positions (rows move between files) --
+    the conflict checker must abort with the table untouched.  A
+    blind APPEND landing in the same window commutes (appends never
+    move existing rows): the dv delete rebases and both commits
+    land."""
     real_publish = TxTable._publish
 
-    def racing_publish(self, entry, base_version=None):
-        # simulate a peer landing first: bump the log out from under
-        # the dv delete exactly at its publish point
-        monkeypatch.setattr(TxTable, "_publish", real_publish)
-        TxTable(self.root).append(
-            spark.range(500, 501)
-            .withColumn("ym", F.lit("0"))
-            .withColumn("v", F.col("id"))
-        )
-        return real_publish(self, entry, base_version=base_version)
+    def race_with(action):
+        def racing_publish(self, entry, base_version=None, **kw):
+            # simulate a peer landing first: bump the log out from
+            # under the dv delete exactly at its publish point
+            monkeypatch.setattr(TxTable, "_publish", real_publish)
+            action()
+            return real_publish(self, entry, base_version=base_version, **kw)
 
-    monkeypatch.setattr(TxTable, "_publish", racing_publish)
-    with pytest.raises(ConcurrentWriteError):
+        monkeypatch.setattr(TxTable, "_publish", racing_publish)
+
+    # rewrite race: positions moved -> typed abort, no dv recorded
+    race_with(lambda: TxTable(table.root).compact(spark, n_files=1))
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        ConcurrentDeleteReadError,
+    )
+
+    with pytest.raises(ConcurrentDeleteReadError):
         table.delete_where(spark, F.col("id") < 10, dv=True)
     monkeypatch.undo()
-    assert _ids(table.read(spark)) == list(range(100)) + [500]
+    assert _ids(table.read(spark)) == list(range(100))
     assert not table._live_dvs()
+
+    # append race: the dv delete REBASES -- deletes land AND the
+    # appended row survives
+    race_with(lambda: TxTable(table.root).append(
+        spark.range(500, 501)
+        .withColumn("ym", F.lit("0"))
+        .withColumn("v", F.col("id"))
+    ))
+    table.delete_where(spark, F.col("id") < 10, dv=True)
+    monkeypatch.undo()
+    assert _ids(table.read(spark)) == list(range(10, 100)) + [500]
+    assert table._live_dvs()
 
 
 def test_dv_refused_on_clustered_table(spark, tmp_path):
