@@ -7843,3 +7843,89 @@ def txtable_occ_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderstatus string, n long, key_sum long"
     )
+
+
+@register(
+    "txtable_column_mapping",
+    """
+    WITH renamed AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice AS price, 'LATE' AS status
+      FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 100 = 1
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(note) AS BIGINT) AS notes
+    FROM (SELECT renamed.*, CAST(NULL AS VARCHAR) AS note FROM renamed)
+    GROUP BY status ORDER BY status
+    """,
+)
+def txtable_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING (Delta name mode, txtable.py ``rename_column``/
+    ``drop_column``): rename two columns and drop one as PURE METADATA
+    commits -- the structural asserts pin zero file churn on all three
+    -- then append through the NEW logical names (files keep writing
+    the stable physical names) and evolve-re-add a column with the
+    DROPPED name, which must bind a fresh physical and read NULL for
+    every pre-drop row instead of resurrecting the dropped bytes.  On
+    100 TB: O(1) log writes where the naive path rewrites the corpus.
+    The oracle applies the same rename/drop/readd algebra in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="txcm_")
+    try:
+        t = TxTable(os.path.join(base, "t"))
+        t.init(o.where(F.col("o_orderkey") % 3 == 0))
+        t.rename_column("o_totalprice", "price")
+        t.rename_column("o_orderstatus", "status")
+        t.drop_column("o_orderpriority")
+        for h in t.history()[:3]:  # metadata-only: zero file churn
+            assert h["op"] in ("rename_column", "drop_column")
+            assert h["files_added"] == 0 and h["files_removed"] == 0
+        late = (
+            o.where(
+                (F.col("o_orderkey") % 3 == 1)
+                & (F.col("o_orderkey") % 100 == 1)
+            )
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                F.lit("LATE").alias("status"),
+            )
+        )
+        t.append(late)
+        # re-add the DROPPED name: binds a fresh physical, so every
+        # pre-drop row reads NULL -- the dropped bytes stay buried
+        t.append(
+            late.limit(0).withColumn("o_orderpriority", F.lit("x")),
+            evolve_schema=True,
+        )
+        assert t._column_map()["o_orderpriority"].startswith(
+            "o_orderpriority__"
+        )
+        rows = (
+            t.read(spark)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.count("o_orderpriority").cast("long").alias("notes"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "status string, n long, key_sum long, notes long"
+    )

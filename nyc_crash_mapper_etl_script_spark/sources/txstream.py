@@ -191,6 +191,17 @@ def stream_schema(
         raise ValueError(
             f"{table.root}: no logged schema -- write through TxTable first"
         )
+    if table._column_map():
+        # the executor read path binds parquet footer names to this
+        # schema directly; carrying the physical->logical aliasing
+        # through a stream whose schema is FIXED at query start would
+        # additionally need Delta's schema-tracking contract.  Refuse
+        # loudly (the mid-stream analog lives in partitions()).
+        raise ValueError(
+            f"{table.root}: streaming a column-mapped table is not "
+            "supported -- materialize the mapping with compact() "
+            "after dropping the map, or consume via changes()"
+        )
     fields = list(logged.fields)
     if columns is not None:
         # the metadata columns always ride along, so a caller listing
@@ -493,6 +504,16 @@ class TxTableStreamReader(DataSourceStreamReader):
             return _dv_paths(d for d in dv_live if rel in dv_for_of[d])
 
         for e in batch_entries:
+            if e.get("column_map"):
+                # a rename/drop landed mid-stream: the fixed query
+                # schema no longer matches the table's logical one,
+                # and the executor read binds footer names directly --
+                # fail the stream instead of NULLing renamed columns
+                raise ValueError(
+                    f"{self.root}: commit v{e['version']} introduced "
+                    "column mapping under a running stream; restart "
+                    "the consumer against the new schema"
+                )
             v = e["version"]
             dv_added = e.get("dv_add", {})
             dv_removed = e.get("dv_remove", [])

@@ -96,6 +96,40 @@ _TXDV_POS = "_txdv_pos"
 #: sentinel distinguishing "conf never captured" from "conf was unset"
 _UNSET = object()
 
+#: table features THIS reader/writer implements (Delta's protocol
+#: versions as named features).  A commit entry or checkpoint whose
+#: ``requires`` names anything outside this set fails the state fold
+#: with :class:`UnsupportedTableFeatureError` -- a reader that cannot
+#: interpret an action must refuse the table, never fold a subset of
+#: it (the pre-deletion-vector hazard: ignoring ``dv_add`` would
+#: silently resurrect every deleted row).
+_SUPPORTED_FEATURES = frozenset(
+    {"deletion-vectors", "cluster-by", "column-mapping"}
+)
+
+
+def _strip_schema_meta(o):
+    """Recursively drop nullability and field metadata from a schema
+    json object -- the canonical names+types form (see
+    TxTable._schema_key)."""
+    if isinstance(o, dict):
+        return {
+            k: _strip_schema_meta(v)
+            for k, v in o.items()
+            if k
+            not in ("nullable", "metadata", "containsNull", "valueContainsNull")
+        }
+    if isinstance(o, list):
+        return [_strip_schema_meta(x) for x in o]
+    return o
+
+
+#: ops whose commit REPLACES the whole file set (or explicitly rolls
+#: it back) -- their schema may legitimately differ from the newest
+#: logged one in any direction, because no pre-existing file survives
+#: to be misread through it
+_SCHEMA_REPLACING_OPS = frozenset({"init", "overwrite", "restore", "repartition"})
+
 
 def _path_partition_cols(rel: str) -> frozenset[str]:
     """Column names hive-encoded as ``col=`` directory components of a
@@ -117,6 +151,16 @@ class MixedPartitionLayoutError(RuntimeError):
     degrades to a full (correct, unpruned) scan instead, and
     :meth:`TxTable.repartition_layout` rewrites the table into a
     clean single layout."""
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The commit log requires a table feature this build does not
+    implement (Delta's InvalidProtocolVersionException): a future
+    writer stamped an entry or checkpoint with ``requires`` outside
+    :data:`_SUPPORTED_FEATURES`.  Every state-dependent operation
+    raises rather than folding the log partially -- unknown actions
+    cannot be skipped safely (they may remove rows, remap columns,
+    or redefine visibility)."""
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -406,6 +450,21 @@ class TxTable:
         """Apply one commit entry to a replayed state (the single
         definition of the log's fold semantics -- checkpoints are
         serialized states, so writer and readers share this)."""
+        req = set(e.get("requires", [])) - _SUPPORTED_FEATURES
+        if req:
+            raise UnsupportedTableFeatureError(
+                f"commit v{e.get('version')} ({e.get('op', '?')}) requires "
+                f"table feature(s) {sorted(req)} this build does not "
+                "implement; upgrade before touching this table"
+            )
+        if e.get("requires"):
+            # ride the cumulative feature set on the state so
+            # CHECKPOINTS carry it too -- a reader resuming from a
+            # checkpoint must hit the same guard as one folding the
+            # raw entries
+            state["requires"] = sorted(
+                set(state.get("requires", [])) | set(e["requires"])
+            )
         state["version"] = e["version"]
         staged = e.get("staged", {})
         for f in e.get("remove", []):
@@ -417,7 +476,14 @@ class TxTable:
             state["dv_staged"].pop(r, None)
         state["dv_live"].update(e.get("dv_add", {}))
         state["dv_staged"].update(e.get("staged_dv", {}))
-        for k in ("schema", "partition_by", "cluster_by", "constraints"):
+        for k in (
+            "schema",
+            "partition_by",
+            "cluster_by",
+            "constraints",
+            "column_map",
+            "dropped_physical",
+        ):
             if k in e:
                 state[k] = e[k]
         if e.get("op") in ("init", "compact", "compact_small", "overwrite",
@@ -464,15 +530,24 @@ class TxTable:
             cv = self._ckpt_version(name)
             if cv <= v:
                 try:
-                    state.update(
-                        json.loads(
-                            self.store.read_bytes(os.path.join(d, name))
-                        )
+                    data = json.loads(
+                        self.store.read_bytes(os.path.join(d, name))
                     )
-                    lo = cv
-                    break
                 except Exception:  # noqa: BLE001 -- a checkpoint is a
                     continue  # cache: corrupt/vanished -> older or full fold
+                unknown = set(data.get("requires", [])) - _SUPPORTED_FEATURES
+                if unknown:
+                    # NOT the corrupt-fallback: a well-formed
+                    # checkpoint demanding an unimplemented feature
+                    # means the raw entries demand it too -- refuse
+                    raise UnsupportedTableFeatureError(
+                        f"checkpoint v{cv} requires table feature(s) "
+                        f"{sorted(unknown)} this build does not "
+                        "implement; upgrade before touching this table"
+                    )
+                state.update(data)
+                lo = cv
+                break
         tail = [
             (vv, n) for vv, n in zip(versions, entry_names) if lo < vv <= v
         ]
@@ -660,6 +735,21 @@ class TxTable:
                 entry, base_version, version - 1, read_scope
             )
             version = base_version + 1
+        elif (
+            base_version is None
+            and "schema" in entry
+            and entry.get("op") not in _SCHEMA_REPLACING_OPS
+        ):
+            # blind commits (append) skip the rebase checker, so the
+            # schema-regression guard runs here against the newest
+            # logged schema; the bump path below re-checks against
+            # every commit that wins a version race, closing the
+            # listing-to-CAS window race-free
+            self._assert_schema_advances(
+                entry["schema"],
+                self._state().get("schema"),
+                f"{entry.get('op', '?')} at {self.root}",
+            )
         import time as _time
 
         rebase_rounds = 0
@@ -696,7 +786,47 @@ class TxTable:
                     )
                     version = base_version + 1
                 else:
+                    if (
+                        "schema" in entry
+                        and entry.get("op") not in _SCHEMA_REPLACING_OPS
+                    ):
+                        self._guard_blind_bump(entry, d, version)
                     version += 1
+
+    def _guard_blind_bump(self, entry: dict, d: str, version: int) -> None:
+        """A blind append lost a version race: before bumping past the
+        winner, prove OUR schema still contains ITS (the winner may be
+        a concurrent evolution this handle never saw).  The winner's
+        entry may not be readable yet on an object store (conditional
+        PUT claimed, object not yet swapped in) -- brief retry, then a
+        retryable abort rather than an unverified bump."""
+        import time as _time
+
+        path = os.path.join(d, f"v{version:06d}.json")
+        e = None
+        for _ in range(100):
+            try:
+                e = json.loads(self.store.read_bytes(path))
+                break
+            except (FileNotFoundError, ValueError):
+                _time.sleep(0.01)
+        if e is None:
+            raise ConcurrentWriteError(
+                f"lost the race for v{version} but cannot read the "
+                "winning entry to verify schema compatibility; retry"
+            )
+        if "schema" in e:
+            self._assert_schema_advances(
+                entry["schema"],
+                e["schema"],
+                f"{entry.get('op', '?')} at {self.root}",
+            )
+        for k in ("partition_by", "cluster_by", "constraints", "column_map"):
+            if k in e and k in entry and e[k] != entry[k]:
+                raise MetadataChangedError(
+                    f"concurrent commit v{version} changed {k} under "
+                    "this blind write; re-open the table and retry"
+                )
 
     @staticmethod
     def _schema_key(sjson: "str | None") -> "str | None":
@@ -706,26 +836,47 @@ class TxTable:
         and never invalidate a transaction's staged file actions)."""
         if sjson is None:
             return None
-        import json as _json
+        return json.dumps(
+            _strip_schema_meta(json.loads(sjson)), sort_keys=True
+        )
 
-        def strip(o):
-            if isinstance(o, dict):
-                return {
-                    k: strip(v)
-                    for k, v in o.items()
-                    if k
-                    not in (
-                        "nullable",
-                        "metadata",
-                        "containsNull",
-                        "valueContainsNull",
-                    )
-                }
-            if isinstance(o, list):
-                return [strip(x) for x in o]
-            return o
+    @staticmethod
+    def _schema_fields(sjson: "str | None") -> "dict[str, str]":
+        """name -> canonical type json for a logged schema -- the
+        order-insensitive form schema-enforcement compares (column
+        ORDER may differ between handles; column PRESENCE and TYPE
+        may not silently regress)."""
+        if sjson is None:
+            return {}
+        return {
+            f["name"]: json.dumps(
+                _strip_schema_meta(f["type"]), sort_keys=True
+            )
+            for f in json.loads(sjson).get("fields", [])
+        }
 
-        return _json.dumps(strip(_json.loads(sjson)), sort_keys=True)
+    def _assert_schema_advances(
+        self, staged_sjson: str, newest_sjson: "str | None", context: str
+    ) -> None:
+        """Delta's schema enforcement at the commit point: a blind
+        write may only publish a schema that CONTAINS the newest
+        logged schema (equal, or add-column evolution).  Without this
+        a stale handle's append after a concurrent evolution re-logs
+        the OLD schema as newest and every evolved column silently
+        vanishes from reads -- data intact in the files, invisible to
+        every consumer (verified live before the fix)."""
+        if newest_sjson is None:
+            return
+        staged = self._schema_fields(staged_sjson)
+        for name, typ in self._schema_fields(newest_sjson).items():
+            if staged.get(name) != typ:
+                raise MetadataChangedError(
+                    f"{context}: staged schema is missing or retypes "
+                    f"column {name!r} present in the newest logged "
+                    "schema -- this handle's view is stale (a "
+                    "concurrent schema change landed); re-open the "
+                    "table or pass evolve_schema=True"
+                )
 
     def _rebase(
         self,
@@ -798,13 +949,27 @@ class TxTable:
                     "fresh state"
                 ) from None
             op = e.get("op", "?")
+            alien = set(e.get("requires", [])) - _SUPPORTED_FEATURES
+            if alien:
+                raise UnsupportedTableFeatureError(
+                    f"concurrent commit v{v} ({op}) requires table "
+                    f"feature(s) {sorted(alien)} this build does not "
+                    "implement; cannot prove commutativity"
+                )
             if op in ("restore", "repartition"):
                 raise MetadataChangedError(
                     f"concurrent {op} at v{v} rewrote the table's "
                     f"state under this transaction (snapshot "
                     f"v{base_version})"
                 )
-            for k in ("schema", "partition_by", "cluster_by", "constraints"):
+            for k in (
+                "schema",
+                "partition_by",
+                "cluster_by",
+                "constraints",
+                "column_map",
+                "dropped_physical",
+            ):
                 if k not in e:
                     continue
                 # the winner commutes if its metadata matches EITHER
@@ -1055,6 +1220,7 @@ class TxTable:
         schema,
         dvs: "list[str] | None" = None,
         keep_pos: bool = False,
+        cmap: "dict | None" = None,
     ) -> DataFrame:
         """Read a set of logged rels wherever they live NOW.  A
         time-travel or CDC read can legitimately mix still-live files
@@ -1102,6 +1268,20 @@ class TxTable:
                 f"_read_resolved at {self.root}: no files and no "
                 "schema to type an empty frame with"
             )
+        if cmap is None:
+            cmap = self._column_map()
+        phys_schema = schema
+        if schema is not None and cmap:
+            from pyspark.sql.types import StructField, StructType
+
+            # the scan binds PHYSICAL names (what the footers carry);
+            # the final projection below aliases back to logical
+            phys_schema = StructType(
+                [
+                    StructField(cmap.get(f.name, f.name), f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
         track_pos = bool(dvs) or keep_pos
         if track_pos and schema is None:
             raise ValueError(
@@ -1125,8 +1305,8 @@ class TxTable:
             reader = spark.read
             if colset:
                 reader = reader.option("basePath", base)
-            if schema is not None:
-                reader = reader.schema(schema)
+            if phys_schema is not None:
+                reader = reader.schema(phys_schema)
             df = reader.parquet(*sorted(paths))
             if track_pos:
                 # the rel = the path's last (hive components + 1)
@@ -1153,11 +1333,18 @@ class TxTable:
             # are varies by group -- pin the logged order so two reads
             # over different layouts (changes()'s exceptAll diff sides,
             # as-of reads across repartition_layout) line up
-            # positionally, not just by name
-            cols = [f.name for f in schema.fields]
+            # positionally, not just by name.  Mapped columns alias
+            # back from physical to LOGICAL here -- consumers only
+            # ever see logical names
+            sel = [
+                FF.col(cmap.get(f.name, f.name)).alias(f.name)
+                if cmap
+                else FF.col(f.name)
+                for f in schema.fields
+            ]
             if keep_pos:
-                cols += [_TXDV_FILE, _TXDV_POS]
-            out = out.select(*cols)
+                sel += [FF.col(_TXDV_FILE), FF.col(_TXDV_POS)]
+            out = out.select(*sel)
         return out
 
     def _read_dv_frame(self, spark: SparkSession, dv_rels: list[str]) -> DataFrame:
@@ -1239,7 +1426,11 @@ class TxTable:
         # surface NULL for later columns instead of sampling one file's
         # footer and dropping the rest
         return self._read_resolved(
-            spark, files, self.logged_schema(version), dvs=dvs
+            spark,
+            files,
+            self.logged_schema(version),
+            dvs=dvs,
+            cmap=self._column_map(version),
         )
 
     def history(self) -> list[dict]:
@@ -1317,7 +1508,12 @@ class TxTable:
             side_dvs = sorted(
                 d for d, fr in dvs.items() if not rels.isdisjoint(fr)
             )
-            return self._read_resolved(spark, sorted(rels), schema, dvs=side_dvs)
+            # v_to's map reads BOTH sides: physical names are stable
+            # across renames, so files of either era bind identically
+            return self._read_resolved(
+                spark, sorted(rels), schema, dvs=side_dvs,
+                cmap=self._column_map(v_to),
+            )
 
         added = _read(after - before, dv_after)
         removed = _read(before - after, dv_before)
@@ -1415,6 +1611,20 @@ class TxTable:
         self._staged_schema = schema.json() if schema is not None else None
         if self._staged_schema is None:
             self.__dict__.pop("_staged_schema", None)
+        # the COLUMN MAP (and its drop tombstones) roll back with the
+        # schema: restoring below a rename must not leave a stale
+        # logical->physical entry behind -- a later evolve-add of that
+        # logical name would consult the stale map and write into a
+        # PHYSICAL name another column still owns (silent cross-column
+        # corruption, pinned by test).  _commit logs an explicit empty
+        # map when this rollback empties a live one.
+        self._staged_column_map = self._column_map(version)
+        st_target = self._state(version)
+        dropped_then = st_target.get("dropped_physical")
+        if dropped_then is not None or self._state().get(
+            "dropped_physical"
+        ) is not None:
+            self._staged_dropped_physical = sorted(dropped_then or [])
         # restore the LAYOUT along with the data: the files being
         # re-staged carry the hive components of the spec as of the
         # target version, so the restore commit must both validate
@@ -1442,6 +1652,11 @@ class TxTable:
             if not self._head_is_ours("restore", mapping):
                 self._partition_by, self._partition_reconciled = prior
             raise
+        finally:
+            # _commit consumes these on success; a failure in between
+            # must not leak the as-of map into the next commit
+            self.__dict__.pop("_staged_column_map", None)
+            self.__dict__.pop("_staged_dropped_physical", None)
 
     def _head_is_ours(self, op: str, mapping: dict[str, str]) -> bool:
         """After a _commit raised: did OUR entry nonetheless publish
@@ -1587,17 +1802,51 @@ class TxTable:
                 f"CHECK constraint violated: {list(viol[0]['__viol'])}"
             )
 
+    def _column_map(self, version: "int | None" = None) -> dict:
+        """logical column name -> PHYSICAL parquet column name, as of
+        ``version`` (Delta's column mapping, name mode).  Only
+        non-identity entries are stored; {} means no mapping.
+        Physical names are STABLE across renames -- a rename is one
+        metadata commit that re-points the logical name, no file is
+        touched -- which is also why as-of reads and CDC diffs across
+        a rename boundary stay cheap: every file, whatever its era,
+        is read through the same physical name."""
+        try:
+            return dict(self._state(version).get("column_map") or {})
+        except FileNotFoundError:
+            return {}
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Project a LOGICAL frame to PHYSICAL column names for
+        staging.  All writes pass through here, so every file on disk
+        uniformly uses physical names and one table-wide map suffices
+        (no per-file metadata).  Identity when no mapping exists --
+        zero overhead for unmapped tables."""
+        cmap = getattr(self, "_staged_column_map", None)
+        if cmap is None:
+            cmap = self._column_map()
+        if not cmap:
+            return df
+        return df.select(
+            *[F_col(c).alias(cmap.get(c, c)) for c in df.columns]
+        )
+
     def _stage(self, df: DataFrame) -> tuple[str, dict[str, str]]:
         """Write df into _staging/<txn>/ and return (txn, mapping of
-        final-relative-path -> staged-relative-path)."""
+        final-relative-path -> staged-relative-path).  The staged
+        files carry PHYSICAL column names (see :meth:`_to_physical`);
+        the logged schema stays LOGICAL."""
         txn = uuid.uuid4().hex
         staging = os.path.join(self.root, _STAGING_DIR, txn)
         spec = self.cluster_spec()
         if spec is not None:
             self._stage_clustered(df, staging, spec)
         else:
-            writer = df.write.mode("overwrite")
+            phys = self._to_physical(df)
+            writer = phys.write.mode("overwrite")
             if self.partition_by:
+                # partition columns are never mapped (rename refuses
+                # them), so the hive components keep logical names
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(staging)
         self._staged_schema = df.schema.json()
@@ -1819,9 +2068,11 @@ class TxTable:
         pruning may only skip provably-disjoint files)."""
         st = self._state()
         stats = st["stats"]
+        # footer-harvested stats are keyed by PHYSICAL column names
+        phys = (st.get("column_map") or {}).get(col, col)
         keep = []
         for f in st["live"]:
-            cs = stats.get(f, {}).get(col)
+            cs = stats.get(f, {}).get(phys)
             if cs is None or not (cs[1] < lo or cs[0] > hi):
                 keep.append(f)
         return keep
@@ -2021,6 +2272,32 @@ class TxTable:
             entry["staged_dv"] = staged_dv
         if dv_remove:
             entry["dv_remove"] = sorted(dv_remove)
+        requires = set()
+        if dv_add or staged_dv or dv_remove:
+            requires.add("deletion-vectors")
+        cmap_explicit = "_staged_column_map" in self.__dict__
+        cmap_entry = getattr(self, "_staged_column_map", None)
+        if cmap_entry is None:
+            cmap_entry = self._column_map()
+        else:
+            self.__dict__.pop("_staged_column_map", None)
+        if cmap_explicit and not cmap_entry and self._column_map():
+            # a rename back to the physical name emptied the map:
+            # the commit must log the EXPLICIT empty map or the fold
+            # keeps the stale one forever
+            entry["column_map"] = {}
+        if cmap_entry:
+            # rides every commit once non-empty (like partition_by) so
+            # the newest entry always states the live map and blind
+            # writers can be conflict-checked against it; readers
+            # without the feature must refuse (silently reading
+            # physical names would NULL every renamed column)
+            entry["column_map"] = dict(sorted(cmap_entry.items()))
+            requires.add("column-mapping")
+        dropped = getattr(self, "_staged_dropped_physical", None)
+        if dropped is not None:
+            entry["dropped_physical"] = sorted(dropped)
+            self.__dict__.pop("_staged_dropped_physical", None)
         if app_txn is not None:
             entry["txn"] = {"app_id": app_txn[0], "version": int(app_txn[1])}
         stats = self._file_stats(mapping)
@@ -2031,6 +2308,16 @@ class TxTable:
             entry["schema"] = schema
         spec = self.cluster_spec()
         if spec is not None:
+            if entry.get("column_map"):
+                # read_clustered hands Spark the raw files as a catalog
+                # bucketed scan -- it cannot carry the physical->logical
+                # aliasing, so the two features are mutually exclusive
+                # (rename_column refuses clustered tables from the
+                # other side)
+                raise ValueError(
+                    f"{self.root}: cluster_by and column mapping are "
+                    "mutually exclusive"
+                )
             if self._live_dvs():
                 # read_clustered hands Spark the raw files as a catalog
                 # bucketed scan -- it cannot carry the dv anti-join, so
@@ -2046,6 +2333,11 @@ class TxTable:
                 "sort_cols": spec[1],
                 "n_buckets": spec[2],
             }
+            # conservative reader stamp: plain row reads of a
+            # clustered table are correct without the feature, but
+            # read_clustered's zero-Exchange claim is semantic for
+            # its consumers, so the table opts into the guard
+            requires.add("cluster-by")
         pb = self.partition_by
         if pb or self._partition_spec_logged:
             # persisted like cluster_by so bare handles inherit the
@@ -2068,6 +2360,11 @@ class TxTable:
         cons = self.constraint_spec()
         if cons:
             entry["constraints"] = cons
+        if requires:
+            # Delta's protocol action as named features: readers
+            # outside this set must refuse the fold (see
+            # UnsupportedTableFeatureError)
+            entry["requires"] = sorted(requires)
         version = self._publish(
             entry, base_version=base_version, read_scope=read_scope
         )
@@ -2191,6 +2488,25 @@ class TxTable:
             else:
                 cols.append(F.col(f.name))
         cols += [F.col(n) for n in by_name]  # new columns appended
+        if by_name:
+            # a NEW logical name must not collide with a PHYSICAL name
+            # already present in existing files -- either one occupied
+            # by another logical column (post-rename) or one left
+            # behind by drop_column.  Binding it by identity would
+            # resurrect the old bytes into the new column; a fresh
+            # physical name makes old files read NULL for it, which is
+            # what "new column" means.
+            st = self._state()
+            cmap = dict(st.get("column_map") or {})
+            taken = set(st.get("dropped_physical") or [])
+            taken |= {cmap.get(f.name, f.name) for f in stored.fields}
+            changed = False
+            for n in by_name:
+                if n in taken:
+                    cmap[n] = f"{n}__{uuid.uuid4().hex[:8]}"
+                    changed = True
+            if changed:
+                self._staged_column_map = cmap
         return df.select(*cols)
 
     def last_txn_version(self, app_id: str) -> "int | None":
@@ -2223,10 +2539,51 @@ class TxTable:
         file schemas stay readable.  ``app_txn=(app_id, version)``
         records an application transaction for batch-id-aware
         idempotent streaming sinks (see :meth:`last_txn_version`),
-        same contract as :meth:`init`/:meth:`overwrite`."""
+        same contract as :meth:`init`/:meth:`overwrite`.
+
+        SCHEMA ENFORCEMENT (Delta's): a plain append must match the
+        logged schema by name and type -- column order may differ
+        (realigned here), but missing, extra, or retyped columns
+        raise instead of silently re-logging a stale or widened
+        schema.  ``evolve_schema=True`` is the sanctioned widen/omit
+        path; the commit point re-checks against the NEWEST logged
+        schema so a concurrent evolution cannot be regressed by a
+        stale handle racing it (see :meth:`_assert_schema_advances`)."""
         self._recover()
+        try:
+            return self._append_inner(df, evolve_schema, app_txn)
+        finally:
+            # an evolve-staged column map is consumed by _commit; a
+            # failure in between must not leak it into the handle's
+            # next unrelated commit
+            self.__dict__.pop("_staged_column_map", None)
+
+    def _append_inner(self, df, evolve_schema, app_txn):
         if evolve_schema:
             df = self._evolve(df)
+        else:
+            logged = self.logged_schema()
+            if logged is not None:
+                want = self._schema_fields(logged.json())
+                have = self._schema_fields(df.schema.json())
+                if want != have:
+                    missing = sorted(set(want) - set(have))
+                    extra = sorted(set(have) - set(want))
+                    retyped = sorted(
+                        n
+                        for n in set(want) & set(have)
+                        if want[n] != have[n]
+                    )
+                    raise ValueError(
+                        f"append schema mismatch at {self.root}: "
+                        f"missing={missing} extra={extra} "
+                        f"retyped={retyped}; pass evolve_schema=True "
+                        "for add/omit-column evolution, or re-open "
+                        "the handle if its view is stale"
+                    )
+                order = [f.name for f in logged.fields]
+                if [f.name for f in df.schema.fields] != order:
+                    df = df.select(*[F_col(c) for c in order])
         self._check_constraints(df)
         _, mapping = self._stage(df)
         return self._commit(mapping, [], "append", app_txn=app_txn)
@@ -2281,23 +2638,29 @@ class TxTable:
         self._recover()
         base_version = self._snapshot_version()
         spark = source.sparkSession
-        if evolve_schema:
-            source = self._evolve(source)
-        self._check_constraints(source)
         try:
-            staged = self._merge_staged(
-                source, key, spark, allow_missing=evolve_schema,
-                as_of=base_version,
+            if evolve_schema:
+                source = self._evolve(source)
+            self._check_constraints(source)
+            try:
+                staged = self._merge_staged(
+                    source, key, spark, allow_missing=evolve_schema,
+                    as_of=base_version,
+                )
+            except Exception as e:  # noqa: BLE001 -- translated or re-raised
+                self._raise_if_concurrent(e, base_version)
+            if staged is None:  # empty source: nothing touched, no commit
+                return self._snapshot_version()
+            mapping, removes = staged
+            return self._commit(
+                mapping, removes, "merge", base_version=base_version,
+                read_scope="full",
             )
-        except Exception as e:  # noqa: BLE001 -- translated or re-raised
-            self._raise_if_concurrent(e, base_version)
-        if staged is None:  # empty source: no partitions touched, no commit
-            return self._snapshot_version()
-        mapping, removes = staged
-        return self._commit(
-            mapping, removes, "merge", base_version=base_version,
-            read_scope="full",
-        )
+        finally:
+            # an evolve-staged column map is consumed by _commit; a
+            # failure in between must not leak it into the handle's
+            # next unrelated commit
+            self.__dict__.pop("_staged_column_map", None)
 
     def _read_files(
         self,
@@ -2330,6 +2693,7 @@ class TxTable:
             # carrying deletion vectors would resurrect its deleted
             # rows into the rewrite
             dvs=sorted(self._live_dvs(version=version)),
+            cmap=self._column_map(version),
         )
 
     def _scoped_removes(
@@ -2500,6 +2864,123 @@ class TxTable:
             mapping, removes, "merge_update", base_version=base_version,
             read_scope="full",
         )
+
+    def _column_change_guard(self, name: str) -> "tuple":
+        """Shared validation for rename/drop: the logged schema (must
+        exist and contain ``name``), the current map, and refusals for
+        columns whose NAME is load-bearing elsewhere -- partition
+        columns (hive path components), cluster columns (bucketed
+        catalog scan), constraint expressions (SQL over logical
+        names), and dv-reserved names."""
+        import re as _re
+
+        schema = self.logged_schema()
+        if schema is None:
+            raise ValueError(f"{self.root}: no logged schema")
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"{self.root}: no column {name!r}")
+        if name in self.partition_by:
+            raise ValueError(
+                f"{name!r} is a partition column; change the layout "
+                "with repartition_layout first"
+            )
+        spec = self.cluster_spec()
+        if spec is not None:
+            raise ValueError(
+                "column changes are not supported on cluster_by "
+                "tables: read_clustered scans raw files and cannot "
+                "alias physical names"
+            )
+        for cname, expr in (self.constraint_spec() or {}).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK "
+                    f"constraint {cname!r} ({expr}); drop or rewrite "
+                    "the constraint first"
+                )
+        return schema, self._column_map()
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN without touching a single data file (Delta's
+        column mapping, name mode): one metadata commit re-points the
+        logical name at the column's stable PHYSICAL name.  On a
+        100 TB corpus this is the difference between an O(1) log write
+        and an O(table) rewrite.  Every read path aliases physical ->
+        logical (:meth:`_read_resolved`), every write projects
+        logical -> physical (:meth:`_to_physical`), and time travel /
+        CDC across the rename stay exact because the physical name
+        never changes.  Commits on mapped tables stamp the
+        ``column-mapping`` table feature, so a build without the
+        aliasing refuses the table instead of silently NULLing the
+        renamed column.  Refused for partition / cluster /
+        constraint-referenced columns and reserved names; concurrent
+        writers conflict via the ``column_map``/``schema`` metadata
+        rules (a racing blind append aborts and retries, a racing RMW
+        rebases only if it saw this map)."""
+        import json as _json
+
+        from pyspark.sql.types import StructField, StructType
+
+        self._recover()
+        base_version = self._snapshot_version()
+        schema, cmap = self._column_change_guard(old)
+        names = {f.name for f in schema.fields}
+        if new in names:
+            raise ValueError(f"{self.root}: column {new!r} already exists")
+        if new in (_TXDV_FILE, _TXDV_POS):
+            raise ValueError(f"{new!r} is a reserved column name")
+        new_fields = [
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+        cmap.pop(old, None)
+        phys = self._column_map().get(old, old)
+        if phys != new:  # renaming back to the physical name IS identity
+            cmap[new] = phys
+        self._staged_column_map = cmap
+        self._staged_schema = StructType(new_fields).json()
+        try:
+            return self._commit(
+                {}, [], "rename_column", base_version=base_version
+            )
+        finally:
+            self.__dict__.pop("_staged_column_map", None)
+            self.__dict__.pop("_staged_schema", None)
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN without rewriting data (Delta column mapping):
+        one metadata commit removes the field from the logical schema;
+        the bytes stay in the files, unread.  The column's PHYSICAL
+        name is tombstoned so a later add-column evolution reusing the
+        logical name binds a FRESH physical name instead of
+        resurrecting the dropped bytes (pinned by test).  Same
+        refusals and concurrency rules as :meth:`rename_column`."""
+        from pyspark.sql.types import StructType
+
+        self._recover()
+        base_version = self._snapshot_version()
+        schema, cmap = self._column_change_guard(name)
+        if len(schema.fields) == 1:
+            raise ValueError(f"cannot drop the only column {name!r}")
+        phys = cmap.pop(name, name)
+        st = self._state()
+        self._staged_dropped_physical = sorted(
+            set(st.get("dropped_physical") or []) | {phys}
+        )
+        self._staged_column_map = cmap
+        self._staged_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        ).json()
+        try:
+            return self._commit(
+                {}, [], "drop_column", base_version=base_version
+            )
+        finally:
+            self.__dict__.pop("_staged_column_map", None)
+            self.__dict__.pop("_staged_schema", None)
+            self.__dict__.pop("_staged_dropped_physical", None)
 
     def compact(
         self,
