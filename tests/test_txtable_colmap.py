@@ -296,3 +296,37 @@ def test_restore_rolls_back_drop_tombstones(spark, tmp_path):
     t.append(_df(spark, [(2, "b")]))
     assert {r["v"] for r in t.read(spark).collect()} == {"a", "b"}
     assert t._column_map() == {}
+
+
+def test_column_map_survives_checkpoint_resume_and_cleanup(spark, tmp_path):
+    """The map rides the checkpointed state: a fresh handle resuming
+    from a checkpoint -- including after cleanup_log deleted the
+    rename's own entry -- still aliases correctly."""
+    t = TxTable(str(tmp_path / "t"), checkpoint_every=2)
+    t.init(_df(spark, [(1, "a")]))  # v1
+    t.rename_column("v", "label")  # v2 (checkpointed)
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, f"r{i}")], "k long, label string"))  # v3..v6
+    t.cleanup_log(keep_versions=1)  # the rename entry itself is gone
+    fresh = TxTable(t.root, checkpoint_every=2)
+    got = fresh.read(spark)
+    assert got.columns == ["k", "label"]
+    assert {r["k"]: r["label"] for r in got.collect()} == {
+        1: "a", 2: "r2", 3: "r3", 4: "r4", 5: "r5",
+    }
+    assert fresh._column_map() == {"label": "v"}
+    # and writes through the resumed handle keep the physical name
+    fresh.append(_df(spark, [(9, "z")], "k long, label string"))
+    assert _footer_cols(fresh) == {"k", "v"}
+
+
+def test_archived_files_read_through_the_map(spark, tmp_path):
+    """Time travel over files that moved to _archive after the
+    rename: the archived bytes carry physical names too."""
+    t = TxTable(str(tmp_path / "t"), retain_history=True)
+    t.init(_df(spark, [(1, "a"), (2, "b")]))  # v1
+    t.rename_column("v", "label")  # v2
+    t.merge(_df(spark, [(1, "A")], "k long, label string"), "k")  # v3 archives v1 files
+    assert {r["label"] for r in t.read(spark, version=2).collect()} == {"a", "b"}
+    assert t.read(spark, version=1).columns == ["k", "v"]
+    assert {r["label"] for r in t.read(spark).collect()} == {"A", "b"}

@@ -418,3 +418,55 @@ def test_rebase_refuses_cleaned_history(spark, tmp_path):
 def test_isolation_validated():
     with pytest.raises(ValueError, match="isolation"):
         TxTable("/tmp/never-created", isolation="read_committed")
+
+
+def test_serializable_delete_conflicts_with_append(spark, tmp_path):
+    """isolation='serializable' on the predicate DELETE path: an
+    append its full-table read would have seen raises
+    ConcurrentAppendError (write_serializable rebases the identical
+    race -- pinned above)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    t = TxTable(root, isolation="serializable")
+    t.init(_df(spark, [(1, "dead", "2024-01"), (2, "keep", "2024-01")]))
+
+    orig = _race(
+        root,
+        lambda: _fresh(root).append(_df(spark, [(3, "c", "2024-02")])),
+        "delete_where",
+    )
+    try:
+        with pytest.raises(ConcurrentAppendError):
+            t.delete_where(spark, F.col("v") == "dead")
+    finally:
+        TxTable._commit = orig
+    # winner's append stands, loser left no trace
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [1, 2, 3]
+
+
+def test_rebase_preserves_app_txn_exactly_once_when_ids_differ(
+    spark, tmp_path
+):
+    """Different app ids commute: a sink's overwrite conflicts with a
+    racing append (whole-table scope) but an app-txn APPEND rebasing
+    past an unrelated app's append keeps both idempotence markers."""
+    root = str(tmp_path / "t")
+    t = _fresh(root)
+    t.init(_df(spark, [(1, "a", "2024-01")]))
+
+    # compact carrying app txn races an append with a DIFFERENT app id
+    orig = _race(
+        root,
+        lambda: _fresh(root).append(
+            _df(spark, [(2, "b", "2024-01")]), app_txn=("other", 3)
+        ),
+        "compact",
+    )
+    try:
+        t.compact(spark, n_files=1)
+    finally:
+        TxTable._commit = orig
+    assert t.last_txn_version("other") == 3
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
