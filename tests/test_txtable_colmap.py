@@ -330,3 +330,18 @@ def test_archived_files_read_through_the_map(spark, tmp_path):
     assert {r["label"] for r in t.read(spark, version=2).collect()} == {"a", "b"}
     assert t.read(spark, version=1).columns == ["k", "v"]
     assert {r["label"] for r in t.read(spark).collect()} == {"A", "b"}
+
+
+def test_dv_then_drop_column_keeps_subtracting(spark, tmp_path):
+    """Deletion vectors are position-keyed, not column-keyed: rows
+    dv-deleted BEFORE a drop stay deleted after it, and a rewrite
+    materializes both the dv subtraction and the narrowed schema."""
+    t = TxTable(str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "dead"), (2, "keep"), (3, "also")]))
+    t.delete_where(spark, F.col("v") == "dead", dv=True)
+    t.drop_column("v")
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 3]
+    t.compact(spark, n_files=1)  # materialize: dv retired, column gone
+    assert not t._live_dvs()
+    assert _footer_cols(t) == {"k"}
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 3]
