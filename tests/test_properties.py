@@ -160,6 +160,11 @@ _tx_op = st.one_of(
     st.tuples(
         st.just("merge_racing_append"), st.tuples(_tx_batch(), _tx_batch())
     ),
+    # column mapping under random interleaving: rename the value
+    # column (metadata-only commit over the stable physical name);
+    # row values never change, so the MODEL is untouched -- only the
+    # name every subsequent op and the final read bind
+    st.tuples(st.just("rename_v"), st.integers(min_value=0, max_value=2)),
 )
 
 
@@ -201,8 +206,12 @@ def test_txtable_matches_model_under_random_ops(
         checkpoint_every=2,
     )
 
+    names = {"v": "v"}
+
     def df_of(rows):
-        return spark.createDataFrame(rows, "k long, v string, ym string")
+        return spark.createDataFrame(
+            rows, f"k long, {names['v']} string, ym string"
+        )
 
     tx.init(df_of(init))
     model = list(init)  # blind-append multiset semantics
@@ -246,7 +255,7 @@ def test_txtable_matches_model_under_random_ops(
             # UPDATE semantics: matched keys take v (and ym column
             # value stays the SOURCE's? no -- only set_cols change);
             # unmatched source rows ignored
-            tx.merge_update(df_of(arg), "k", set_cols=["v"])
+            tx.merge_update(df_of(arg), "k", set_cols=[names["v"]])
             vmap = {r[0]: r[1] for r in arg}
             model = [
                 (k, vmap.get(k, v), ym) for (k, v, ym) in model
@@ -286,13 +295,22 @@ def test_txtable_matches_model_under_random_ops(
                 TxTable._commit = orig
             keys = {r[0] for r in m_arg}
             model = [r for r in model if r[0] not in keys] + m_arg + a_arg
+        elif op == "rename_v":
+            target = "v" if arg == 0 else f"v_{arg}"
+            if target != names["v"]:
+                tx.rename_column(names["v"], target)
+                names["v"] = target
+            # model untouched: a rename changes no row
 
-    got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
+    vn = names["v"]
+    got = sorted((r["k"], r[vn], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
-    if model and not tx._live_dvs():
+    if model and not tx._live_dvs() and vn == "v":
         # the plain-parquet-read invariant holds exactly while no dv
-        # is OUTSTANDING (dv'd rows need the TxTable reader, like
-        # Delta; a rewrite/compact materializes and restores parity)
+        # is OUTSTANDING and no column map is live (dv'd rows need the
+        # TxTable reader; a renamed column's PHYSICAL name is what
+        # plain parquet sees -- logical==physical only when the map is
+        # empty, and renaming back to "v" empties it)
         plain = sorted(
             (r["k"], r["v"], r["ym"])
             for r in spark.read.parquet(root).select("k", "v", "ym").collect()
@@ -332,9 +350,12 @@ def test_txtable_matches_model_from_mixed_layout(
         checkpoint_every=2,
     )
     model = list(init)
+    names = {"v": "v"}
 
     def df_of(rows):
-        return spark.createDataFrame(rows, "k long, v string, ym string")
+        return spark.createDataFrame(
+            rows, f"k long, {names['v']} string, ym string"
+        )
 
     for op, arg in ops:
         if op == "append":
@@ -371,7 +392,7 @@ def test_txtable_matches_model_from_mixed_layout(
             tx.delete_where(spark, FF.col("k") >= arg)
             model = [r for r in model if r[0] < arg]
         elif op == "merge_update_v":
-            tx.merge_update(df_of(arg), "k", set_cols=["v"])
+            tx.merge_update(df_of(arg), "k", set_cols=[names["v"]])
             vmap = {r[0]: r[1] for r in arg}
             model = [(k, vmap.get(k, v), ym) for (k, v, ym) in model]
         elif op == "dv_delete":
@@ -407,8 +428,15 @@ def test_txtable_matches_model_from_mixed_layout(
                 TxTable._commit = orig
             keys = {r[0] for r in m_arg}
             model = [r for r in model if r[0] not in keys] + m_arg + a_arg
+        elif op == "rename_v":
+            target = "v" if arg == 0 else f"v_{arg}"
+            if target != names["v"]:
+                tx.rename_column(names["v"], target)
+                names["v"] = target
+            # model untouched: a rename changes no row
 
-    got = sorted((r["k"], r["v"], r["ym"]) for r in tx.read(spark).collect())
+    vn = names["v"]
+    got = sorted((r["k"], r[vn], r["ym"]) for r in tx.read(spark).collect())
     assert got == sorted(model)
     # pruned-read equivalence on whatever layout the sequence left
     import warnings
@@ -417,7 +445,7 @@ def test_txtable_matches_model_from_mixed_layout(
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")  # mixed-layout fallback warns
             pr = sorted(
-                (r["k"], r["v"])
+                (r["k"], r[vn])
                 for r in tx.read_partitions(spark, "ym", [ym]).collect()
             )
         assert pr == sorted(
