@@ -266,6 +266,8 @@ class TxTableStreamReader(DataSourceStreamReader):
         mb = options.get("maxbytesperbatch")
         self.max_bytes = int(mb) if mb is not None else None
         self._version_bytes_cache: dict[int, int] = {}
+        #: lazily-created long-lived TxTable handle (see _table)
+        self._t: "TxTable | None" = None
         #: bucket-aware reads over cluster_by tables (default on):
         #: partitions() groups changed files by bucket id -- see there
         self.bucket_aware = (
@@ -301,7 +303,17 @@ class TxTableStreamReader(DataSourceStreamReader):
         self.schema = schema
 
     def _table(self) -> TxTable:
-        return TxTable(self.root, log_store=self._make_store())
+        # ONE long-lived handle per planner: TxTable's parsed-entry
+        # and folded-state caches are keyed by immutable names/
+        # versions, so reuse across triggers is always correct and
+        # turns steady-state planning (seed-state fold + batch entry
+        # reads, every trigger) from O(tail re-parse) into O(new
+        # commits).  Freshness still comes from the per-call log
+        # LISTING (_list_log), never from the caches.
+        t = self._t
+        if t is None:
+            t = self._t = TxTable(self.root, log_store=self._make_store())
+        return t
 
     def _make_store(self):
         from nyc_crash_mapper_etl_script_spark.sources.logstore import (
@@ -338,11 +350,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         for name in entry_names:
             v = t._entry_version(name)
             if lo < v <= hi:
-                out.append(
-                    json.loads(
-                        t.store.read_bytes(os.path.join(t._log_dir(), name))
-                    )
-                )
+                out.append(t._read_entry(name))
         if require_contiguous:
             got = [e["version"] for e in out]
             if got != list(range(lo + 1, hi + 1)):
@@ -503,17 +511,71 @@ class TxTableStreamReader(DataSourceStreamReader):
         def _dvs_for(rel) -> list[str]:
             return _dv_paths(d for d in dv_live if rel in dv_for_of[d])
 
+        # mid-stream schema-loss guard baseline: the schema in force
+        # at the batch's start.  None for a fresh replay from v0 --
+        # early entries legitimately predate later add-column
+        # evolutions (their files NULL-fill, the correct answer), so
+        # only a LOSING/RETYPING TRANSITION inside the batch fails.
+        prev_schema: "str | None" = seed.get("schema")
+        bound_fields = {
+            f.name for f in self.schema.fields
+        } - {CHANGE_COL, VERSION_COL}
         for e in batch_entries:
             if e.get("column_map"):
-                # a rename/drop landed mid-stream: the fixed query
-                # schema no longer matches the table's logical one,
-                # and the executor read binds footer names directly --
-                # fail the stream instead of NULLing renamed columns
+                # a rename (or a drop of a previously-renamed column)
+                # landed mid-stream: the fixed query schema no longer
+                # matches the table's logical one, and the executor
+                # read binds footer names directly -- fail the stream
+                # instead of NULLing renamed columns
                 raise ValueError(
                     f"{self.root}: commit v{e['version']} introduced "
                     "column mapping under a running stream; restart "
                     "the consumer against the new schema"
                 )
+            dropped_hit = sorted(
+                set(e.get("dropped_physical") or [])
+                & {f.name for f in self.schema.fields}
+            )
+            if dropped_hit:
+                # drop_column on a never-renamed column logs NO
+                # column_map key (the map stays empty), so the guard
+                # above never fires for it -- but post-drop files no
+                # longer carry the column and this stream's FIXED
+                # schema would silently emit NULL for it.  Fail
+                # loudly, symmetric with the rename case.  Keyed on
+                # the INTERSECTION with this stream's schema because
+                # dropped_physical is cumulative: a consumer restarted
+                # against the post-drop schema must sail past the old
+                # tombstones (streamed tables are never column-mapped,
+                # so the stream's logical names ARE physical names).
+                raise ValueError(
+                    f"{self.root}: commit v{e['version']} dropped "
+                    f"column(s) {dropped_hit} this stream's fixed "
+                    "schema still binds; restart the consumer "
+                    "against the new schema"
+                )
+            if "schema" in e:
+                # any OTHER mid-stream schema change that loses or
+                # retypes a field this stream emits (a narrowing
+                # overwrite/restore, a future metadata op) gets the
+                # same loud failure -- the fixed query schema cannot
+                # track it, and NULL-filling a column the table LOST
+                # is a silent wrong answer.  Identical schema strings
+                # (the steady same-schema append case) skip the parse
+                # entirely.
+                if prev_schema is not None and e["schema"] != prev_schema:
+                    have = TxTable._schema_fields(e["schema"])
+                    prev = TxTable._schema_fields(prev_schema)
+                    for name in sorted(bound_fields & set(prev)):
+                        if have.get(name) != prev[name]:
+                            raise ValueError(
+                                f"{self.root}: commit v{e['version']} "
+                                f"({e.get('op', '?')}) lost or retyped "
+                                f"column {name!r} present in this "
+                                "stream's fixed schema; restart the "
+                                "consumer against the new schema"
+                            )
+                prev_schema = e["schema"]
             v = e["version"]
             dv_added = e.get("dv_add", {})
             dv_removed = e.get("dv_remove", [])

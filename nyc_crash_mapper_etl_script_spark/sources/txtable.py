@@ -130,6 +130,13 @@ def _strip_schema_meta(o):
 #: to be misread through it
 _SCHEMA_REPLACING_OPS = frozenset({"init", "overwrite", "restore", "repartition"})
 
+#: per-handle parsed-entry cache bound.  Entries are small JSON; the
+#: bound exists only so a handle that walks very deep history (a full
+#: audit over an uncleaned million-commit log) cannot grow without
+#: limit.  Maintained tables bound the log itself via checkpoints +
+#: cleanup_log long before this trips.
+_ENTRY_CACHE_MAX = 4096
+
 
 def _path_partition_cols(rel: str) -> frozenset[str]:
     """Column names hive-encoded as ``col=`` directory components of a
@@ -169,12 +176,19 @@ class ConcurrentWriteError(RuntimeError):
     changed state this transaction read or removed, so its staged
     actions are stale.  The table is untouched; re-run the operation
     against the new state (Delta's ConcurrentModificationException
-    analog).  Blind appends never raise this -- they carry no read
-    dependency and auto-bump to the next free version -- and RMW ops
-    that lose the race to a COMMUTING commit (e.g. compact vs blind
-    append) rebase and succeed instead of raising (see
-    :meth:`TxTable._rebase`).  The typed subclasses below say WHICH
-    rule failed; catching this base class covers all of them."""
+    analog).  Blind appends carry no FILE read dependency and
+    auto-bump to the next free version, but a schema-carrying append
+    that loses a version race may still raise a retryable subclass
+    from the commit-point metadata guard (:class:`MetadataChangedError`
+    for a concurrent schema / partition / cluster / column-map /
+    drop-column change, or this base class when the winning entry is
+    not yet readable on a lagging object store -- see
+    :meth:`TxTable._guard_blind_bump`); callers should treat appends
+    as retryable too.  RMW ops that lose the race to a COMMUTING
+    commit (e.g. compact vs blind append) rebase and succeed instead
+    of raising (see :meth:`TxTable._rebase`).  The typed subclasses
+    below say WHICH rule failed; catching this base class covers all
+    of them."""
 
 
 class ConcurrentAppendError(ConcurrentWriteError):
@@ -319,6 +333,21 @@ class TxTable:
         #: version-keyed replay cache (a committed version's state is
         #: immutable, so entries never go stale); tiny LRU
         self._state_cache: dict[int, dict] = {}
+        #: parsed commit entries keyed by log file name.  Entries are
+        #: IMMUTABLE once published (the CAS claims the name exactly
+        #: once; cleanup_log only ever deletes files whose bytes the
+        #: cache reproduces verbatim), so cached parses never go
+        #: stale -- Delta's incrementally-maintained Snapshot idea at
+        #: the parse layer.  Without it a long-lived writer handle
+        #: (the chained streaming pipelines) re-reads and re-parses
+        #: the same tail JSON on every state fold, conflict walk, and
+        #: bump guard (the r9 tx-path drift).  Consumers treat parsed
+        #: entries as READ-ONLY.
+        self._entry_cache: dict[str, dict] = {}
+        #: diagnostic: how many entry-JSON parses this handle has done
+        #: (regression-tested -- a drain of N batches must parse each
+        #: entry once, not once per fold)
+        self._entry_parses = 0
 
     # -- log plumbing -----------------------------------------------------
 
@@ -398,15 +427,28 @@ class TxTable:
         st = self._state(version)
         return list(st["partition_by"]) if "partition_by" in st else None
 
+    def _read_entry(self, name: str) -> dict:
+        """Parse one commit entry by log file name through the
+        per-handle cache (see ``_entry_cache``).  Raises whatever the
+        store raises on a missing/unreadable file -- failures are
+        never cached; a hit for a file ``cleanup_log`` has since
+        deleted returns the exact content the file carried (entries
+        are immutable), which only ever makes conflict checks MORE
+        complete."""
+        e = self._entry_cache.get(name)
+        if e is None:
+            e = json.loads(
+                self.store.read_bytes(os.path.join(self._log_dir(), name))
+            )
+            self._entry_parses += 1
+            if len(self._entry_cache) >= _ENTRY_CACHE_MAX:
+                self._entry_cache.pop(next(iter(self._entry_cache)))
+            self._entry_cache[name] = e
+        return e
+
     def _entries(self) -> list[dict]:
-        d = self._log_dir()
-        out = []
-        for name in sorted(self.store.list_dir(d)):
-            if name.endswith(".json") and not name.startswith("."):
-                out.append(
-                    json.loads(self.store.read_bytes(os.path.join(d, name)))
-                )
-        return out
+        entry_names, _ = self._list_log()
+        return [self._read_entry(name) for name in entry_names]
 
     # -- checkpointed state reconstruction ---------------------------------
     #
@@ -516,7 +558,6 @@ class TxTable:
         cached = self._state_cache.get(v)
         if cached is not None:
             return cached
-        d = self._log_dir()
         state = {
             "version": 0,
             "live": {},
@@ -526,28 +567,40 @@ class TxTable:
             "stats": {},
         }
         lo = 0
+        # fold base: the newest CACHED state at or below v when it
+        # beats every readable checkpoint -- the single-writer steady
+        # path (a stream committing once per trigger) then folds
+        # exactly the NEW entries onto a copy of the previous head
+        # state instead of re-reading checkpoint + tail every call
+        best_cached = max(
+            (cv for cv in self._state_cache if cv <= v), default=0
+        )
         for name in reversed(ckpt_names):
             cv = self._ckpt_version(name)
-            if cv <= v:
-                try:
-                    data = json.loads(
-                        self.store.read_bytes(os.path.join(d, name))
-                    )
-                except Exception:  # noqa: BLE001 -- a checkpoint is a
-                    continue  # cache: corrupt/vanished -> older or full fold
-                unknown = set(data.get("requires", [])) - _SUPPORTED_FEATURES
-                if unknown:
-                    # NOT the corrupt-fallback: a well-formed
-                    # checkpoint demanding an unimplemented feature
-                    # means the raw entries demand it too -- refuse
-                    raise UnsupportedTableFeatureError(
-                        f"checkpoint v{cv} requires table feature(s) "
-                        f"{sorted(unknown)} this build does not "
-                        "implement; upgrade before touching this table"
-                    )
-                state.update(data)
-                lo = cv
-                break
+            if cv > v:
+                continue
+            if cv <= best_cached:
+                break  # the cached fold is at least as fresh
+            try:
+                data = json.loads(self._read_ckpt_bytes(name))
+            except Exception:  # noqa: BLE001 -- a checkpoint is a
+                continue  # cache: corrupt/vanished -> older or full fold
+            unknown = set(data.get("requires", [])) - _SUPPORTED_FEATURES
+            if unknown:
+                # NOT the corrupt-fallback: a well-formed
+                # checkpoint demanding an unimplemented feature
+                # means the raw entries demand it too -- refuse
+                raise UnsupportedTableFeatureError(
+                    f"checkpoint v{cv} requires table feature(s) "
+                    f"{sorted(unknown)} this build does not "
+                    "implement; upgrade before touching this table"
+                )
+            state.update(data)
+            lo = cv
+            break
+        if lo == 0 and best_cached:
+            state = self._copy_state(self._state_cache[best_cached])
+            lo = best_cached
         tail = [
             (vv, n) for vv, n in zip(versions, entry_names) if lo < vv <= v
         ]
@@ -561,13 +614,34 @@ class TxTable:
                 "checkpoint this read needs"
             )
         for _, name in tail:
-            self._fold(
-                state, json.loads(self.store.read_bytes(os.path.join(d, name)))
-            )
+            self._fold(state, self._read_entry(name))
         if len(self._state_cache) >= 4:
             self._state_cache.pop(next(iter(self._state_cache)))
         self._state_cache[v] = state
         return state
+
+    @staticmethod
+    def _copy_state(st: dict) -> dict:
+        """One-level copy of a folded state: _fold only ever mutates
+        the TOP-LEVEL containers (pops/sets on live/dv_live/stats/...,
+        wholesale replacement of nested values), so copying each
+        container is enough to fold forward without corrupting the
+        cached base."""
+        return {
+            k: (
+                dict(val)
+                if isinstance(val, dict)
+                else list(val)
+                if isinstance(val, list)
+                else val
+            )
+            for k, val in st.items()
+        }
+
+    def _read_ckpt_bytes(self, name: str) -> bytes:
+        """Checkpoint bytes by log file name (seam for the sharded
+        form; see :meth:`_maybe_checkpoint`)."""
+        return self.store.read_bytes(os.path.join(self._log_dir(), name))
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Opportunistically publish the state fold at ``version``
@@ -745,10 +819,13 @@ class TxTable:
             # logged schema; the bump path below re-checks against
             # every commit that wins a version race, closing the
             # listing-to-CAS window race-free
+            st = self._state()
             self._assert_schema_advances(
                 entry["schema"],
-                self._state().get("schema"),
+                st.get("schema"),
                 f"{entry.get('op', '?')} at {self.root}",
+                dropped=st.get("dropped_physical"),
+                staged_cmap=entry.get("column_map"),
             )
         import time as _time
 
@@ -765,6 +842,15 @@ class TxTable:
             ).encode()
             try:
                 self.store.put_if_absent(final, data)
+                # seed the parsed-entry cache with OUR commit (an
+                # independent parse of the exact published bytes, so
+                # later mutation of the caller's entry dict can never
+                # leak in): the writer's own next state fold and any
+                # conflict walk over this version are then parse-free
+                name = f"v{version:06d}.json"
+                if len(self._entry_cache) >= _ENTRY_CACHE_MAX:
+                    self._entry_cache.pop(next(iter(self._entry_cache)))
+                self._entry_cache[name] = json.loads(data)
                 return version
             except FileExistsError:  # concurrent commit won this version
                 if base_version is not None:
@@ -790,10 +876,10 @@ class TxTable:
                         "schema" in entry
                         and entry.get("op") not in _SCHEMA_REPLACING_OPS
                     ):
-                        self._guard_blind_bump(entry, d, version)
+                        self._guard_blind_bump(entry, version)
                     version += 1
 
-    def _guard_blind_bump(self, entry: dict, d: str, version: int) -> None:
+    def _guard_blind_bump(self, entry: dict, version: int) -> None:
         """A blind append lost a version race: before bumping past the
         winner, prove OUR schema still contains ITS (the winner may be
         a concurrent evolution this handle never saw).  The winner's
@@ -802,11 +888,10 @@ class TxTable:
         retryable abort rather than an unverified bump."""
         import time as _time
 
-        path = os.path.join(d, f"v{version:06d}.json")
         e = None
         for _ in range(100):
             try:
-                e = json.loads(self.store.read_bytes(path))
+                e = self._read_entry(f"v{version:06d}.json")
                 break
             except (FileNotFoundError, ValueError):
                 _time.sleep(0.01)
@@ -815,11 +900,13 @@ class TxTable:
                 f"lost the race for v{version} but cannot read the "
                 "winning entry to verify schema compatibility; retry"
             )
-        if "schema" in e:
+        if "schema" in e or e.get("dropped_physical"):
             self._assert_schema_advances(
                 entry["schema"],
-                e["schema"],
+                e.get("schema"),
                 f"{entry.get('op', '?')} at {self.root}",
+                dropped=e.get("dropped_physical"),
+                staged_cmap=entry.get("column_map"),
             )
         for k in ("partition_by", "cluster_by", "constraints", "column_map"):
             if k in e and k in entry and e[k] != entry[k]:
@@ -856,7 +943,12 @@ class TxTable:
         }
 
     def _assert_schema_advances(
-        self, staged_sjson: str, newest_sjson: "str | None", context: str
+        self,
+        staged_sjson: str,
+        newest_sjson: "str | None",
+        context: str,
+        dropped: "list[str] | None" = None,
+        staged_cmap: "dict | None" = None,
     ) -> None:
         """Delta's schema enforcement at the commit point: a blind
         write may only publish a schema that CONTAINS the newest
@@ -864,18 +956,41 @@ class TxTable:
         a stale handle's append after a concurrent evolution re-logs
         the OLD schema as newest and every evolved column silently
         vanishes from reads -- data intact in the files, invisible to
-        every consumer (verified live before the fix)."""
-        if newest_sjson is None:
-            return
+        every consumer (verified live before the fix).
+
+        ``dropped`` is the tombstoned physical-name set in force at
+        the commit point (the state's or a winning entry's
+        ``dropped_physical``).  Containment alone cannot catch a
+        stale append racing :meth:`drop_column` -- the pre-drop schema
+        is a strict SUPERSET of the post-drop one -- so without this
+        second check the append re-logs the old schema as newest and
+        logically resurrects the dropped column and its bytes (Delta
+        raises MetadataChangedException here).  A column the staged
+        map binds to a FRESH physical name (the sanctioned re-add
+        path, :meth:`_evolve`) passes: only identity-bound tombstoned
+        names abort."""
         staged = self._schema_fields(staged_sjson)
-        for name, typ in self._schema_fields(newest_sjson).items():
-            if staged.get(name) != typ:
+        if newest_sjson is not None:
+            for name, typ in self._schema_fields(newest_sjson).items():
+                if staged.get(name) != typ:
+                    raise MetadataChangedError(
+                        f"{context}: staged schema is missing or retypes "
+                        f"column {name!r} present in the newest logged "
+                        "schema -- this handle's view is stale (a "
+                        "concurrent schema change landed); re-open the "
+                        "table or pass evolve_schema=True"
+                    )
+        if dropped:
+            cm = staged_cmap or {}
+            hit = sorted(
+                {cm.get(n, n) for n in staged} & set(dropped)
+            )
+            if hit:
                 raise MetadataChangedError(
-                    f"{context}: staged schema is missing or retypes "
-                    f"column {name!r} present in the newest logged "
-                    "schema -- this handle's view is stale (a "
-                    "concurrent schema change landed); re-open the "
-                    "table or pass evolve_schema=True"
+                    f"{context}: staged schema binds physical column(s) "
+                    f"{hit} tombstoned by a concurrent drop_column -- "
+                    "publishing would resurrect the dropped bytes; "
+                    "re-open the table and retry"
                 )
 
     def _rebase(
@@ -939,9 +1054,7 @@ class TxTable:
         d = self._log_dir()
         for v in range(base_version + 1, head + 1):
             try:
-                e = json.loads(
-                    self.store.read_bytes(os.path.join(d, f"v{v:06d}.json"))
-                )
+                e = self._read_entry(f"v{v:06d}.json")
             except FileNotFoundError:
                 raise ConcurrentWriteError(
                     f"cannot verify conflicts: concurrent commit v{v} "
@@ -1372,9 +1485,8 @@ class TxTable:
         "yesterday's table" ask.  Raises for a timestamp older than
         the retained history (cleanup_log) or the first commit."""
         entry_names, _ = self._list_log()
-        d = self._log_dir()
         for name in reversed(entry_names):
-            e = json.loads(self.store.read_bytes(os.path.join(d, name)))
+            e = self._read_entry(name)
             if e.get("ts", 0.0) <= ts:
                 return e["version"]
         raise FileNotFoundError(
@@ -1667,11 +1779,7 @@ class TxTable:
         entry_names, _ = self._list_log()
         if not entry_names:
             return False
-        head = json.loads(
-            self.store.read_bytes(
-                os.path.join(self._log_dir(), entry_names[-1])
-            )
-        )
+        head = self._read_entry(entry_names[-1])
         return bool(
             head.get("op") == op and head.get("add") == sorted(mapping)
         )
@@ -2548,7 +2656,12 @@ class TxTable:
         schema.  ``evolve_schema=True`` is the sanctioned widen/omit
         path; the commit point re-checks against the NEWEST logged
         schema so a concurrent evolution cannot be regressed by a
-        stale handle racing it (see :meth:`_assert_schema_advances`)."""
+        stale handle racing it (see :meth:`_assert_schema_advances`).
+        Consequently an append racing a concurrent schema /
+        partition / cluster / column-map / drop-column commit may
+        raise a retryable :class:`ConcurrentWriteError` subclass
+        (typically :class:`MetadataChangedError`) instead of silently
+        bumping past it -- retry from a fresh handle."""
         self._recover()
         try:
             return self._append_inner(df, evolve_schema, app_txn)

@@ -803,3 +803,84 @@ def test_version_bytes_warns_on_vacuumed_file_and_prunes_cache(spark, tmp_path):
     assert set(reader._version_bytes_cache) == {1, 2}
     reader.partitions({"version": 2}, {"version": 2})
     assert reader._version_bytes_cache == {}
+
+
+def test_mid_stream_drop_column_fails_loudly(spark, tmp_path):
+    """drop_column on a never-renamed column logs NO column_map key,
+    so the rename guard never fires -- before the fix the running
+    stream kept its fixed schema and silently emitted NULL for the
+    dropped column from post-drop files.  It must fail like the
+    rename case (r9 ADVICE)."""
+    t = TxTable(str(tmp_path / "t"), retain_history=True)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 9.5)], "k long, v string, score double"
+        )
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, t.root, out, ckpt)  # snapshot batch, schema fixed
+    t.drop_column("score")
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    # the RESTARTED consumer still carries the checkpointed pre-drop
+    # run's progress, but a fresh query re-fixes its schema post-drop;
+    # to model a RUNNING stream crossing the drop, drive the reader
+    # directly with the pre-drop schema
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        TxTableStreamReader,
+        stream_schema,
+    )
+
+    pre_drop = stream_schema(TxTable(t.root))  # post-drop logical
+    import pyspark.sql.types as T
+
+    fixed = T.StructType(
+        [T.StructField("score", T.DoubleType(), True)] + list(pre_drop.fields)
+    )
+    rdr = TxTableStreamReader(fixed, {"path": t.root})
+    with pytest.raises(ValueError, match="dropped"):
+        rdr.partitions({"version": 1}, {"version": 3})
+
+
+def test_restarted_stream_sails_past_old_drop(spark, tmp_path):
+    """dropped_physical is cumulative: a consumer restarted AGAINST
+    the post-drop schema must replay commits at or after the drop
+    without tripping the tombstone guard."""
+    t = TxTable(str(tmp_path / "t"), retain_history=True)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 9.5)], "k long, v string, score double"
+        )
+    )
+    t.drop_column("score")
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, t.root, out, ckpt)  # fresh query, post-drop schema
+    got = sorted(
+        (r["k"], r["_change_type"]) for r in spark.read.parquet(out).collect()
+    )
+    # snapshot insert + post-drop append insert; no NULL-score rows
+    assert got == [(1, "insert"), (2, "insert")]
+    cols = set(spark.read.parquet(out).columns)
+    assert "score" not in cols
+
+
+def test_mid_stream_narrowing_overwrite_fails_loudly(spark, tmp_path):
+    """An overwrite that LOSES a field the stream's fixed schema binds
+    must fail the stream -- NULL-filling a column the table no longer
+    has is a silent wrong answer."""
+    t = TxTable(str(tmp_path / "t"), retain_history=True)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 9.5)], "k long, v string, score double"
+        )
+    )
+    from nyc_crash_mapper_etl_script_spark.sources.txstream import (
+        TxTableStreamReader,
+        stream_schema,
+    )
+
+    fixed = stream_schema(t)  # pre-overwrite: includes score
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    rdr = TxTableStreamReader(fixed, {"path": t.root})
+    with pytest.raises(ValueError, match="lost or retyped"):
+        rdr.partitions({"version": 1}, {"version": 2})

@@ -117,3 +117,109 @@ def test_widening_merge_and_rewrites_still_pass(spark, tmp_path):
     assert TxTable(t.root).read(spark).columns == ["k", "v"]
     t.restore(2)  # rollback re-logs the as-of schema, wide again
     assert "flag" in TxTable(t.root).read(spark).columns
+
+
+def test_drop_column_race_blocks_blind_append_at_publish(spark, tmp_path):
+    """The drop-resurrection race (r9 ADVICE): a stale handle's blind
+    append races drop_column.  Containment alone passes (the pre-drop
+    schema is a strict SUPERSET of the post-drop one), so the commit
+    point must ALSO reject staged columns whose physical name is
+    tombstoned -- otherwise the append re-logs the old schema as
+    newest and logically resurrects the dropped column and its bytes
+    (Delta raises MetadataChangedException here)."""
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 9.5)], "k long, v string, score double"
+        )
+    )
+    stale = TxTable(root)
+
+    orig = TxTable._commit
+
+    def racing(self, mapping, removes, op, base_version=None, **kw):
+        if op == "append" and self is stale and not getattr(
+            self, "_fired", False
+        ):
+            self._fired = True
+            TxTable(root).drop_column("score")
+        return orig(self, mapping, removes, op, base_version, **kw)
+
+    TxTable._commit = racing
+    try:
+        with pytest.raises(MetadataChangedError, match="tombstoned"):
+            stale.append(
+                spark.createDataFrame(
+                    [(2, "b", 1.0)], "k long, v string, score double"
+                )
+            )
+    finally:
+        TxTable._commit = orig
+
+    got = TxTable(root).read(spark)
+    assert "score" not in got.columns  # the drop survived the race
+    assert sorted(r["k"] for r in got.collect()) == [1]
+
+
+def test_drop_column_race_blocks_blind_append_at_bump(spark, tmp_path):
+    """Same race, narrower window: the drop lands AFTER the stale
+    append's pre-publish state check but BEFORE its CAS, so the
+    version-bump guard (_guard_blind_bump) is the last line -- it must
+    read the winning drop entry's dropped_physical and abort."""
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 9.5)], "k long, v string, score double"
+        )
+    )
+    stale = TxTable(root)
+
+    orig = TxTable._assert_schema_advances
+
+    def fire_after_precheck(self, *a, **kw):
+        orig(self, *a, **kw)
+        if self is stale and not getattr(self, "_fired", False):
+            self._fired = True
+            TxTable(root).drop_column("score")
+
+    TxTable._assert_schema_advances = fire_after_precheck
+    try:
+        with pytest.raises(MetadataChangedError, match="tombstoned"):
+            stale.append(
+                spark.createDataFrame(
+                    [(2, "b", 1.0)], "k long, v string, score double"
+                )
+            )
+    finally:
+        TxTable._assert_schema_advances = orig
+
+    got = TxTable(root).read(spark)
+    assert "score" not in got.columns
+    assert sorted(r["k"] for r in got.collect()) == [1]
+
+
+def test_evolve_readd_after_drop_still_passes_the_tombstone_guard(
+    spark, tmp_path
+):
+    """The sanctioned re-add path must NOT trip the new guard: an
+    evolve append reusing a dropped logical name binds a FRESH
+    physical name (column_map entry), so its staged physical set
+    never intersects dropped_physical."""
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 9.5)], "k long, v string, score double"
+        )
+    )
+    t.drop_column("score")
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 7.0)], "k long, v string, score double"
+        ),
+        evolve_schema=True,
+    )
+    got = {r["k"]: r["score"] for r in TxTable(root).read(spark).collect()}
+    assert got == {1: None, 2: 7.0}  # old bytes stay dead
