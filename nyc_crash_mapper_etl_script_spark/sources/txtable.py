@@ -130,6 +130,25 @@ def _strip_schema_meta(o):
 #: to be misread through it
 _SCHEMA_REPLACING_OPS = frozenset({"init", "overwrite", "restore", "repartition"})
 
+#: checkpoint sharding thresholds: a state whose BULK sections (live
+#: files, per-file stats, dvs, app txns) total at most
+#: _CKPT_INLINE_MAX rows checkpoints as today's single JSON blob
+#: (zero extra files, one read, C-speed parse); past it the bulk
+#: shards into JSON-lines part files of _CKPT_PART_ROWS rows (~5 MB)
+#: each.  Sharding trades ~5x parse cost per row (measured,
+#: BENCH_LOG_CKPT.json scale_100k_files) for BOUNDED per-object size
+#: (a million-file state is a multi-GB single blob -- past object
+#: store PUT limits and a driver-memory spike to serialize),
+#: incremental writes, and parts Spark can scan directly
+#: (spark.read.json) -- so the threshold sits where the blob is still
+#: comfortably one PUT (~5-15 MB) and only genuinely large tables pay
+#: the sharded form.
+_CKPT_INLINE_MAX = 50_000
+_CKPT_PART_ROWS = 50_000
+
+#: state sections sharded out of the checkpoint manifest
+_CKPT_BULK_KEYS = ("live", "dv_live", "dv_staged", "txn", "stats")
+
 #: per-handle parsed-entry cache bound.  Entries are small JSON; the
 #: bound exists only so a handle that walks very deep history (a full
 #: audit over an uncleaned million-commit log) cannot grow without
@@ -582,19 +601,14 @@ class TxTable:
             if cv <= best_cached:
                 break  # the cached fold is at least as fresh
             try:
-                data = json.loads(self._read_ckpt_bytes(name))
+                data = self._read_ckpt(name)
+            except UnsupportedTableFeatureError:
+                # NOT the corrupt-fallback: a well-formed checkpoint
+                # demanding an unimplemented feature means the raw
+                # entries demand it too -- refuse
+                raise
             except Exception:  # noqa: BLE001 -- a checkpoint is a
                 continue  # cache: corrupt/vanished -> older or full fold
-            unknown = set(data.get("requires", [])) - _SUPPORTED_FEATURES
-            if unknown:
-                # NOT the corrupt-fallback: a well-formed
-                # checkpoint demanding an unimplemented feature
-                # means the raw entries demand it too -- refuse
-                raise UnsupportedTableFeatureError(
-                    f"checkpoint v{cv} requires table feature(s) "
-                    f"{sorted(unknown)} this build does not "
-                    "implement; upgrade before touching this table"
-                )
             state.update(data)
             lo = cv
             break
@@ -638,16 +652,60 @@ class TxTable:
             for k, val in st.items()
         }
 
-    def _read_ckpt_bytes(self, name: str) -> bytes:
-        """Checkpoint bytes by log file name (seam for the sharded
-        form; see :meth:`_maybe_checkpoint`)."""
-        return self.store.read_bytes(os.path.join(self._log_dir(), name))
+    def _read_ckpt(self, name: str) -> dict:
+        """Load a checkpoint by its manifest name -- inline blob or
+        sharded form (see :meth:`_maybe_checkpoint`) -- into the full
+        state dict.  Raises on ANY corruption (missing part, bad
+        json): callers treat that as checkpoint-is-a-cache and fall
+        back.  Raises :class:`UnsupportedTableFeatureError` -- which
+        callers must NOT swallow -- before touching parts: a
+        well-formed checkpoint demanding an unimplemented feature
+        means the raw entries demand it too."""
+        d = self._log_dir()
+        data = json.loads(self.store.read_bytes(os.path.join(d, name)))
+        unknown = set(data.get("requires", [])) - _SUPPORTED_FEATURES
+        if unknown:
+            raise UnsupportedTableFeatureError(
+                f"checkpoint {name} requires table feature(s) "
+                f"{sorted(unknown)} this build does not implement; "
+                "upgrade before touching this table"
+            )
+        if data.pop("format", None) != "sharded":
+            return data
+        version = self._ckpt_version(name)
+        n_parts = int(data.pop("parts"))
+        bulk: dict[str, dict] = {k: {} for k in _CKPT_BULK_KEYS}
+        for i in range(n_parts):
+            raw = self.store.read_bytes(
+                os.path.join(d, self._ckpt_part_name(version, i))
+            )
+            for line in raw.splitlines():
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                bulk[row["s"]][row["k"]] = row["v"]
+        data.update(bulk)
+        return data
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Opportunistically publish the state fold at ``version``
         as a checkpoint (every ``checkpoint_every`` commits).  Best
         effort: a racing writer's CAS win or any IO failure leaves the
-        log exactly as functional, just uncached."""
+        log exactly as functional, just uncached.
+
+        SCALE FORM (Delta's multi-part checkpoint analog): past
+        ``_CKPT_INLINE_MAX`` bulk rows (live files + stats + dvs +
+        txns) the bulk sections shard into ``ckpt_vNNNNNN.pNNNN.jsonl``
+        JSON-LINES part files of ``_CKPT_PART_ROWS`` rows each --
+        written and read incrementally, so a million-file state never
+        serializes as one driver-side JSON blob -- and the manifest
+        (the ordinary ``.ckpt_vNNNNNN.json`` name, carrying the scalar
+        state plus ``format/parts``) publishes LAST via the same CAS,
+        so readers only ever see complete checkpoints.  Part files are
+        plain JSON-lines (``{"s": section, "k": key, "v": value}``)
+        readable by ``spark.read.json`` directly.  A checkpoint at a
+        version is a pure function of the log, so racing writers'
+        parts are byte-identical and FileExistsError means done."""
         if not self.checkpoint_every or version % self.checkpoint_every:
             return
         try:
@@ -662,14 +720,65 @@ class TxTable:
                 for r, s in state["dv_staged"].items()
                 if r in state["dv_live"]
             }
+            d = self._log_dir()
+            bulk_rows = sum(
+                len(state.get(k) or {}) for k in _CKPT_BULK_KEYS
+            )
+            if bulk_rows <= _CKPT_INLINE_MAX:
+                self.store.put_if_absent(
+                    os.path.join(d, self._ckpt_name(version)),
+                    json.dumps(state).encode(),
+                )
+                return
+            manifest = {
+                k: v for k, v in state.items() if k not in _CKPT_BULK_KEYS
+            }
+
+            def rows():
+                for section in _CKPT_BULK_KEYS:
+                    for k, v in (state.get(section) or {}).items():
+                        yield {"s": section, "k": k, "v": v}
+
+            part, n_parts = [], 0
+            for row in rows():
+                part.append(json.dumps(row))
+                if len(part) >= _CKPT_PART_ROWS:
+                    self._put_ckpt_part(d, version, n_parts, part)
+                    n_parts += 1
+                    part = []
+            if part:
+                self._put_ckpt_part(d, version, n_parts, part)
+                n_parts += 1
+            manifest["format"] = "sharded"
+            manifest["parts"] = n_parts
             self.store.put_if_absent(
-                os.path.join(self._log_dir(), self._ckpt_name(version)),
-                json.dumps(state).encode(),
+                os.path.join(d, self._ckpt_name(version)),
+                json.dumps(manifest).encode(),
             )
         except FileExistsError:
             pass  # a peer checkpointed the same version -- identical fold
         except Exception:  # noqa: BLE001 -- cache write is best-effort
             pass
+
+    def _put_ckpt_part(
+        self, d: str, version: int, i: int, lines: list[str]
+    ) -> None:
+        try:
+            self.store.put_if_absent(
+                os.path.join(d, self._ckpt_part_name(version, i)),
+                ("\n".join(lines) + "\n").encode(),
+            )
+        except FileExistsError:
+            pass  # racing writer's identical part
+
+    @staticmethod
+    def _ckpt_part_name(version: int, i: int) -> str:
+        # NO leading dot: Spark's file index filters dot/underscore
+        # names as hidden, and part files are meant to be directly
+        # spark.read.json-able.  They are invisible to _list_log by
+        # suffix (.jsonl, never .json) and live inside the _txlog dir
+        # Spark never scans implicitly.
+        return f"ckpt_v{version:06d}.p{i:04d}.jsonl"
 
     def cleanup_log(
         self, before: "int | None" = None, keep_versions: int = 0
@@ -707,9 +816,10 @@ class TxTable:
         # name) before the irreversible deletion, or a corrupt one
         # bricks every future state fold
         try:
-            ck = json.loads(
-                self.store.read_bytes(os.path.join(d, self._ckpt_name(before)))
-            )
+            # full load -- a SHARDED checkpoint validates every part,
+            # not just the manifest (a missing shard would brick folds
+            # exactly like a corrupt blob)
+            ck = self._read_ckpt(self._ckpt_name(before))
             assert ck["version"] == before and isinstance(ck["live"], dict)
         except Exception as exc:  # noqa: BLE001 -- refuse, don't brick
             raise ValueError(
@@ -723,6 +833,17 @@ class TxTable:
                 n += 1
         for name in ckpt_names:
             if self._ckpt_version(name) < before:
+                self.store.delete(os.path.join(d, name))
+                n += 1
+        # part files of deleted SHARDED checkpoints (invisible to
+        # _list_log by design: .jsonl, never .json)
+        for name in self.store.list_dir(d):
+            if (
+                name.startswith("ckpt_v")
+                and name.endswith(".jsonl")
+                and ".p" in name
+                and int(name[len("ckpt_v"): name.index(".p")]) < before
+            ):
                 self.store.delete(os.path.join(d, name))
                 n += 1
         return n
@@ -1334,6 +1455,7 @@ class TxTable:
         dvs: "list[str] | None" = None,
         keep_pos: bool = False,
         cmap: "dict | None" = None,
+        dv_for: "dict[str, list[str]] | None" = None,
     ) -> DataFrame:
         """Read a set of logged rels wherever they live NOW.  A
         time-travel or CDC read can legitimately mix still-live files
@@ -1369,7 +1491,34 @@ class TxTable:
         projection still push into the scan, and a table with NO live
         dvs takes the zero-overhead original plan.  ``keep_pos=True``
         retains the two key columns on the output (the dv WRITER and
-        CDC position reads need them)."""
+        CDC position reads need them).
+
+        ``dv_for`` (dv rel -> the data-file rels its positions
+        reference, recorded at dv-commit time) splits the scan PER
+        FILE: only files a live dv actually touches pay the
+        position-tracking projection and the anti-join; every CLEAN
+        file keeps the zero-overhead plan.  At 100 TB one sparse
+        takedown must not tax the whole table scan -- without the
+        split the ``_metadata`` struct materializes and the join keys
+        compute for every row of every file."""
+        if dvs and not keep_pos and dv_for is not None:
+            relset = set(rels)
+            dvs = [
+                d
+                for d in dvs
+                if not relset.isdisjoint(dv_for.get(d, ()))
+            ] or None  # drop dvs referencing none of this scan's files
+            touched: set[str] = set()
+            for d in dvs or ():
+                touched.update(dv_for.get(d, []))
+            hit = [r for r in rels if r in touched]
+            if dvs and len(hit) < len(rels):
+                clean = [r for r in rels if r not in touched]
+                return self._read_resolved(
+                    spark, hit, schema, dvs=dvs, cmap=cmap
+                ).unionByName(
+                    self._read_resolved(spark, clean, schema, cmap=cmap)
+                )
         if not rels:
             # make the empty-group invariant explicit instead of dying
             # as NoneType.select below: a typed empty frame when the
@@ -1543,6 +1692,7 @@ class TxTable:
             self.logged_schema(version),
             dvs=dvs,
             cmap=self._column_map(version),
+            dv_for=st["dv_live"],
         )
 
     def history(self) -> list[dict]:
@@ -1624,7 +1774,7 @@ class TxTable:
             # across renames, so files of either era bind identically
             return self._read_resolved(
                 spark, sorted(rels), schema, dvs=side_dvs,
-                cmap=self._column_map(v_to),
+                cmap=self._column_map(v_to), dv_for=dvs,
             )
 
         added = _read(after - before, dv_after)
@@ -2328,8 +2478,9 @@ class TxTable:
             if schema is None:
                 raise FileNotFoundError(f"no logged schema at {self.root}")
             return spark.createDataFrame([], schema)
+        live_dvs = self._live_dvs()
         return self._read_resolved(
-            spark, files, schema, dvs=sorted(self._live_dvs())
+            spark, files, schema, dvs=sorted(live_dvs), dv_for=live_dvs
         )
 
     def _inert_dvs(self, removes: list[str]) -> list[str]:
@@ -2797,6 +2948,7 @@ class TxTable:
         the silent-drop-hazard classification."""
         root = self.root + os.sep
         rels = [p[len(root):] if p.startswith(root) else p for p in paths]
+        live_dvs = self._live_dvs(version=version)
         return self._read_resolved(
             spark,
             rels,
@@ -2805,8 +2957,9 @@ class TxTable:
             # without the live-dv subtraction a merge/compact of a file
             # carrying deletion vectors would resurrect its deleted
             # rows into the rewrite
-            dvs=sorted(self._live_dvs(version=version)),
+            dvs=sorted(live_dvs),
             cmap=self._column_map(version),
+            dv_for=live_dvs,
         )
 
     def _scoped_removes(

@@ -480,3 +480,60 @@ def test_stream_seeded_dv_subtracts_on_later_remove(spark, tmp_path):
     assert v3.where("_change_type = 'delete'").count() == 40
     assert v3.where("_change_type = 'insert'").count() == 40
     assert v3.where("id < 10").count() == 0
+
+
+def test_dv_scan_split_keeps_clean_files_untaxed(spark, tmp_path):
+    """Per-file dv scan split (r9 VERDICT #3): with a dv live on ONE
+    partition's file, the other partitions' scans must keep the
+    zero-overhead plan -- no _metadata position projection, no
+    anti-join -- while the touched file still subtracts exactly."""
+    t = TxTable(str(tmp_path / "t"), partition_by=["ym"])
+    t.init(_df(spark))
+    # dv touches only partition ym=0 (id % 4 == 0 rows live there)
+    t.delete_where(spark, (F.col("id") % 20 == 0), dv=True)
+    assert _ids(t.read(spark)) == [
+        i for i in range(100) if i % 20 != 0
+    ]
+    # full read splits: plan unions a position-tracked subtree (the
+    # touched file, anti-joined) with plain scans (clean files)
+    full_plan = (
+        t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "row_index" in full_plan and "Join" in full_plan
+    assert "Union" in full_plan
+    # a partition-scoped read of CLEAN partitions while the dv lives
+    # elsewhere: zero dv overhead in the plan
+    clean = t.read_partitions(spark, "ym", ["1", "2"])
+    assert _ids(clean) == [i for i in range(100) if i % 4 in (1, 2)]
+    clean_plan = clean._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_index" not in clean_plan
+    assert "Join" not in clean_plan
+    # the touched partition alone still pays (and subtracts) the dv
+    hit = t.read_partitions(spark, "ym", ["0"])
+    assert _ids(hit) == [
+        i for i in range(0, 100, 4) if i % 20 != 0
+    ]
+    hit_plan = hit._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_index" in hit_plan
+
+
+def test_dv_split_read_matches_unsplit_rewrite_semantics(spark, tmp_path):
+    """Split-read parity on a multi-partition table where SOME
+    partitions carry dvs: dv side == rewrite side, row for row."""
+    a = TxTable(str(tmp_path / "a"), partition_by=["ym"])
+    b = TxTable(str(tmp_path / "b"), partition_by=["ym"])
+    a.init(_df(spark, n=200, mod=5))
+    b.init(_df(spark, n=200, mod=5))
+    cond = (F.col("id") % 5 == 0) & (F.col("id") < 100)
+    a.delete_where(spark, cond)
+    b.delete_where(spark, cond, dv=True)
+    assert _ids(a.read(spark)) == _ids(b.read(spark))
+    # merge after the dv: the rewrite read path also splits
+    upd = spark.createDataFrame(
+        [(7, "2", 700)], "id long, ym string, v long"
+    )
+    a.merge(upd, "id")
+    b.merge(upd, "id")
+    assert sorted(
+        (r["id"], r["v"]) for r in a.read(spark).collect()
+    ) == sorted((r["id"], r["v"]) for r in b.read(spark).collect())

@@ -65,7 +65,11 @@ def main() -> None:
         n_state = 50
         t0 = time.perf_counter()
         for _ in range(n_state):
+            # clear BOTH caches: the r10 parsed-entry cache would
+            # otherwise make every fold parse-free and this column
+            # would measure the cache, not the fresh-handle fold
             t._state_cache.clear()
+            t._entry_cache.clear()
             t._state()
         state_ms = (time.perf_counter() - t0) / n_state * 1000
         # the object-store-invariant metric: LOG READ OPS per fold.
@@ -80,6 +84,7 @@ def main() -> None:
 
         t.store.read_bytes = counting_read
         t._state_cache.clear()
+        t._entry_cache.clear()
         t._state()
         t.store.read_bytes = real_read
         log_reads_per_fold = reads["n"]
@@ -107,6 +112,75 @@ def main() -> None:
         fn()
         return time.perf_counter() - t0
 
+    def scale_100k() -> dict:
+        """The r9-VERDICT #4 claim, measured: a synthetic 100k-live-
+        file state (20 commits x 5k adds with per-file stats, straight
+        through _publish -- log layer only, no Spark staging)
+        checkpoints in bounded memory via the SHARDED form, and the
+        cold fold resumes from it in O(tail).  The inline single-blob
+        form is measured alongside for the memory comparison."""
+        import tracemalloc
+
+        import nyc_crash_mapper_etl_script_spark.sources.txtable as txm
+        from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+            TxTable as TX,
+        )
+
+        root = os.path.join(base, "scale100k")
+        t = TX(root, checkpoint_every=0)
+        os.makedirs(t._log_dir(), exist_ok=True)
+        for c in range(20):
+            files = [f"part-{c:02d}-{i:05d}.parquet" for i in range(5000)]
+            t._publish(
+                {
+                    "op": "append",
+                    "add": files,
+                    "remove": [],
+                    "staged": {f: "" for f in files},
+                    "stats": {
+                        f: {"id": [c * 5000 + i, c * 5000 + i]}
+                        for i, f in enumerate(files)
+                    },
+                }
+            )
+        head = t._snapshot_version()
+        out: dict[str, dict] = {}
+        for label, inline_max in (("sharded", 10_000), ("inline", 10**9)):
+            saved = txm._CKPT_INLINE_MAX
+            txm._CKPT_INLINE_MAX = inline_max
+            try:
+                w = TX(root, checkpoint_every=head)  # due exactly at head
+                tracemalloc.start()
+                t0 = time.perf_counter()
+                w._maybe_checkpoint(head)
+                wall = time.perf_counter() - t0
+                _, peak = tracemalloc.get_traced_memory()
+                tracemalloc.stop()
+                d = t._log_dir()
+                assert any(
+                    n.startswith(".ckpt_v") and n.endswith(".json")
+                    for n in os.listdir(d)
+                ), "checkpoint write silently failed"
+                parts = [n for n in os.listdir(d) if n.endswith(".jsonl")]
+                r = TX(root)
+                t0 = time.perf_counter()
+                st = r._state()
+                fold = time.perf_counter() - t0
+                assert len(st["live"]) == 100_000
+                out[label] = {
+                    "ckpt_write_s": round(wall, 3),
+                    "ckpt_write_peak_mb": round(peak / 1e6, 1),
+                    "ckpt_parts": len(parts),
+                    "cold_fold_s": round(fold, 3),
+                }
+                # remove the checkpoint so the next variant re-measures
+                for n in os.listdir(d):
+                    if n.startswith(".ckpt_v") or n.endswith(".jsonl"):
+                        os.unlink(os.path.join(d, n))
+            finally:
+                txm._CKPT_INLINE_MAX = saved
+        return out
+
     try:
         for label, every in (("checkpointed", 10), ("no_checkpoint", 0)):
             root = os.path.join(base, label)
@@ -118,6 +192,7 @@ def main() -> None:
         results["checkpointed_after_cleanup"] = measure(
             os.path.join(base, "checkpointed"), 10
         )
+        results["scale_100k_files"] = scale_100k()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
