@@ -1297,12 +1297,31 @@ class TxTable:
 
     # -- crash recovery ---------------------------------------------------
 
-    def _recover(self) -> None:
+    def _recover(self, force: bool = False) -> None:
         """Make the filesystem agree with the log: complete any
         committed-but-unfinalized renames, then remove files and
-        staging dirs the log does not reference."""
+        staging dirs the log does not reference.
+
+        GATED PER OBSERVED VERSION: the walk below is O(table files)
+        (an exists() per live file plus a full directory walk), which
+        a 100 TB table cannot pay on every read.  Filesystem state
+        needing recovery only ever arises from a commit -- publish
+        ALWAYS precedes the finalize renames, so a peer that crashed
+        mid-commit left a LOG ENTRY this handle sees as a version
+        bump -- and a peer that crashed before publishing left only
+        staging litter, invisible to both TxTable reads (explicit
+        file lists) and plain parquet readers (it sits under
+        ``_staging``), age-swept on the next real recovery.  Hence:
+        same head version as last time on this handle => filesystem
+        already reconciled, skip.  ``force=True`` is the operator
+        escape hatch for OUT-OF-BAND tampering (manual file
+        surgery): it runs the full pass regardless."""
         st = self._state()
         if st["version"] == 0:
+            return
+        if not force and st["version"] == getattr(
+            self, "_recovered_version", None
+        ):
             return
         # staging references of LIVE files/dvs only -- dead files'
         # staging is litter step 3 sweeps (the checkpointed state
@@ -1394,6 +1413,9 @@ class TxTable:
                 os.rmdir(sdir)  # only succeeds when fully empty
             except OSError:
                 pass
+        #: reconciled-through marker for the version gate above (set
+        #: only on completion: an exception re-runs recovery next call)
+        self._recovered_version = st["version"]
 
     def _move_into_place(self, src: str, dst: str) -> None:
         """A finalize/recovery rename that tolerates the PEER having

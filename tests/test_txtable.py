@@ -108,7 +108,9 @@ def test_crash_before_commit_leaves_old_version(spark, table):
     # ... but once stale (backdated mtime) the next recovery sweeps it
     for d in os.listdir(staging):
         os.utime(os.path.join(staging, d), (1, 1))
-    table._recover()
+    # out-of-band mtime surgery, no version bump: the per-version
+    # recovery gate skips implicit passes -- force the explicit one
+    table._recover(force=True)
     assert not os.path.isdir(staging)
     table.merge(src, "k")  # re-run converges
     assert _as_dict(table.read(spark))[2] == ("B", "2024-05")
@@ -553,11 +555,11 @@ def test_recover_protects_concurrent_writers_fresh_files(spark, table):
     import shutil as _sh
 
     _sh.copyfile(src, foreign)
-    table._recover()
+    table._recover(force=True)
     assert os.path.exists(foreign)  # young + unlogged -> protected
     # once stale it is debris and the sweep takes it
     os.utime(foreign, (1, 1))
-    table._recover()
+    table._recover(force=True)
     assert not os.path.exists(foreign)
     # a file the log PROVES superseded is retired immediately even
     # when young: merge, then resurrect the replaced file by copying
@@ -572,7 +574,7 @@ def test_recover_protects_concurrent_writers_fresh_files(spark, table):
     assert not os.path.exists(resurrected)  # merge retired it
     any_live = os.path.join(table.root, table._live_files()[0])
     _sh.copyfile(any_live, resurrected)  # young mtime, logged-superseded
-    table._recover()
+    table._recover(force=True)
     assert not os.path.exists(resurrected)
 
 

@@ -116,3 +116,33 @@ def test_cold_open_fold_bounded_at_300_commit_log(tmp_path):
         h._state()
         times.append(time.perf_counter() - t0)
     assert min(times) <= 0.100, f"cold-open fold regressed: {times}"
+
+
+def test_recovery_walk_gated_per_observed_version(spark, tmp_path, monkeypatch):
+    """_recover()'s O(table files) walk runs once per observed head
+    version per handle: repeat reads on a quiescent table skip it
+    (filesystem divergence always accompanies a version bump --
+    publish precedes finalize), a new commit re-arms it, and a fresh
+    handle always reconciles once."""
+    import os as _os
+
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+    calls = {"n": 0}
+    real = _os.walk
+
+    def counting(top, *a, **k):
+        if str(top) == root:  # the recovery walk starts at the root
+            calls["n"] += 1   # (staging walks start below it)
+        return real(top, *a, **k)
+
+    monkeypatch.setattr(_os, "walk", counting)
+    for _ in range(3):
+        t.read(spark).count()
+    assert calls["n"] == 1, "quiescent repeat reads must not re-walk"
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.read(spark).count()
+    assert calls["n"] == 2, "a new version must re-arm recovery"
+    TxTable(root).read(spark).count()
+    assert calls["n"] == 3, "a fresh handle always reconciles once"
