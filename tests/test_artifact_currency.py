@@ -22,7 +22,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _latest_selfcheck() -> tuple[str, dict]:
-    files = glob.glob(os.path.join(REPO, "SELFCHECK_r*.json"))
+    """Newest FULL-registry selfcheck -- the plain SELFCHECK_r<N>.json
+    series.  Purpose-scoped artifacts (e.g. the r11 never-sampled-rows
+    run, SELFCHECK_r11_unsampled.json) are deliberately excluded: they
+    cover a row subset by design."""
+    files = [
+        p
+        for p in glob.glob(os.path.join(REPO, "SELFCHECK_r*.json"))
+        if re.search(r"_r(\d+)\.json$", p)
+    ]
     assert files, "no SELFCHECK_r*.json committed"
     latest = max(
         files, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))
@@ -57,6 +65,46 @@ def test_readme_query_count_matches_registry():
         f"README says {m.group(1)} named queries but the registry has "
         f"{len(harness.queries())} -- bump the README line"
     )
+
+
+def test_latest_adjudication_parses_and_names_latest_bench():
+    """r10 shipped a 0-byte ADJUDICATION_r10_local.json in a commit
+    whose message claimed its contents (r10 VERDICT wrong-item 1).  A
+    close-out adjudication artifact must be non-empty, parse, name the
+    newest BENCH_local_r*.json as its bench input, and carry one row
+    per bench query.  Regenerate with::
+
+        python tools/adjudicate_bench.py BENCH_local_r<N>.json \
+            --json ADJUDICATION_r<N>_local.json
+    """
+
+    def _latest(pattern):
+        files = glob.glob(os.path.join(REPO, pattern))
+        assert files, f"no {pattern} committed"
+        return max(
+            files, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
+        )
+
+    adj_path = _latest("ADJUDICATION_r*_local.json")
+    assert os.path.getsize(adj_path) > 0, (
+        f"{os.path.basename(adj_path)} is empty -- regenerate (see "
+        "docstring)"
+    )
+    with open(adj_path) as f:
+        adj = json.load(f)
+    bench_path = _latest("BENCH_local_r*.json")
+    assert adj["bench"] == os.path.basename(bench_path), (
+        f"{os.path.basename(adj_path)} adjudicates {adj['bench']}, but "
+        f"the newest close-out bench is {os.path.basename(bench_path)}"
+    )
+    with open(bench_path) as f:
+        bench = json.load(f)
+    if "parsed" in bench and "value" not in bench:
+        bench = bench["parsed"]
+    assert {r["query"] for r in adj["rows"]} == set(bench["queries"]), (
+        "adjudication rows differ from the bench's query set"
+    )
+    assert adj.get("summary"), "adjudication carries no summary line"
 
 
 def test_plans_md_covers_current_registry():
