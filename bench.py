@@ -6,6 +6,19 @@
 
 Each query executes fully via the noop sink (no driver collect of
 wide results -- measures the distributed plan, not row serialization).
+
+INTERLEAVED SENTINEL (r10 VERDICT item 3): same-code bench totals on
+this shared VM span 32.5-70.0 s across hours (BENCH_NOTES.md), so a
+hot driver run can FLAG rows a quiet box exonerates.  The structural
+fix: alternate every timed rep with a fixed SENTINEL query and record
+each row's min-over-reps ``row_time / adjacent_sentinel_time`` ratio.
+Host load within one rep hits numerator and denominator together, so
+the ratio is load-invariant PER-REP -- not merely per-run like the
+total-share test -- and ``tools/adjudicate_bench.py`` prefers it when
+both the sample and the envelope carry it.  Default ON
+(``SPARK_GRAFT_BENCH_SENTINEL=0`` disables); sentinel executions are
+NOT added to the reported total, so ``value`` stays comparable across
+rounds.
 """
 
 from __future__ import annotations
@@ -79,8 +92,18 @@ HEADLINE = [
     "j6_pip_raycast_grid",
 ]
 
+#: the interleaved sentinel: cheap (~0.12 s quiet median), stable,
+#: and exercises the same scan + shuffle machinery host noise hits
+#: (TakeOrderedAndProject over events).  Its OWN row's sentinel ratio
+#: is meaningless (≈1 by construction) -- the adjudicator skips the
+#: sentinel test for the row named here and falls through to the
+#: total-share test.
+SENTINEL = "o3_global_topk"
 
-def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
+
+def bench_storage(
+    spark, sf_dir: str, reps: int, sentinel_fn=None
+) -> "tuple[dict[str, float], dict[str, float]]":
     """SECOND TIER: the TxTable storage layer's RMW / pruned-scan /
     stream-rollup latency, timed on the OPERATION itself (each op is
     an eager atomic commit, so the headline tier's declare-then-noop
@@ -139,11 +162,18 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
     )
     lo, hi = "1994-01-01", "1994-12-31"
     samples: dict[str, list[float]] = {}
+    sratios: dict[str, list[float]] = {}
 
     def rec(name, fn):
+        # interleaved sentinel: one adjacent sentinel execution per
+        # timed op, so each rep carries its own load-invariant ratio
+        s = sentinel_fn() if sentinel_fn is not None else None
         t0 = time.time()
         fn()
-        samples.setdefault(name, []).append(time.time() - t0)
+        dt = time.time() - t0
+        samples.setdefault(name, []).append(dt)
+        if s:
+            sratios.setdefault(name, []).append(dt / s)
 
     for _ in range(reps):
         base = tempfile.mkdtemp(prefix="benchtx_")
@@ -267,7 +297,10 @@ def bench_storage(spark, sf_dir: str, reps: int) -> dict[str, float]:
             )
         finally:
             shutil.rmtree(base, ignore_errors=True)
-    return {k: round(min(v), 3) for k, v in samples.items()}
+    return (
+        {k: round(min(v), 3) for k, v in samples.items()},
+        {k: round(min(v), 4) for k, v in sratios.items()},
+    )
 
 
 def main() -> None:
@@ -338,24 +371,50 @@ def main() -> None:
     for name in names:
         runq(name)
 
+    sentinel_on = (
+        os.environ.get("SPARK_GRAFT_BENCH_SENTINEL", "1") == "1"
+        and SENTINEL in qs
+    )
+
+    def run_sentinel() -> float:
+        df = qs[SENTINEL](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    if sentinel_on:
+        run_sentinel()  # its own warm pass
+
     timings: dict[str, float] = {}
+    sratios: dict[str, float] = {}
     for name in names:
         release_cached()
-        timings[name] = round(min(runq(name) for _ in range(reps)), 3)
+        best, best_ratio = float("inf"), float("inf")
+        for _ in range(reps):
+            s = run_sentinel() if sentinel_on else None
+            t = runq(name)
+            best = min(best, t)
+            if s:
+                best_ratio = min(best_ratio, t / s)
+        timings[name] = round(best, 3)
+        if sentinel_on:
+            sratios[name] = round(best_ratio, 4)
     release_cached()
-    timings.update(bench_storage(spark, sf_dir, reps))
+    storage_fn = run_sentinel if sentinel_on else None
+    st_times, st_ratios = bench_storage(spark, sf_dir, reps, storage_fn)
+    timings.update(st_times)
+    sratios.update(st_ratios)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "steady-state headline-query wall time, noop sink",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "steady-state headline-query wall time, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if sentinel_on:
+        out["sentinel"] = {"name": SENTINEL, "ratios": sratios}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -110,3 +110,101 @@ def test_share_uses_common_subset_totals():
     v = _verdicts({"a": 1.56, "b": 0.468, "c": 2.86, "d": 50.0}, tol=0.001)
     assert v["a"] == "hot-host (ratio inside)"
     assert v["d"] == "new"
+
+
+# -- interleaved-sentinel ratios (r10 VERDICT item 3) ----------------
+
+
+def _senv(sentinel="s", **qs):
+    """envelope whose rows also carry sratio distributions; qs maps
+    name -> ((run1, run2), (sr1, sr2))."""
+    e = _env(**{q: v[0] for q, v in qs.items()})
+    e["sentinel"] = sentinel
+    for q, (_, sr) in qs.items():
+        e["queries"][q]["sratio"] = {
+            "min": min(sr),
+            "med": sum(sr) / 2,
+            "max": max(sr),
+            "samples": list(sr),
+        }
+    return e
+
+
+SBASE = _senv(
+    a=((1.0, 1.2), (3.2, 3.6)),
+    b=((0.30, 0.36), (1.0, 1.15)),
+    c=((2.0, 2.2), (6.5, 7.0)),
+)
+
+
+def _sverdicts(bench_queries, ratios, sentinel="s", env=None, tol=0.0):
+    bench = {
+        "value": sum(bench_queries.values()),
+        "queries": bench_queries,
+        "sentinel": {"name": sentinel, "ratios": ratios},
+    }
+    return {
+        r["query"]: r["verdict"]
+        for r in adjudicate(bench, env or SBASE, None, tol)
+    }
+
+
+def test_sentinel_ratio_absorbs_per_rep_hot_row():
+    # b exceeds the absolute max AND its total-share bound (the run is
+    # NON-uniformly hot: only b's reps hit host noise), but its
+    # sentinel ratio stayed inside -- the adjacent sentinel was
+    # equally slow in those reps.  The sentinel test must catch this
+    # BEFORE the share test FLAGs it.
+    v = _sverdicts(
+        {"a": 1.1, "b": 0.70, "c": 2.1},
+        {"a": 3.4, "b": 1.1, "c": 6.7},
+    )
+    assert v["b"] == "hot-host (sentinel ratio inside)"
+    assert v["a"] == "ok" and v["c"] == "ok"
+
+
+def test_sentinel_ratio_outside_falls_through():
+    # b regresses for real: raw time AND sentinel ratio out -> the
+    # cascade falls through (no loaded/micro here) to FLAG
+    v = _sverdicts(
+        {"a": 1.1, "b": 1.0, "c": 2.1},
+        {"a": 3.4, "b": 3.1, "c": 6.7},
+    )
+    assert v["b"] == "FLAG"
+
+
+def test_sentinel_own_row_never_self_exonerates():
+    # the sentinel's own row always has self-ratio ~1; a genuine
+    # sentinel regression must not pass the sentinel test
+    env = _senv(
+        sentinel="a",
+        a=((1.0, 1.2), (1.0, 1.0)),
+        b=((0.30, 0.36), (0.3, 0.33)),
+        c=((2.0, 2.2), (1.9, 2.0)),
+    )
+    v = _sverdicts(
+        {"a": 3.0, "b": 0.33, "c": 2.1},
+        {"a": 1.0, "b": 0.32, "c": 1.95},
+        sentinel="a",
+        env=env,
+    )
+    assert v["a"] == "FLAG"
+
+
+def test_sentinel_mismatch_disables_the_test():
+    # envelope measured sentinel 's', bench used 'z': ratios are not
+    # comparable -- must fall through to the share test (here: FLAG)
+    v = _sverdicts(
+        {"a": 1.1, "b": 0.70, "c": 2.1},
+        {"a": 3.4, "b": 1.1, "c": 6.7},
+        sentinel="z",
+    )
+    assert v["b"] == "FLAG"
+
+
+def test_benches_without_sentinel_still_adjudicate():
+    # a pre-r11 bench (no sentinel key) against a sentinel-carrying
+    # envelope: the old cascade applies unchanged
+    bench = {"value": 4.86, "queries": {"a": 1.56, "b": 0.468, "c": 2.86}}
+    v = {r["query"]: r["verdict"] for r in adjudicate(bench, SBASE, None, 0.001)}
+    assert set(v.values()) == {"hot-host (ratio inside)"}

@@ -5,6 +5,16 @@ tests in order --
 
 1. ABSOLUTE: inside [min, max] of BENCH_ENVELOPE.json (10 unloaded
    driver-exact runs)?  -> ``ok``.
+1b. SENTINEL RATIO (r10 VERDICT item 3, PREFERRED when present):
+   bench.py interleaves every timed rep with a fixed sentinel query
+   and records min-over-reps ``row_time / adjacent_sentinel_time``.
+   Host load within a rep scales both together, so this ratio is
+   load-invariant PER-REP -- stronger than the per-run total-share
+   test below, which a non-uniformly hot host can defeat.  If both
+   the bench sample and the envelope carry sentinel ratios for the
+   row (and the row is not the sentinel itself, whose self-ratio is
+   ~1 by construction), inside the sratio envelope ->
+   ``hot-host (sentinel ratio inside)``.
 2. RATIO: the row's share of the run total inside the ratio envelope?
    A uniformly hot host scales every row and the total together, so
    shares are load-invariant; a genuine single-row regression moves
@@ -87,6 +97,10 @@ def adjudicate(
         sum(env["queries"][q]["samples"][i] for q in denom_rows)
         for i in range(n_runs)
     ]
+    sen = bench.get("sentinel") or {}
+    sen_ratios = sen.get("ratios", {})
+    sen_name = sen.get("name")
+    env_sentinel = env.get("sentinel")
     out = []
     for q, t in sorted(bench["queries"].items()):
         e = env["queries"].get(q)
@@ -100,6 +114,23 @@ def adjudicate(
             row["verdict"] = "ok" if t >= lo else "improved"
             out.append(row)
             continue
+        # 1b. interleaved-sentinel ratio: per-rep load-invariant,
+        # preferred over the per-run share test when both sides carry
+        # it and the sentinels match (never for the sentinel's own
+        # row -- its self-ratio is ~1 regardless of regression)
+        se = e.get("sratio")
+        if (
+            se is not None
+            and q in sen_ratios
+            and q != sen_name
+            and sen_name == env_sentinel
+        ):
+            row["sratio"] = sen_ratios[q]
+            row["sratio_env"] = [se["min"], se["med"], se["max"]]
+            if sen_ratios[q] <= se["max"] * (1 + tol):
+                row["verdict"] = "hot-host (sentinel ratio inside)"
+                out.append(row)
+                continue
         share = t / bench_common_total
         env_shares = [
             e["samples"][i] / run_totals[i] for i in range(n_runs)

@@ -95,8 +95,10 @@ def main() -> None:
     env = dict(os.environ)
     samples: dict[str, list[float]] = {}
     ratios: dict[str, list[float]] = {}
+    sratios: dict[str, list[float]] = {}
     totals: list[float] = []
     sf = None
+    sentinel = None
     for i in range(runs):
         r = one_run(env, loaded)
         sf = r.get("sf")
@@ -104,6 +106,14 @@ def main() -> None:
         for q, t in r["queries"].items():
             samples.setdefault(q, []).append(t)
             ratios.setdefault(q, []).append(round(t / r["value"], 5))
+        # interleaved-sentinel ratios (r10 VERDICT item 3): per-rep
+        # load-invariant, aggregated across runs like the raw times
+        sen = r.get("sentinel")
+        if sen:
+            assert sentinel in (None, sen["name"]), "sentinel changed mid-series"
+            sentinel = sen["name"]
+            for q, sr in sen["ratios"].items():
+                sratios.setdefault(q, []).append(sr)
         print(f"run {i + 1}/{runs}: total={r['value']}s", flush=True)
     agg = {
         q: {
@@ -116,6 +126,18 @@ def main() -> None:
                 "med": round(statistics.median(ratios[q]), 5),
                 "max": max(ratios[q]),
             },
+            **(
+                {
+                    "sratio": {
+                        "min": min(sratios[q]),
+                        "med": round(statistics.median(sratios[q]), 4),
+                        "max": max(sratios[q]),
+                        "samples": sratios[q],
+                    }
+                }
+                if q in sratios
+                else {}
+            ),
         }
         for q, v in sorted(samples.items())
     }
@@ -124,6 +146,7 @@ def main() -> None:
         "isolate": env.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0",
         "loaded": loaded,
         "sf": sf,
+        "sentinel": sentinel,
         "totals": totals,
         "queries": agg,
     }
