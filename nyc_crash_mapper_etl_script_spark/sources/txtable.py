@@ -104,8 +104,21 @@ _UNSET = object()
 #: it (the pre-deletion-vector hazard: ignoring ``dv_add`` would
 #: silently resurrect every deleted row).
 _SUPPORTED_FEATURES = frozenset(
-    {"deletion-vectors", "cluster-by", "column-mapping"}
+    {"deletion-vectors", "cluster-by", "column-mapping",
+     "sharded-checkpoint"}
 )
+
+#: the checkpoint-FORMAT feature: sharded manifests stamp it into
+#: their ``requires`` so a pre-sharding build's _read_ckpt (which
+#: already validates ``requires``) refuses LOUDLY instead of
+#: state.update()-ing a manifest with empty bulk sections -- the
+#: "fold a near-empty table, then _recover() retires real data as
+#: provably superseded" hazard.  FILE-scoped, not table-scoped:
+#: _read_ckpt strips it from the returned state after validation, so
+#: a later INLINE checkpoint of the same table stays readable by old
+#: builds.  (Delta gates checkpoint-format changes the same way:
+#: v2Checkpoint is a reader feature.)
+_CKPT_FORMAT_FEATURE = "sharded-checkpoint"
 
 
 def _strip_schema_meta(o):
@@ -145,6 +158,20 @@ _SCHEMA_REPLACING_OPS = frozenset({"init", "overwrite", "restore", "repartition"
 #: the sharded form.
 _CKPT_INLINE_MAX = 50_000
 _CKPT_PART_ROWS = 50_000
+
+#: part-file encoding for sharded checkpoints.  ``parquet`` (Delta's
+#: multi-part checkpoint-parquet analog) when pyarrow is importable:
+#: columnar, compressed, and Spark scans the parts directly with
+#: ``spark.read.parquet`` -- measured flat-or-better parse cost vs the
+#: JSON-lines form at 100k files (BENCH_LOG_CKPT.json).  ``jsonl``
+#: is the dependency-free fallback and the r10 on-disk form; readers
+#: accept both (the manifest names its own ``part_format``).
+try:  # pragma: no cover -- import probe
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+except Exception:  # noqa: BLE001 -- optional at runtime, not in CI
+    _pa = _pq = None
+_CKPT_PART_FORMAT = "parquet" if _pa is not None else "jsonl"
 
 #: state sections sharded out of the checkpoint manifest
 _CKPT_BULK_KEYS = ("live", "dv_live", "dv_staged", "txn", "stats")
@@ -670,22 +697,97 @@ class TxTable:
                 f"{sorted(unknown)} this build does not implement; "
                 "upgrade before touching this table"
             )
-        if data.pop("format", None) != "sharded":
-            return data
+        fmt = data.pop("format", None)
+        if fmt is None:
+            return data  # inline blob: the state IS the manifest
+        if fmt != "sharded":
+            # an unknown format folded as-is would be the same
+            # empty-bulk / recovery-deletes-data hazard as the
+            # old-reader case -- corrupt-class, callers fall back
+            raise ValueError(
+                f"checkpoint {name} has unrecognized format {fmt!r}"
+            )
+        # file-scoped format feature: validated above (requires gate),
+        # satisfied by reaching here -- must NOT ride the table state,
+        # or every future inline checkpoint would inherit it
+        if "requires" in data:
+            data["requires"] = [
+                r for r in data["requires"] if r != _CKPT_FORMAT_FEATURE
+            ]
+            if not data["requires"]:
+                del data["requires"]
         version = self._ckpt_version(name)
         n_parts = int(data.pop("parts"))
+        part_fmt = data.pop("part_format", "jsonl")  # r10 manifests: jsonl
+        if part_fmt not in ("jsonl", "parquet"):
+            raise ValueError(
+                f"checkpoint {name} names unrecognized part_format "
+                f"{part_fmt!r}"
+            )
+        # reassembly validation (vs manifest-recorded counts): racing
+        # writers' parts are only byte-identical when they share
+        # _CKPT_PART_ROWS and fold ordering -- a leftover part from a
+        # crashed attempt by a DIFFERENT build mixes two row
+        # partitionings; without this check _read_ckpt would succeed
+        # with missing/duplicated rows and cleanup_log would then
+        # validate against the corrupt state and delete raw entries
+        part_rows = data.pop("part_rows", None)
+        total_rows = data.pop("rows", None)
         bulk: dict[str, dict] = {k: {} for k in _CKPT_BULK_KEYS}
+        n_rows = 0
         for i in range(n_parts):
             raw = self.store.read_bytes(
-                os.path.join(d, self._ckpt_part_name(version, i))
+                os.path.join(d, self._ckpt_part_name(version, i, part_fmt))
             )
-            for line in raw.splitlines():
-                if not line.strip():
-                    continue
-                row = json.loads(line)
+            rows = self._decode_ckpt_part(raw, part_fmt, name)
+            if part_rows is not None and len(rows) != part_rows[i]:
+                raise ValueError(
+                    f"checkpoint {name} part {i} has {len(rows)} rows, "
+                    f"manifest says {part_rows[i]} -- mixed-partitioning "
+                    "corruption (crashed writer with different part size?)"
+                )
+            n_rows += len(rows)
+            for row in rows:
                 bulk[row["s"]][row["k"]] = row["v"]
+        if total_rows is not None and n_rows != total_rows:
+            raise ValueError(
+                f"checkpoint {name} reassembled {n_rows} bulk rows, "
+                f"manifest says {total_rows}"
+            )
         data.update(bulk)
         return data
+
+    @staticmethod
+    def _decode_ckpt_part(raw: bytes, part_fmt: str, name: str) -> list:
+        """Decode one checkpoint part file into its
+        ``{"s": section, "k": key, "v": value}`` rows.  Unknown part
+        formats raise (corrupt-class -- a fold over misdecoded parts
+        is the data-loss path, never a fallback)."""
+        if part_fmt == "jsonl":
+            return [
+                json.loads(line)
+                for line in raw.splitlines()
+                if line.strip()
+            ]
+        if part_fmt == "parquet":
+            if _pq is None:
+                raise ValueError(
+                    f"checkpoint {name} has parquet parts but pyarrow "
+                    "is not importable here -- falling back to an "
+                    "older checkpoint / full fold"
+                )
+            import io
+
+            tbl = _pq.read_table(io.BytesIO(raw))
+            cols = tbl.to_pydict()
+            return [
+                {"s": s, "k": k, "v": json.loads(v)}
+                for s, k, v in zip(cols["s"], cols["k"], cols["v"])
+            ]
+        raise ValueError(
+            f"checkpoint {name} names unrecognized part_format "
+            f"{part_fmt!r}"
+        )
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Opportunistically publish the state fold at ``version``
@@ -733,24 +835,36 @@ class TxTable:
             manifest = {
                 k: v for k, v in state.items() if k not in _CKPT_BULK_KEYS
             }
+            part_fmt = _CKPT_PART_FORMAT
 
             def rows():
                 for section in _CKPT_BULK_KEYS:
                     for k, v in (state.get(section) or {}).items():
                         yield {"s": section, "k": k, "v": v}
 
-            part, n_parts = [], 0
+            part, n_parts, part_rows = [], 0, []
             for row in rows():
-                part.append(json.dumps(row))
+                part.append(row)
                 if len(part) >= _CKPT_PART_ROWS:
-                    self._put_ckpt_part(d, version, n_parts, part)
+                    self._put_ckpt_part(d, version, n_parts, part, part_fmt)
+                    part_rows.append(len(part))
                     n_parts += 1
                     part = []
             if part:
-                self._put_ckpt_part(d, version, n_parts, part)
+                self._put_ckpt_part(d, version, n_parts, part, part_fmt)
+                part_rows.append(len(part))
                 n_parts += 1
             manifest["format"] = "sharded"
+            manifest["part_format"] = part_fmt
             manifest["parts"] = n_parts
+            manifest["part_rows"] = part_rows
+            manifest["rows"] = sum(part_rows)
+            # format feature gate: a pre-sharding build validates
+            # requires BEFORE looking at format, so this makes it
+            # refuse loudly instead of folding the bulk-less manifest
+            manifest["requires"] = sorted(
+                set(manifest.get("requires", [])) | {_CKPT_FORMAT_FEATURE}
+            )
             self.store.put_if_absent(
                 os.path.join(d, self._ckpt_name(version)),
                 json.dumps(manifest).encode(),
@@ -761,24 +875,50 @@ class TxTable:
             pass
 
     def _put_ckpt_part(
-        self, d: str, version: int, i: int, lines: list[str]
+        self, d: str, version: int, i: int, rows: list[dict], part_fmt: str
     ) -> None:
+        if part_fmt == "parquet":
+            import io
+
+            buf = io.BytesIO()
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "s": [r["s"] for r in rows],
+                        "k": [r["k"] for r in rows],
+                        "v": [json.dumps(r["v"]) for r in rows],
+                    }
+                ),
+                buf,
+            )
+            payload = buf.getvalue()
+        else:
+            payload = (
+                "\n".join(json.dumps(r) for r in rows) + "\n"
+            ).encode()
         try:
             self.store.put_if_absent(
-                os.path.join(d, self._ckpt_part_name(version, i)),
-                ("\n".join(lines) + "\n").encode(),
+                os.path.join(d, self._ckpt_part_name(version, i, part_fmt)),
+                payload,
             )
         except FileExistsError:
-            pass  # racing writer's identical part
+            # a racing SAME-BUILD writer's part is byte-identical (a
+            # checkpoint at a version is a pure function of the log);
+            # a leftover from a crashed DIFFERENT-BUILD attempt is not
+            # -- the manifest's part_rows/rows counts catch that at
+            # read time, so adoption here stays cheap and safe
+            pass
 
     @staticmethod
-    def _ckpt_part_name(version: int, i: int) -> str:
+    def _ckpt_part_name(version: int, i: int, part_fmt: str) -> str:
         # NO leading dot: Spark's file index filters dot/underscore
         # names as hidden, and part files are meant to be directly
-        # spark.read.json-able.  They are invisible to _list_log by
-        # suffix (.jsonl, never .json) and live inside the _txlog dir
-        # Spark never scans implicitly.
-        return f"ckpt_v{version:06d}.p{i:04d}.jsonl"
+        # scannable (spark.read.parquet / spark.read.json).  They are
+        # invisible to _list_log by suffix (.parquet/.jsonl, never
+        # .json) and live inside the _txlog dir Spark never scans
+        # implicitly.
+        ext = "parquet" if part_fmt == "parquet" else "jsonl"
+        return f"ckpt_v{version:06d}.p{i:04d}.{ext}"
 
     def cleanup_log(
         self, before: "int | None" = None, keep_versions: int = 0
@@ -836,14 +976,28 @@ class TxTable:
                 self.store.delete(os.path.join(d, name))
                 n += 1
         # part files of deleted SHARDED checkpoints (invisible to
-        # _list_log by design: .jsonl, never .json)
+        # _list_log by design: .jsonl/.parquet, never .json), plus
+        # manifest-less ORPHANS from crashed sharding attempts at
+        # versions older than the newest surviving checkpoint -- a
+        # writer still in flight there lost its race (its manifest, if
+        # it ever lands, reads corrupt-class and falls back; a
+        # checkpoint is a cache, so that is safe).  Alien files
+        # matching the prefix/suffix shape are SKIPPED, never allowed
+        # to abort the sweep mid-deletion.
+        surviving = {v for v in ckpt_vs if v >= before}
+        newest_ckpt = max(surviving, default=before)
         for name in self.store.list_dir(d):
-            if (
+            if not (
                 name.startswith("ckpt_v")
-                and name.endswith(".jsonl")
                 and ".p" in name
-                and int(name[len("ckpt_v"): name.index(".p")]) < before
+                and (name.endswith(".jsonl") or name.endswith(".parquet"))
             ):
+                continue
+            try:
+                pv = int(name[len("ckpt_v"): name.index(".p")])
+            except ValueError:
+                continue  # alien file wearing the part-name shape
+            if pv < before or (pv < newest_ckpt and pv not in surviving):
                 self.store.delete(os.path.join(d, name))
                 n += 1
         return n

@@ -310,42 +310,75 @@ def test_timestamp_time_travel(spark, tmp_path):
 # -- sharded (multi-part) checkpoints (r9 VERDICT #4) -------------------
 
 
-def _shard_small(monkeypatch, inline_max=5, part_rows=7):
+def _shard_small(monkeypatch, inline_max=5, part_rows=7, part_fmt=None):
     import nyc_crash_mapper_etl_script_spark.sources.txtable as txm
 
     monkeypatch.setattr(txm, "_CKPT_INLINE_MAX", inline_max)
     monkeypatch.setattr(txm, "_CKPT_PART_ROWS", part_rows)
+    if part_fmt is not None:
+        monkeypatch.setattr(txm, "_CKPT_PART_FORMAT", part_fmt)
 
 
-def test_sharded_checkpoint_roundtrips_state(spark, tmp_path, monkeypatch):
-    """Past the inline threshold the checkpoint shards into JSON-lines
-    parts + a CAS-published manifest; a fresh handle's fold from it
-    equals the pure entry fold, key for key."""
-    _shard_small(monkeypatch)
+def _manifests(d):
+    return sorted(
+        n for n in os.listdir(d)
+        if n.startswith(".ckpt_v") and n.endswith(".json")
+    )
+
+
+def _parts(d, version=None):
+    pre = f"ckpt_v{version:06d}.p" if version is not None else "ckpt_v"
+    return sorted(
+        n for n in os.listdir(d)
+        if n.startswith(pre)
+        and (n.endswith(".jsonl") or n.endswith(".parquet"))
+    )
+
+
+@pytest.mark.parametrize("part_fmt", ["parquet", "jsonl"])
+def test_sharded_checkpoint_roundtrips_state(
+    spark, tmp_path, monkeypatch, part_fmt
+):
+    """Past the inline threshold the checkpoint shards into part files
+    (parquet by default, JSON-lines fallback) + a CAS-published
+    manifest; a fresh handle's fold from it equals the pure entry
+    fold, key for key."""
+    _shard_small(monkeypatch, part_fmt=part_fmt)
     root = str(tmp_path / "t")
     t = _drive(spark, root, n_commits=12, every=4)
     d0 = os.path.join(root, _LOG_DIR)
-    manifests = sorted(
-        n for n in os.listdir(d0)
-        if n.startswith(".ckpt_v") and n.endswith(".json")
-    )
-    parts = sorted(
-        n for n in os.listdir(d0) if n.endswith(".jsonl")
-    )
+    manifests = _manifests(d0)
+    parts = _parts(d0)
     assert manifests and parts, "expected sharded checkpoints"
+    ext = ".parquet" if part_fmt == "parquet" else ".jsonl"
+    assert all(n.endswith(ext) for n in parts)
     newest = manifests[-1]
     m = json.loads(
         open(os.path.join(root, _LOG_DIR, newest), "rb").read()
     )
     assert m.get("format") == "sharded" and m["parts"] >= 2
+    assert m.get("part_format") == part_fmt
+    assert m["rows"] == sum(m["part_rows"]) and len(m["part_rows"]) == m["parts"]
+    assert "sharded-checkpoint" in m.get("requires", []), (
+        "sharded manifests must stamp the format feature so old "
+        "readers refuse instead of folding an empty state"
+    )
     for k in ("live", "stats"):
         assert k not in m, "bulk sections must not ride the manifest"
+    # the FILE-scoped format feature never rides the table state
+    assert "sharded-checkpoint" not in TxTable(root)._state().get(
+        "requires", []
+    )
     # checkpoint-resumed fold == pure entry fold
     from_ckpt = TxTable(root)._state()
     d = os.path.join(root, _LOG_DIR)
     pure = TxTable(root)
     for n in list(os.listdir(d)):
-        if n.startswith(".ckpt_v") or n.endswith(".jsonl"):
+        if (
+            n.startswith(".ckpt_v")
+            or n.endswith(".jsonl")
+            or n.endswith(".parquet")
+        ):
             os.unlink(os.path.join(d, n))
     ps = pure._state()
     # the checkpoint writer prunes DEAD-file stats/staging (cache
@@ -359,19 +392,19 @@ def test_sharded_checkpoint_roundtrips_state(spark, tmp_path, monkeypatch):
     assert _ids(TxTable(root).read(spark)) == _ids(t.read(spark))
 
 
+@pytest.mark.parametrize("part_fmt", ["parquet", "jsonl"])
 def test_sharded_checkpoint_missing_part_falls_back(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, part_fmt
 ):
     """A sharded checkpoint with a vanished part is CORRUPT: readers
     fall back to an older checkpoint or the full fold, never a
     partial state."""
-    _shard_small(monkeypatch)
+    _shard_small(monkeypatch, part_fmt=part_fmt)
     root = str(tmp_path / "t")
     t = _drive(spark, root, n_commits=12, every=4)
     want = _ids(t.read(spark))
     d = os.path.join(root, _LOG_DIR)
-    parts = sorted(n for n in os.listdir(d) if n.endswith(".jsonl"))
-    os.unlink(os.path.join(d, parts[-1]))  # newest checkpoint's shard
+    os.unlink(os.path.join(d, _parts(d)[-1]))  # newest ckpt's shard
     h = TxTable(root)
     assert _ids(h.read(spark)) == want
     # and a manifest-less orphan part set is simply invisible
@@ -381,63 +414,188 @@ def test_sharded_checkpoint_missing_part_falls_back(
     assert _ids(TxTable(root).read(spark)) == want
 
 
+@pytest.mark.parametrize("part_fmt", ["parquet", "jsonl"])
 def test_cleanup_log_validates_and_prunes_sharded_parts(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, part_fmt
 ):
     """cleanup_log against a SHARDED cutoff: refuses when a shard is
     missing (the checkpoint would brick folds once load-bearing),
-    deletes superseded checkpoints' parts, and head reads keep
-    working after the cleanup."""
-    _shard_small(monkeypatch)
+    deletes superseded checkpoints' parts, sweeps manifest-less
+    orphans, skips alien files wearing the part-name shape, and head
+    reads keep working after the cleanup."""
+    _shard_small(monkeypatch, part_fmt=part_fmt)
     root = str(tmp_path / "t")
     t = _drive(spark, root, n_commits=12, every=4)
     want = _ids(t.read(spark))
     d = os.path.join(root, _LOG_DIR)
     # sabotage the cutoff checkpoint's shard -> refuse
-    manifests = sorted(
-        n for n in os.listdir(d)
-        if n.startswith(".ckpt_v") and n.endswith(".json")
-    )
-    cut = TxTable(root)._ckpt_version(manifests[-1])
-    victim = [
-        n for n in os.listdir(d)
-        if n.startswith(f"ckpt_v{cut:06d}.p") and n.endswith(".jsonl")
-    ][0]
+    cut = TxTable(root)._ckpt_version(_manifests(d)[-1])
+    victim = _parts(d, cut)[0]
     raw = open(os.path.join(d, victim), "rb").read()
     os.unlink(os.path.join(d, victim))
     with pytest.raises(ValueError, match="unreadable"):
         t.cleanup_log(before=cut)
-    # restore and clean for real
+    # restore; drop an orphan part at a manifest-less version BELOW
+    # the cutoff and an alien file that would ValueError a naive
+    # int() parse -- neither may abort or survive the sweep
     with open(os.path.join(d, victim), "wb") as f:
         f.write(raw)
+    orphan = f"ckpt_v{cut - 1:06d}.p0099.jsonl"
+    alien = "ckpt_vSNAPSHOT.part.jsonl"
+    for n in (orphan, alien):
+        with open(os.path.join(d, n), "w") as f:
+            f.write("{}\n")
     removed = t.cleanup_log(before=cut)
     assert removed > 0
-    # superseded checkpoints' parts are gone; the cutoff's remain
-    left = [n for n in os.listdir(d) if n.endswith(".jsonl")]
+    # superseded checkpoints' parts + the orphan are gone; the
+    # cutoff's remain; the alien is untouched
+    left = [n for n in _parts(d) if n != alien]
     assert left and all(n.startswith(f"ckpt_v{cut:06d}.p") for n in left)
+    assert not os.path.exists(os.path.join(d, orphan))
+    assert os.path.exists(os.path.join(d, alien))
     assert _ids(TxTable(root).read(spark)) == want
 
 
-def test_sharded_parts_are_spark_readable(spark, tmp_path, monkeypatch):
-    """The scale contract: part files are plain JSON-lines Spark can
-    scan directly -- a 100 TB deployment can audit/join the live-file
-    inventory without driver-side JSON."""
-    _shard_small(monkeypatch)
+@pytest.mark.parametrize("part_fmt", ["parquet", "jsonl"])
+def test_sharded_parts_are_spark_readable(
+    spark, tmp_path, monkeypatch, part_fmt
+):
+    """The scale contract: part files are plain parquet (or
+    JSON-lines) Spark can scan directly -- a 100 TB deployment can
+    audit/join the live-file inventory without driver-side JSON."""
+    _shard_small(monkeypatch, part_fmt=part_fmt)
     root = str(tmp_path / "t")
     t = _drive(spark, root, n_commits=12, every=4)
     d = os.path.join(root, _LOG_DIR)
-    manifests = sorted(
-        n for n in os.listdir(d)
-        if n.startswith(".ckpt_v") and n.endswith(".json")
+    cut = TxTable(root)._ckpt_version(_manifests(d)[-1])
+    paths = [os.path.join(d, n) for n in _parts(d, cut)]
+    rows = (
+        spark.read.parquet(*paths)
+        if part_fmt == "parquet"
+        else spark.read.json(paths)
     )
-    cut = TxTable(root)._ckpt_version(manifests[-1])
-    paths = [
-        os.path.join(d, n)
-        for n in os.listdir(d)
-        if n.startswith(f"ckpt_v{cut:06d}.p") and n.endswith(".jsonl")
-    ]
-    rows = spark.read.json(paths)
     live = {
         r["k"] for r in rows.where(F.col("s") == "live").collect()
     }
     assert live == set(t._state(cut)["live"])
+
+
+# -- r11 hardening: format feature gate, strict unknown formats,
+#    reassembly row-count validation, mixed-version safety ----------
+
+
+def test_old_reader_refuses_sharded_checkpoint(spark, tmp_path, monkeypatch):
+    """A build WITHOUT the sharded-checkpoint feature (r10 and older
+    validate ``requires`` before looking at ``format``) must refuse
+    the table loudly -- NEVER state.update() a bulk-less manifest and
+    then retire real data as provably superseded."""
+    import nyc_crash_mapper_etl_script_spark.sources.txtable as txm
+    from nyc_crash_mapper_etl_script_spark.sources.txtable import (
+        UnsupportedTableFeatureError,
+    )
+
+    _shard_small(monkeypatch)
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    cut = t._ckpt_version(_manifests(os.path.join(root, _LOG_DIR))[-1])
+    t.cleanup_log(before=cut)  # the sharded checkpoint is load-bearing
+    monkeypatch.setattr(
+        txm,
+        "_SUPPORTED_FEATURES",
+        txm._SUPPORTED_FEATURES - {"sharded-checkpoint"},
+    )
+    with pytest.raises(UnsupportedTableFeatureError, match="sharded"):
+        TxTable(root)._state()
+
+
+def test_unknown_checkpoint_format_is_corrupt_class(
+    spark, tmp_path, monkeypatch
+):
+    """A manifest naming a format this build does not recognize must
+    raise in _read_ckpt (corrupt-class -> callers fall back), never
+    fold as an inline blob with empty bulk sections."""
+    _shard_small(monkeypatch)
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    want = _ids(t.read(spark))
+    d = os.path.join(root, _LOG_DIR)
+    newest = _manifests(d)[-1]
+    p = os.path.join(d, newest)
+    m = json.loads(open(p, "rb").read())
+    m["format"] = "v3-fancy"
+    with open(p, "w") as f:
+        json.dump(m, f)
+    h = TxTable(root)
+    with pytest.raises(ValueError, match="unrecognized format"):
+        h._read_ckpt(newest)
+    assert _ids(TxTable(root).read(spark)) == want  # fell back
+    # unknown PART format: same corrupt-class contract
+    m["format"] = "sharded"
+    m["part_format"] = "avro"
+    with open(p, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="part_format"):
+        TxTable(root)._read_ckpt(newest)
+    assert _ids(TxTable(root).read(spark)) == want
+
+
+@pytest.mark.parametrize("part_fmt", ["parquet", "jsonl"])
+def test_mixed_partitioning_part_rejected_by_row_counts(
+    spark, tmp_path, monkeypatch, part_fmt
+):
+    """A leftover part from a crashed attempt by a build with a
+    DIFFERENT _CKPT_PART_ROWS (adopted silently by put_if_absent) must
+    fail the manifest's row-count validation, not reassemble with
+    missing/duplicated rows."""
+    import nyc_crash_mapper_etl_script_spark.sources.txtable as txm
+
+    _shard_small(monkeypatch, part_fmt=part_fmt)
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    want = _ids(t.read(spark))
+    d = os.path.join(root, _LOG_DIR)
+    newest = _manifests(d)[-1]
+    cut = t._ckpt_version(newest)
+    # simulate the alien part: rewrite part 0 with FEWER rows (as a
+    # crashed small-_CKPT_PART_ROWS writer would have left it)
+    victim = os.path.join(d, _parts(d, cut)[0])
+    rows = TxTable(root)._decode_ckpt_part(
+        open(victim, "rb").read(), part_fmt, victim
+    )
+    short = rows[:-2]
+    os.unlink(victim)
+    handle = TxTable(root)
+    handle._put_ckpt_part(d, cut, 0, short, part_fmt)
+    fresh = TxTable(root)
+    with pytest.raises(ValueError, match="rows"):
+        fresh._read_ckpt(newest)
+    assert _ids(TxTable(root).read(spark)) == want  # fell back
+
+
+def test_r10_manifest_without_new_keys_still_reads(
+    spark, tmp_path, monkeypatch
+):
+    """Back-compat: an r10-written sharded manifest (jsonl parts, no
+    part_format/part_rows/rows/requires keys) reads fine -- the new
+    validation only engages when the manifest records the counts."""
+    _shard_small(monkeypatch, part_fmt="jsonl")
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    want = _ids(t.read(spark))
+    d = os.path.join(root, _LOG_DIR)
+    newest = _manifests(d)[-1]
+    p = os.path.join(d, newest)
+    m = json.loads(open(p, "rb").read())
+    for k in ("part_format", "part_rows", "rows"):
+        m.pop(k, None)
+    m["requires"] = [
+        r for r in m.get("requires", []) if r != "sharded-checkpoint"
+    ] or None
+    if m["requires"] is None:
+        del m["requires"]
+    with open(p, "w") as f:
+        json.dump(m, f)
+    fresh = TxTable(root)
+    st = fresh._read_ckpt(newest)
+    assert st["live"] and st["version"] == fresh._ckpt_version(newest)
+    assert _ids(TxTable(root).read(spark)) == want

@@ -145,9 +145,19 @@ def main() -> None:
             )
         head = t._snapshot_version()
         out: dict[str, dict] = {}
-        for label, inline_max in (("sharded", 10_000), ("inline", 10**9)):
+        # r11: the sharded form now defaults to PARQUET parts (Delta's
+        # multi-part checkpoint-parquet analog); the jsonl form stays
+        # as the dependency-free fallback and is measured alongside
+        variants = (
+            ("sharded_parquet", 10_000, "parquet"),
+            ("sharded_jsonl", 10_000, "jsonl"),
+            ("inline", 10**9, "parquet"),
+        )
+        for label, inline_max, part_fmt in variants:
             saved = txm._CKPT_INLINE_MAX
+            saved_fmt = txm._CKPT_PART_FORMAT
             txm._CKPT_INLINE_MAX = inline_max
+            txm._CKPT_PART_FORMAT = part_fmt
             try:
                 w = TX(root, checkpoint_every=head)  # due exactly at head
                 tracemalloc.start()
@@ -161,7 +171,13 @@ def main() -> None:
                     n.startswith(".ckpt_v") and n.endswith(".json")
                     for n in os.listdir(d)
                 ), "checkpoint write silently failed"
-                parts = [n for n in os.listdir(d) if n.endswith(".jsonl")]
+                parts = [
+                    n for n in os.listdir(d)
+                    if n.endswith(".jsonl") or n.endswith(".parquet")
+                ]
+                part_bytes = sum(
+                    os.path.getsize(os.path.join(d, n)) for n in parts
+                )
                 r = TX(root)
                 t0 = time.perf_counter()
                 st = r._state()
@@ -171,14 +187,20 @@ def main() -> None:
                     "ckpt_write_s": round(wall, 3),
                     "ckpt_write_peak_mb": round(peak / 1e6, 1),
                     "ckpt_parts": len(parts),
+                    "ckpt_part_mb": round(part_bytes / 1e6, 2),
                     "cold_fold_s": round(fold, 3),
                 }
                 # remove the checkpoint so the next variant re-measures
                 for n in os.listdir(d):
-                    if n.startswith(".ckpt_v") or n.endswith(".jsonl"):
+                    if (
+                        n.startswith(".ckpt_v")
+                        or n.endswith(".jsonl")
+                        or n.endswith(".parquet")
+                    ):
                         os.unlink(os.path.join(d, n))
             finally:
                 txm._CKPT_INLINE_MAX = saved
+                txm._CKPT_PART_FORMAT = saved_fmt
         return out
 
     try:
