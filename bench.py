@@ -1,8 +1,10 @@
 """Benchmark harness: runs the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``; the FINAL stdout line is the
+driver-contract JSON record
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}``.
+"sf": ...}`` (sentinel ratios go to a PRECEDING line + side file --
+see ``emit`` / ``LINE_BUDGET``).
 
 Each query executes fully via the noop sink (no driver collect of
 wide results -- measures the distributed plan, not row serialization).
@@ -99,6 +101,129 @@ HEADLINE = [
 #: sentinel test for the row named here and falls through to the
 #: total-share test.
 SENTINEL = "o3_global_topk"
+
+#: DRIVER-CONTRACT LINE BUDGET (r11 VERDICT item 1): the driver
+#: captures only the LAST ~2000 chars of stdout and parses the FINAL
+#: line as the round's official bench record.  r11 appended the
+#: 53-entry sentinel-ratio block to that same line, pushing its head
+#: outside the capture window -- BENCH_r11.json came back
+#: ``parsed: null`` and the round lost its official total.  The fix,
+#: pinned by tests/test_bench_emit.py: the final printed line carries
+#: ONLY the contract fields (metric/value/unit/queries/sf), compact
+#: separators, 2-decimal timings, and must stay under this budget;
+#: the sentinel block goes to its own PRECEDING line plus a side
+#: file; if the registry ever outgrows the budget, per-query detail
+#: spills to a side file and the line keeps the slowest rows inline
+#: plus a ``queries_file`` pointer.
+LINE_BUDGET = 1850
+SENTINEL_FILE = "BENCH_SENTINEL.json"
+QUERIES_FILE = "BENCH_QUERIES.json"
+
+
+def record_ratio(sratios: dict, name: str, best_ratio: float) -> None:
+    """Record a row's min sentinel ratio ONLY when finite.
+
+    ADVICE r11 (bench.py:398): if every sentinel rep of a row
+    returned 0.0 (the ``if s:`` truthiness guard skips those reps),
+    ``best_ratio`` stays ``float('inf')`` and ``json.dumps`` would
+    emit bare ``Infinity`` -- invalid strict JSON that breaks every
+    downstream consumer (bench_envelope.py, adjudicate_bench.py).
+    """
+    if best_ratio != float("inf") and best_ratio == best_ratio:
+        sratios[name] = round(best_ratio, 4)
+
+
+def emit(out: dict, stream=None, root: str | None = None,
+         budget: int = LINE_BUDGET) -> str:
+    """Print the bench record so the FINAL stdout line is a
+    self-contained driver-contract JSON line under ``budget`` chars.
+
+    Order of output: (1) sentinel block, if present, on its own line
+    AND to ``SENTINEL_FILE`` next to this script (the committed
+    artifact adjudication reads when the driver's tail truncates the
+    stdout copy); (2) the contract line.  Timings are rounded to 2
+    decimals on the wire -- adjudication reads ratios/envelopes from
+    the side artifacts, and 10 ms resolution is far inside host
+    noise on this shared VM (BENCH_NOTES.md: same-code totals span
+    32-70 s).  If the inline ``queries`` dict would overflow the
+    budget, the FULL dict goes to ``QUERIES_FILE`` and the line
+    keeps the slowest rows plus ``queries_file``/``queries_elided``
+    markers (the judge's "summary+pointer shape").
+
+    Returns the contract line (for tests).
+    """
+    stream = stream if stream is not None else sys.stdout
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    compact = {"separators": (",", ":"), "allow_nan": False}
+    out = dict(out)
+    sentinel = out.pop("sentinel", None)
+    if sentinel is not None:
+        # the run's total rides along as a fingerprint: the side file
+        # is overwritten by EVERY bench run in this repo (envelope
+        # refreshes included), so a consumer merging it into a saved
+        # contract record (tools/adjudicate_bench.py) must be able to
+        # check it came from the SAME run
+        sblob = {"sentinel": sentinel}
+        if "value" in out:
+            sblob["value"] = out["value"]
+        try:
+            blob = json.dumps(sblob, **compact)
+        except ValueError:
+            # a non-finite ratio slipped past record_ratio: drop the
+            # block rather than poison the stream (strict-JSON
+            # consumers) -- the contract line must still go out
+            print("bench: sentinel block had non-finite values, "
+                  "dropped", file=sys.stderr)
+        else:
+            with open(os.path.join(root, SENTINEL_FILE), "w") as f:
+                f.write(blob + "\n")
+            print(blob, file=stream)
+    out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+    line = json.dumps(out, **compact)
+    if len(line) > budget:
+        full = out["queries"]
+        with open(os.path.join(root, QUERIES_FILE), "w") as f:
+            json.dump(full, f, indent=1)
+        keep = dict(sorted(full.items(), key=lambda kv: (-kv[1], kv[0])))
+        while keep:
+            out["queries"] = keep
+            out["queries_file"] = QUERIES_FILE
+            out["queries_elided"] = len(full) - len(keep)
+            line = json.dumps(out, **compact)
+            if len(line) <= budget:
+                break
+            keep.popitem()  # desc-sorted: drops the fastest row
+    print(line, file=stream)
+    return line
+
+
+def parse_stdout(text: str, root: str | None = None) -> dict:
+    """Reconstruct the FULL bench record from one run's stdout: the
+    final JSON line is the driver-contract record; a preceding
+    ``{"sentinel": ...}`` line (same run -- matching ``value``
+    fingerprint when both carry one) is merged back in; a
+    ``queries_file`` pointer is resolved against ``root``.  The
+    inverse of ``emit`` -- tools/bench_envelope.py uses it so the
+    aggregated envelopes keep carrying sentinel ratios."""
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    lines = [l for l in text.splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    for l in lines[:-1]:
+        try:
+            d = json.loads(l)
+        except ValueError:
+            continue
+        if "sentinel" in d and (
+            "value" not in d or d["value"] == rec.get("value")
+        ):
+            rec["sentinel"] = d["sentinel"]
+    qf = rec.pop("queries_file", None)
+    if qf is not None:
+        qp = qf if os.path.isabs(qf) else os.path.join(root, qf)
+        with open(qp) as f:
+            rec["queries"] = json.load(f)
+        rec.pop("queries_elided", None)
+    return rec
 
 
 def bench_storage(
@@ -398,7 +523,7 @@ def main() -> None:
                 best_ratio = min(best_ratio, t / s)
         timings[name] = round(best, 3)
         if sentinel_on:
-            sratios[name] = round(best_ratio, 4)
+            record_ratio(sratios, name, best_ratio)
     release_cached()
     storage_fn = run_sentinel if sentinel_on else None
     st_times, st_ratios = bench_storage(spark, sf_dir, reps, storage_fn)
@@ -414,7 +539,7 @@ def main() -> None:
     }
     if sentinel_on:
         out["sentinel"] = {"name": SENTINEL, "ratios": sratios}
-    print(json.dumps(out))
+    emit(out)
 
 
 if __name__ == "__main__":

@@ -154,13 +154,50 @@ def test_sentinel_ratio_absorbs_per_rep_hot_row():
     # NON-uniformly hot: only b's reps hit host noise), but its
     # sentinel ratio stayed inside -- the adjacent sentinel was
     # equally slow in those reps.  The sentinel test must catch this
-    # BEFORE the share test FLAGs it.
+    # BEFORE the share test FLAGs it.  Run total 3.75 stays inside
+    # the envelope totals [3.3, 3.76], so the exoneration is FULL
+    # (the co-move guard below only arms on an out-of-envelope total).
     v = _sverdicts(
-        {"a": 1.1, "b": 0.70, "c": 2.1},
+        {"a": 1.0, "b": 0.70, "c": 2.05},
         {"a": 3.4, "b": 1.1, "c": 6.7},
     )
     assert v["b"] == "hot-host (sentinel ratio inside)"
     assert v["a"] == "ok" and v["c"] == "ok"
+
+
+def test_sentinel_comove_guard_is_provisional_when_globally_hot():
+    # ADVICE r11 (adjudicate_bench.py:131): a regression in code
+    # SHARED with the sentinel scales every row and the sentinel
+    # together -- all ratios stay inside while the run total leaves
+    # the envelope.  Same shape as a globally hot host, and the tool
+    # cannot distinguish them, so sentinel exoneration must become
+    # the PROVISIONAL 'hot-host? (sentinel co-moved)' (feeding the
+    # probe_rows quiet-box watch), never the full verdict.
+    v = _sverdicts(
+        {"a": 1.5, "b": 0.45, "c": 3.0},  # uniform +50%: total 4.95
+        {"a": 3.4, "b": 1.1, "c": 6.7},  # every ratio inside
+        tol=0.001,
+    )
+    assert v == {
+        "a": "hot-host? (sentinel co-moved)",
+        "b": "hot-host? (sentinel co-moved)",
+        "c": "hot-host? (sentinel co-moved)",
+    }
+
+
+def test_comoved_rows_do_not_flag_or_exit_nonzero():
+    # provisional is a watch instruction, not a regression verdict:
+    # no FLAG may fire for co-moved rows (exit-code gate unchanged)
+    bench = {
+        "value": 4.95,
+        "queries": {"a": 1.5, "b": 0.45, "c": 3.0},
+        "sentinel": {
+            "name": "s",
+            "ratios": {"a": 3.4, "b": 1.1, "c": 6.7},
+        },
+    }
+    rows = adjudicate(bench, SBASE, None, 0.001)
+    assert all(r["verdict"] != "FLAG" for r in rows)
 
 
 def test_sentinel_ratio_outside_falls_through():
@@ -208,3 +245,79 @@ def test_benches_without_sentinel_still_adjudicate():
     bench = {"value": 4.86, "queries": {"a": 1.56, "b": 0.468, "c": 2.86}}
     v = {r["query"]: r["verdict"] for r in adjudicate(bench, SBASE, None, 0.001)}
     assert set(v.values()) == {"hot-host (ratio inside)"}
+
+
+# -- r12 split-record loading (driver contract fix) ------------------
+
+
+load_bench_record = _mod.load_bench_record
+
+
+def _write(tmp_path, name, obj):
+    import json
+
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+def test_load_merges_fingerprint_matched_sentinel(tmp_path):
+    b = _write(
+        tmp_path,
+        "BENCH_r12.json",
+        {"parsed": {"value": 4.2, "queries": {"a": 4.2}, "sf": 0.1}},
+    )
+    s = _write(
+        tmp_path,
+        "sentinel.json",
+        {"sentinel": {"name": "s", "ratios": {"a": 1.5}}, "value": 4.2},
+    )
+    rec = load_bench_record(b, sentinel_path=s)
+    assert rec["sentinel"]["ratios"] == {"a": 1.5}
+
+
+def test_load_ignores_stale_sentinel_side_file(tmp_path):
+    # the side file is overwritten by every bench run (envelope
+    # refreshes included): a fingerprint mismatch means it belongs to
+    # a DIFFERENT run and merging would adjudicate one run's times
+    # against another's ratios
+    b = _write(
+        tmp_path,
+        "BENCH_r12.json",
+        {"parsed": {"value": 4.2, "queries": {"a": 4.2}, "sf": 0.1}},
+    )
+    s = _write(
+        tmp_path,
+        "sentinel.json",
+        {"sentinel": {"name": "s", "ratios": {"a": 9.9}}, "value": 7.7},
+    )
+    rec = load_bench_record(b, sentinel_path=s)
+    assert "sentinel" not in rec
+
+
+def test_load_resolves_queries_file_pointer(tmp_path):
+    full = {"a": 1.0, "b": 2.0, "c": 3.0}
+    qp = _write(tmp_path, "BENCH_QUERIES.json", full)
+    b = _write(
+        tmp_path,
+        "BENCH_r12.json",
+        {
+            "value": 6.0,
+            "queries": {"c": 3.0},
+            "queries_file": qp,  # absolute: no repo-root dependency
+            "queries_elided": 2,
+            "sf": 0.1,
+        },
+    )
+    rec = load_bench_record(b, sentinel_path=str(tmp_path / "none"))
+    assert rec["queries"] == full
+    assert "queries_file" not in rec and "queries_elided" not in rec
+
+
+def test_load_exits_on_parsed_null(tmp_path):
+    # the r11 failure shape itself: surface it, don't crash opaquely
+    import pytest
+
+    b = _write(tmp_path, "BENCH_r11.json", {"parsed": None, "n": 11})
+    with pytest.raises(SystemExit):
+        load_bench_record(b, sentinel_path=str(tmp_path / "none"))

@@ -15,6 +15,17 @@ tests in order --
    row (and the row is not the sentinel itself, whose self-ratio is
    ~1 by construction), inside the sratio envelope ->
    ``hot-host (sentinel ratio inside)``.
+   CO-MOVE GUARD (ADVICE r11): the ratio is load-invariant but also
+   blind to a regression in code SHARED with the sentinel (scan +
+   shuffle machinery) -- uniform scaling moves row and sentinel
+   together and every ratio stays inside.  When the RUN TOTAL is
+   also outside the unloaded envelope's totals (the signature both a
+   hot host and a shared-path regression produce), the verdict is
+   the PROVISIONAL ``hot-host? (sentinel co-moved)`` instead of full
+   exoneration: not a FLAG (exit code unchanged), but an instruction
+   to run the existing tools/probe_rows.py quiet-box watch protocol
+   once before trusting the round.  A quiet-box probe separates the
+   two: host heat vanishes, a shared-path regression does not.
 2. RATIO: the row's share of the run total inside the ratio envelope?
    A uniformly hot host scales every row and the total together, so
    shares are load-invariant; a genuine single-row regression moves
@@ -101,6 +112,14 @@ def adjudicate(
     sen_ratios = sen.get("ratios", {})
     sen_name = sen.get("name")
     env_sentinel = env.get("sentinel")
+    # co-move guard input: is this run's total itself beyond the
+    # unloaded envelope?  (true for both a globally hot host and a
+    # shared-path regression -- the sentinel ratio can't tell them
+    # apart, so sentinel exonerations become provisional)
+    env_totals = env.get("totals") or []
+    globally_hot = bool(env_totals) and bench.get(
+        "value", 0.0
+    ) > max(env_totals) * (1 + tol)
     out = []
     for q, t in sorted(bench["queries"].items()):
         e = env["queries"].get(q)
@@ -128,7 +147,11 @@ def adjudicate(
             row["sratio"] = sen_ratios[q]
             row["sratio_env"] = [se["min"], se["med"], se["max"]]
             if sen_ratios[q] <= se["max"] * (1 + tol):
-                row["verdict"] = "hot-host (sentinel ratio inside)"
+                row["verdict"] = (
+                    "hot-host? (sentinel co-moved)"
+                    if globally_hot
+                    else "hot-host (sentinel ratio inside)"
+                )
                 out.append(row)
                 continue
         share = t / bench_common_total
@@ -163,6 +186,52 @@ def adjudicate(
     return out
 
 
+def load_bench_record(path: str, sentinel_path: str | None = None) -> dict:
+    """Load a bench artifact and reassemble the r12 split format.
+
+    The driver wraps bench.py's final stdout line under ``parsed``.
+    Since r12 that line carries only the contract fields (the inline
+    sentinel block broke the driver's 2000-char tail capture in r11,
+    BENCH_r11.json ``parsed: null``); the sentinel ratios live in
+    ``BENCH_SENTINEL.json`` next to bench.py, value-fingerprinted to
+    the run that wrote it.  Merge it ONLY when the fingerprint
+    matches this record's total -- the side file is overwritten by
+    every bench run in the repo (envelope refreshes included), so an
+    unfingerprinted merge could adjudicate one run's times against
+    another run's ratios.  ``--sentinel`` pins an explicit (e.g.
+    round-preserved) copy.  A ``queries_file`` pointer (emitted when
+    the registry outgrows the line budget) resolves repo-relative.
+    """
+    with open(path) as f:
+        bench = json.load(f)
+    if "parsed" in bench and "value" not in bench:
+        bench = bench["parsed"]
+    if bench is None:
+        sys.exit(f"{path}: parsed is null -- no contract line captured")
+    if "sentinel" not in bench:
+        sp = sentinel_path or os.path.join(REPO, "BENCH_SENTINEL.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                side = json.load(f)
+            if side.get("value") == bench.get("value"):
+                bench["sentinel"] = side["sentinel"]
+            else:
+                print(
+                    f"note: {os.path.basename(sp)} fingerprint "
+                    f"{side.get('value')} != sample total "
+                    f"{bench.get('value')} -- stale side file ignored, "
+                    "adjudicating without sentinel ratios",
+                    file=sys.stderr,
+                )
+    qf = bench.pop("queries_file", None)
+    if qf is not None:
+        qp = qf if os.path.isabs(qf) else os.path.join(REPO, qf)
+        with open(qp) as f:
+            bench["queries"] = json.load(f)
+        bench.pop("queries_elided", None)
+    return bench
+
+
 def _take_flag(args: list, name: str):
     """Pop ``name <value>`` from args; usage error if value missing."""
     if name not in args:
@@ -193,12 +262,9 @@ def main() -> None:
     micro_path = _take_flag(args, "--micro") or os.path.join(
         REPO, "BENCH_MICRO_VARIANCE.json"
     )
+    sentinel_path = _take_flag(args, "--sentinel")
     bench_path = args[0] if args else os.path.join(REPO, "BENCH_r07.json")
-    with open(bench_path) as f:
-        bench = json.load(f)
-    # the driver wraps bench.py's JSON line under "parsed"
-    if "parsed" in bench and "value" not in bench:
-        bench = bench["parsed"]
+    bench = load_bench_record(bench_path, sentinel_path)
     with open(env_path) as f:
         env = json.load(f)
     loaded = None
@@ -224,11 +290,21 @@ def main() -> None:
                 f" {round(max(env['totals']), 3)} -> globally hot;"
                 f" loaded totals reach {round(max(loaded['totals']), 3)})"
             )
+    n_comoved = sum(
+        r["verdict"] == "hot-host? (sentinel co-moved)" for r in rows
+    )
+    comoved_note = (
+        f" [{n_comoved} sentinel co-moved, provisional: run one"
+        " quiet-box probe_rows pass]"
+        if n_comoved
+        else ""
+    )
     summary = (
         f"{len(rows)} rows: "
         f"{sum(r['verdict'] == 'ok' for r in rows)} ok, "
         f"{sum(r['verdict'] == 'improved' for r in rows)} improved, "
-        f"{sum(r['verdict'].startswith('hot-host') for r in rows)} hot-host, "
+        f"{sum(r['verdict'].startswith('hot-host') for r in rows)} hot-host"
+        f"{comoved_note}, "
         f"{sum(r['verdict'] == 'scheduler-tail' for r in rows)} scheduler-tail, "
         f"{sum(r['verdict'] == 'new' for r in rows)} new, "
         f"{n_flag} FLAG{tot_note}"

@@ -76,8 +76,13 @@ def one_run(env: dict, loaded: int) -> dict:
             p.kill()
         for p in spinners:
             p.wait()
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # r12: bench.py emits the sentinel block on its own line before
+    # the (budget-capped) contract line -- parse_stdout reassembles
+    # the full record so sratio aggregation below keeps working
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+
+    return bench_mod.parse_stdout(out.stdout, root=REPO)
 
 
 def main() -> None:
