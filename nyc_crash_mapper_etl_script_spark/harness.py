@@ -59,12 +59,92 @@ def register(name: str, sql: str | None):
     return deco
 
 
+#: DRIVER-SAMPLE ROTATION (r11 VERDICT item 4).  The driver's
+#: correctness gate samples the FIRST 50 names of ``queries()`` in
+#: registration order (verified: CORRECTNESS_r9/r10/r11 are exactly
+#: that prefix), so three consecutive rounds oracle-checked the same
+#: 50 rows while 103 of 166 never got a driver-side run.  This list
+#: pins the sample head per round: REGISTRY.md Tranche 1 (35
+#: never-driver-sampled rows, round-robin across families) plus 15
+#: core rows retained from the frozen 50 (flagship, each §2 family,
+#: the scale-critical spatial/dedup/ANN paths, and the bench
+#: sentinel).  Rotate to Tranche 2/3 in later rounds.  Rows pushed
+#: out of the head remain fully oracle-twinned and covered by the
+#: committed SELFCHECK artifacts every round.
+_DRIVER_SAMPLE_HEAD = [
+    # 15 retained core rows
+    "q1_pricing_summary",
+    "p5_json_sentinel",
+    "j1_dedup_anti_join",
+    "j5_enrichment_join",
+    "j6_pip_raycast_grid",
+    "j7_circle_containment_agg",
+    "a7_rollup_monitor",
+    "w1_per_group_top5_pivot",
+    "o3_global_topk",
+    "f4_nullif_allocation",
+    "c1_cdc_classify",
+    "c2_tally_reconcile",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    # REGISTRY.md Tranche 1 (35 never-driver-sampled rows)
+    "dedup_semantic_quality",
+    "sim_pq_topk",
+    "sample_stratified",
+    "text_tfidf_topterms",
+    "interval_join_window_agg",
+    "text_contamination",
+    "pack_sequences",
+    "pack_concat_text",
+    "hopping_window_counts",
+    "a8_group_percentiles",
+    "dedup_exact_substring",
+    "txtable_changes_cdc",
+    "bloom_semi_join_exact",
+    "a9_value_histogram",
+    "a10_zscore_outliers",
+    "pipeline_training_mix",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "w4_unpivot_measures",
+    "txtable_stream_rollup",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "export_shuffled_shards",
+    "sample_weighted_aes",
+    "txtable_merge_update",
+    "q12_shipmode_priority",
+    "q21_waiting_suppliers",
+    "q9_product_profit",
+    "txtable_restore_timetravel",
+    "txtable_dv_delete",
+    "mixture_token_budget",
+    "corpus_profile",
+    "dedup_substring_spans",
+    "dedup_cluster_canonical",
+    "txtable_column_mapping",
+]
+
+
+def _rotated(names: "list[str]") -> "list[str]":
+    head = [n for n in _DRIVER_SAMPLE_HEAD if n in names]
+    rest = [n for n in names if n not in set(head)]
+    return head + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    order = _rotated(list(_REGISTRY))
+    return {name: _REGISTRY[name][0] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
+    order = _rotated(list(_REGISTRY))
+    return {
+        name: _REGISTRY[name][1]
+        for name in order
+        if _REGISTRY[name][1] is not None
+    }
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

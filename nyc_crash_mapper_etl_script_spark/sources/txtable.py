@@ -171,7 +171,37 @@ try:  # pragma: no cover -- import probe
     import pyarrow.parquet as _pq
 except Exception:  # noqa: BLE001 -- optional at runtime, not in CI
     _pa = _pq = None
-_CKPT_PART_FORMAT = "parquet" if _pa is not None else "jsonl"
+
+#: WRITER part-format policy (ADVICE r11, txtable.py:174): the format
+#: is an explicit setting, not silently import-probe-determined --
+#: a heterogeneous fleet (some readers without pyarrow, an accepted
+#: configuration) pins ``jsonl`` via the env var or the TxTable
+#: constructor so a pyarrow-equipped writer can't strand
+#: pyarrow-less readers once cleanup_log makes a parquet-part
+#: checkpoint load-bearing.  ``auto`` (the default) keeps the r11
+#: behavior: parquet iff pyarrow imports in THIS process.
+_CKPT_FORMAT_ENV = "SPARK_GRAFT_CKPT_PART_FORMAT"
+
+
+def _resolve_ckpt_part_format(explicit: "str | None" = None) -> str:
+    fmt = (
+        explicit
+        if explicit is not None
+        else os.environ.get(_CKPT_FORMAT_ENV, "auto")
+    ).lower()
+    if fmt not in ("auto", "parquet", "jsonl"):
+        raise ValueError(
+            f"checkpoint part format must be 'auto', 'parquet' or "
+            f"'jsonl', got {fmt!r}"
+        )
+    if fmt == "auto":
+        return "parquet" if _pa is not None else "jsonl"
+    if fmt == "parquet" and _pa is None:
+        raise ValueError(
+            "checkpoint part format pinned to 'parquet' but pyarrow "
+            "is not importable in this process"
+        )
+    return fmt
 
 #: state sections sharded out of the checkpoint manifest
 _CKPT_BULK_KEYS = ("live", "dv_live", "dv_staged", "txn", "stats")
@@ -287,8 +317,19 @@ class TxTable:
         log_store: LogStore | None = None,
         checkpoint_every: int = 10,
         isolation: str = "write_serializable",
+        ckpt_part_format: "str | None" = None,
     ) -> None:
         self.root = root.rstrip("/")
+        #: sharded-checkpoint part encoding policy for THIS writer:
+        #: 'parquet' / 'jsonl' / 'auto' (None defers to
+        #: $SPARK_GRAFT_CKPT_PART_FORMAT, default auto).  Validated
+        #: eagerly so a typo or an unsatisfiable pin (parquet without
+        #: pyarrow) fails at construction, not mid-checkpoint.
+        self._ckpt_part_format = (
+            _resolve_ckpt_part_format(ckpt_part_format)
+            if ckpt_part_format is not None
+            else None
+        )
         #: conflict-detection level for read-modify-write commits
         #: (Delta's isolation levels).  ``write_serializable``
         #: (default): blind appends never conflict with predicate RMW
@@ -621,6 +662,7 @@ class TxTable:
         best_cached = max(
             (cv for cv in self._state_cache if cv <= v), default=0
         )
+        ckpt_errs: "list[tuple[str, Exception]]" = []
         for name in reversed(ckpt_names):
             cv = self._ckpt_version(name)
             if cv > v:
@@ -634,8 +676,15 @@ class TxTable:
                 # demanding an unimplemented feature means the raw
                 # entries demand it too -- refuse
                 raise
-            except Exception:  # noqa: BLE001 -- a checkpoint is a
-                continue  # cache: corrupt/vanished -> older or full fold
+            except Exception as exc:  # noqa: BLE001 -- a checkpoint is
+                # a cache: corrupt/vanished -> older or full fold.
+                # Remembered so that if the fallback fold ALSO fails
+                # (cleanup_log made this checkpoint load-bearing) the
+                # error names the real problem -- e.g. parquet parts
+                # without pyarrow -- not "cleanup_log ate the log"
+                # (ADVICE r11, txtable.py:174)
+                ckpt_errs.append((name, exc))
+                continue
             state.update(data)
             lo = cv
             break
@@ -649,11 +698,20 @@ class TxTable:
         if [vv for vv, _ in tail] != expect or (
             not tail and lo < v and v > 0
         ):
+            hint = ""
+            if ckpt_errs:
+                cname, cexc = ckpt_errs[0]  # the newest one skipped
+                hint = (
+                    f" -- NOTE: checkpoint {cname} covering this range "
+                    f"failed to load ({cexc}); fixing that load error "
+                    "may make the table readable without the removed "
+                    "history"
+                )
             raise FileNotFoundError(
                 f"{self.root}: commit log has no contiguous entries in "
                 f"({lo}, {v}] -- cleanup_log removed history below a "
-                "checkpoint this read needs"
-            )
+                f"checkpoint this read needs{hint}"
+            ) from (ckpt_errs[0][1] if ckpt_errs else None)
         for _, name in tail:
             self._fold(state, self._read_entry(name))
         if len(self._state_cache) >= 4:
@@ -835,7 +893,7 @@ class TxTable:
             manifest = {
                 k: v for k, v in state.items() if k not in _CKPT_BULK_KEYS
             }
-            part_fmt = _CKPT_PART_FORMAT
+            part_fmt = self._ckpt_part_format or _resolve_ckpt_part_format()
 
             def rows():
                 for section in _CKPT_BULK_KEYS:
@@ -896,18 +954,31 @@ class TxTable:
             payload = (
                 "\n".join(json.dumps(r) for r in rows) + "\n"
             ).encode()
+        path = os.path.join(d, self._ckpt_part_name(version, i, part_fmt))
         try:
-            self.store.put_if_absent(
-                os.path.join(d, self._ckpt_part_name(version, i, part_fmt)),
-                payload,
-            )
+            self.store.put_if_absent(path, payload)
         except FileExistsError:
             # a racing SAME-BUILD writer's part is byte-identical (a
-            # checkpoint at a version is a pure function of the log);
-            # a leftover from a crashed DIFFERENT-BUILD attempt is not
-            # -- the manifest's part_rows/rows counts catch that at
-            # read time, so adoption here stays cheap and safe
-            pass
+            # checkpoint at a version is a pure function of the log),
+            # so adoption is normally free.  But a leftover from a
+            # CRASHED attempt by a build with different
+            # _CKPT_PART_ROWS / fold ordering is NOT -- and a manifest
+            # published over it would be permanently corrupt-class at
+            # this version (every read fails row-count validation and
+            # pays the full fold until a later checkpoint supersedes
+            # it; ADVICE r11, txtable.py:904).  Verify the adopted
+            # bytes match what we meant to write; on mismatch, raise
+            # so _maybe_checkpoint's best-effort handler ABORTS the
+            # whole attempt before the manifest CAS (skipping a cache
+            # write is free; cleanup_log's orphan sweep collects the
+            # stray parts later).
+            if self.store.read_bytes(path) != payload:
+                raise ValueError(
+                    f"existing checkpoint part {os.path.basename(path)} "
+                    "differs from this writer's bytes (crashed attempt "
+                    "by a different build?) -- aborting checkpoint "
+                    f"at v{version}"
+                )
 
     @staticmethod
     def _ckpt_part_name(version: int, i: int, part_fmt: str) -> str:

@@ -316,7 +316,9 @@ def _shard_small(monkeypatch, inline_max=5, part_rows=7, part_fmt=None):
     monkeypatch.setattr(txm, "_CKPT_INLINE_MAX", inline_max)
     monkeypatch.setattr(txm, "_CKPT_PART_ROWS", part_rows)
     if part_fmt is not None:
-        monkeypatch.setattr(txm, "_CKPT_PART_FORMAT", part_fmt)
+        # r12: the writer format is an explicit setting (env var /
+        # constructor), no longer a patchable import-probe constant
+        monkeypatch.setenv(txm._CKPT_FORMAT_ENV, part_fmt)
 
 
 def _manifests(d):
@@ -598,4 +600,150 @@ def test_r10_manifest_without_new_keys_still_reads(
     fresh = TxTable(root)
     st = fresh._read_ckpt(newest)
     assert st["live"] and st["version"] == fresh._ckpt_version(newest)
+    assert _ids(TxTable(root).read(spark)) == want
+
+
+# -- r12: explicit part-format policy + crashed-attempt hygiene ---------
+
+
+def test_part_format_env_pins_jsonl_despite_pyarrow(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (txtable.py:174): a heterogeneous fleet (readers
+    without pyarrow are an accepted configuration) pins jsonl so a
+    pyarrow-equipped writer can't strand pyarrow-less readers once
+    cleanup_log makes a parquet-part checkpoint load-bearing."""
+    _shard_small(monkeypatch, part_fmt="jsonl")  # sets the env var
+    root = str(tmp_path / "t")
+    _drive(spark, root, n_commits=12, every=4)
+    d = os.path.join(root, _LOG_DIR)
+    assert _parts(d), "expected sharded checkpoints"
+    assert all(n.endswith(".jsonl") for n in _parts(d))
+
+
+def test_part_format_constructor_overrides_env(
+    spark, tmp_path, monkeypatch
+):
+    import nyc_crash_mapper_etl_script_spark.sources.txtable as txm
+
+    pytest.importorskip("pyarrow")
+    _shard_small(monkeypatch, part_fmt="jsonl")
+    root = str(tmp_path / "t")
+    t = TxTable(
+        root,
+        partition_by=["ym"],
+        checkpoint_every=1,
+        ckpt_part_format="parquet",
+    )
+    t.init(_df(spark, 0, 20))
+    t.append(_df(spark, 20, 40))
+    d = os.path.join(root, _LOG_DIR)
+    assert _parts(d) and all(n.endswith(".parquet") for n in _parts(d))
+    assert txm  # silence unused-import lint
+
+
+def test_part_format_validates_eagerly(tmp_path, monkeypatch):
+    import nyc_crash_mapper_etl_script_spark.sources.txtable as txm
+
+    with pytest.raises(ValueError, match="part format"):
+        TxTable(str(tmp_path / "t"), ckpt_part_format="msgpack")
+    monkeypatch.setenv(txm._CKPT_FORMAT_ENV, "bogus")
+    with pytest.raises(ValueError, match="part format"):
+        txm._resolve_ckpt_part_format()
+    # an unsatisfiable parquet pin fails loudly, not mid-checkpoint
+    monkeypatch.setattr(txm, "_pa", None)
+    with pytest.raises(ValueError, match="pyarrow"):
+        txm._resolve_ckpt_part_format("parquet")
+
+
+@pytest.mark.parametrize("part_fmt", ["parquet", "jsonl"])
+def test_adopted_mismatched_part_aborts_checkpoint(
+    spark, tmp_path, monkeypatch, part_fmt
+):
+    """ADVICE r11 (txtable.py:904): put_if_absent adopting a leftover
+    part from a crashed DIFFERENT-build attempt must not publish a
+    manifest whose counts were computed from this writer's in-memory
+    parts -- that checkpoint would be permanently corrupt-class at
+    its version.  On byte mismatch the whole attempt aborts BEFORE
+    the manifest CAS (best-effort cache: skipping is free)."""
+    if part_fmt == "parquet":
+        pytest.importorskip("pyarrow")
+    _shard_small(monkeypatch, part_fmt=part_fmt)
+    root = str(tmp_path / "t")
+    t = TxTable(root, partition_by=["ym"], checkpoint_every=0,
+                retain_history=True)
+    t.init(_df(spark, 0, 30))
+    t.append(_df(spark, 30, 60))
+    head = t._snapshot_version()
+    d = os.path.join(root, _LOG_DIR)
+    # the crashed alien attempt left part 0 with foreign bytes
+    ext = "parquet" if part_fmt == "parquet" else "jsonl"
+    alien = os.path.join(d, f"ckpt_v{head:06d}.p0000.{ext}")
+    with open(alien, "wb") as f:
+        f.write(b'{"s": "live", "k": "alien", "v": {}}\n')
+    w = TxTable(root, checkpoint_every=head)
+    w._maybe_checkpoint(head)
+    assert not _manifests(d), (
+        "manifest published over a part known not to match disk"
+    )
+    # reads are unaffected (checkpoint is a cache)
+    assert len(_ids(TxTable(root).read(spark))) == 60
+    # once the stray part is gone the same writer checkpoints fine
+    os.unlink(alien)
+    w._maybe_checkpoint(head)
+    assert _manifests(d)
+    assert len(_ids(TxTable(root).read(spark))) == 60
+
+
+def test_cleanup_fold_failure_names_checkpoint_load_error(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (txtable.py:174): pyarrow-equipped writer
+    checkpoints in parquet, cleanup_log makes it load-bearing, then a
+    pyarrow-LESS reader of the same build must get the informative
+    'install pyarrow'-class diagnosis chained into the fold error --
+    not a misleading 'cleanup_log removed history'."""
+    import nyc_crash_mapper_etl_script_spark.sources.txtable as txm
+
+    pytest.importorskip("pyarrow")
+    _shard_small(monkeypatch, part_fmt="parquet")
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    assert t.cleanup_log() > 0
+    # the same build, minus pyarrow
+    monkeypatch.setattr(txm, "_pa", None)
+    monkeypatch.setattr(txm, "_pq", None)
+    h = TxTable(root)
+    with pytest.raises(FileNotFoundError, match="pyarrow") as ei:
+        h._state()
+    assert isinstance(ei.value.__cause__, ValueError)
+    assert "pyarrow" in str(ei.value.__cause__)
+
+
+def test_orphan_parts_above_cutoff_are_swept(
+    spark, tmp_path, monkeypatch
+):
+    """r11 VERDICT item 5: manifest-less orphan parts from a crashed
+    attempt at a version that can never become a future cutoff (no
+    manifest ever landed, and a newer checkpoint exists) must be
+    swept by cleanup_log, not accumulate forever -- even when they
+    sit ABOVE the cutoff version."""
+    _shard_small(monkeypatch, part_fmt="jsonl")
+    root = str(tmp_path / "t")
+    t = _drive(spark, root, n_commits=12, every=4)
+    d = os.path.join(root, _LOG_DIR)
+    cks = sorted(t._ckpt_version(n) for n in _manifests(d))
+    assert len(cks) >= 2, cks
+    cutoff, newest = cks[-2], cks[-1]
+    orphan_v = cutoff + 1  # crashed attempt between the two
+    assert orphan_v < newest and orphan_v not in cks
+    orphan = os.path.join(d, f"ckpt_v{orphan_v:06d}.p0000.jsonl")
+    with open(orphan, "wb") as f:
+        f.write(b'{"s": "live", "k": "ghost", "v": {}}\n')
+    t.cleanup_log(before=cutoff)
+    names = set(os.listdir(d))
+    assert os.path.basename(orphan) not in names, "orphan accumulated"
+    # the surviving checkpoints' parts are untouched
+    assert _parts(d, cutoff) and _parts(d, newest)
+    want = _ids(t.read(spark))
     assert _ids(TxTable(root).read(spark)) == want

@@ -155,11 +155,14 @@ def main() -> None:
         )
         for label, inline_max, part_fmt in variants:
             saved = txm._CKPT_INLINE_MAX
-            saved_fmt = txm._CKPT_PART_FORMAT
             txm._CKPT_INLINE_MAX = inline_max
-            txm._CKPT_PART_FORMAT = part_fmt
             try:
-                w = TX(root, checkpoint_every=head)  # due exactly at head
+                # r12: writer part format is a constructor setting
+                w = TX(
+                    root,
+                    checkpoint_every=head,  # due exactly at head
+                    ckpt_part_format=part_fmt,
+                )
                 tracemalloc.start()
                 t0 = time.perf_counter()
                 w._maybe_checkpoint(head)
@@ -200,7 +203,6 @@ def main() -> None:
                         os.unlink(os.path.join(d, n))
             finally:
                 txm._CKPT_INLINE_MAX = saved
-                txm._CKPT_PART_FORMAT = saved_fmt
         return out
 
     try:
