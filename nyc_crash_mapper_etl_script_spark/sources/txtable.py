@@ -322,14 +322,14 @@ class TxTable:
         self.root = root.rstrip("/")
         #: sharded-checkpoint part encoding policy for THIS writer:
         #: 'parquet' / 'jsonl' / 'auto' (None defers to
-        #: $SPARK_GRAFT_CKPT_PART_FORMAT, default auto).  Validated
-        #: eagerly so a typo or an unsatisfiable pin (parquet without
-        #: pyarrow) fails at construction, not mid-checkpoint.
-        self._ckpt_part_format = (
-            _resolve_ckpt_part_format(ckpt_part_format)
-            if ckpt_part_format is not None
-            else None
-        )
+        #: $SPARK_GRAFT_CKPT_PART_FORMAT, default auto).  Resolved
+        #: EAGERLY: a typo or an unsatisfiable pin (parquet without
+        #: pyarrow) fails loudly at construction -- inside
+        #: _maybe_checkpoint it would be swallowed by the best-effort
+        #: handler and the table would silently never checkpoint
+        #: (unbounded fold cost, the exact failure mode the explicit
+        #: setting exists to prevent).
+        self._ckpt_part_format = _resolve_ckpt_part_format(ckpt_part_format)
         #: conflict-detection level for read-modify-write commits
         #: (Delta's isolation levels).  ``write_serializable``
         #: (default): blind appends never conflict with predicate RMW
@@ -893,7 +893,7 @@ class TxTable:
             manifest = {
                 k: v for k, v in state.items() if k not in _CKPT_BULK_KEYS
             }
-            part_fmt = self._ckpt_part_format or _resolve_ckpt_part_format()
+            part_fmt = self._ckpt_part_format
 
             def rows():
                 for section in _CKPT_BULK_KEYS:

@@ -710,7 +710,10 @@ def test_cleanup_fold_failure_names_checkpoint_load_error(
     root = str(tmp_path / "t")
     t = _drive(spark, root, n_commits=12, every=4)
     assert t.cleanup_log() > 0
-    # the same build, minus pyarrow
+    # the same build, minus pyarrow (its own env doesn't pin parquet
+    # -- with auto it resolves jsonl and constructs fine; only READS
+    # of the parquet-part checkpoint fail)
+    monkeypatch.setenv(txm._CKPT_FORMAT_ENV, "auto")
     monkeypatch.setattr(txm, "_pa", None)
     monkeypatch.setattr(txm, "_pq", None)
     h = TxTable(root)

@@ -215,6 +215,7 @@ def load_bench_record(path: str, sentinel_path: str | None = None) -> dict:
                 side = json.load(f)
             if side.get("value") == bench.get("value"):
                 bench["sentinel"] = side["sentinel"]
+                bench["_sentinel_source"] = os.path.basename(sp)
             else:
                 print(
                     f"note: {os.path.basename(sp)} fingerprint "
@@ -322,6 +323,7 @@ def main() -> None:
                     "micro": os.path.basename(micro_path)
                     if micro is not None
                     else None,
+                    "sentinel_source": bench.get("_sentinel_source"),
                     "tol": tol,
                     "summary": summary,
                     "rows": rows,
