@@ -167,3 +167,63 @@ def test_values_finite_assertion():
         pass
     else:
         raise AssertionError("NaN timing must not serialize")
+
+
+# -- property pin: emit -> parse_stdout is lossless ------------------
+
+
+from hypothesis import given, settings, strategies as st
+
+_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=40
+).filter(lambda s: not s.isdigit())
+_timing = st.floats(
+    min_value=0.0, max_value=1000.0, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 3))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    queries=st.dictionaries(_name, _timing, min_size=1, max_size=120),
+    with_sentinel=st.booleans(),
+)
+def test_emit_parse_roundtrip_property(tmp_path_factory, queries, with_sentinel):
+    """For ANY registry shape (1-120 rows, arbitrary names/timings),
+    the emitted stdout must (a) end in a standalone-parsable contract
+    line under LINE_BUDGET + slack, (b) survive the driver's
+    2000-char tail capture, and (c) reconstruct via parse_stdout to
+    the full 2-decimal queries dict plus the sentinel block."""
+    tmp = tmp_path_factory.mktemp("emit")
+    out = {
+        "metric": "m",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": dict(queries),
+        "sf": 0.1,
+    }
+    if with_sentinel:
+        out["sentinel"] = {
+            "name": "s",
+            "ratios": {n: 1.5 for n in queries},
+        }
+    buf = io.StringIO()
+    line = bench.emit(out, stream=buf, root=str(tmp))
+    text = buf.getvalue()
+    # (a) final line parses standalone and respects the budget
+    final = text.rstrip("\n").split("\n")[-1]
+    assert final == line
+    rec = json.loads(final)
+    assert len(final) <= bench.LINE_BUDGET + 60  # 60: wrapper slack at
+    # pathological single-row-overflow shapes (real names are <41 chars)
+    # (b) the driver's tail capture still yields a parsable final line
+    json.loads(text[-2000:].rstrip("\n").split("\n")[-1])
+    # (c) lossless reconstruction
+    merged = bench.parse_stdout(text, root=str(tmp))
+    assert merged["queries"] == {
+        k: round(v, 2) for k, v in queries.items()
+    }
+    assert merged["value"] == out["value"]
+    if with_sentinel:
+        assert merged["sentinel"]["ratios"] == {n: 1.5 for n in queries}
+    # inline or spilled, never both stale: pointer keys never survive
+    assert "queries_file" not in merged
