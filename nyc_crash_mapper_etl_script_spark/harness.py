@@ -4831,7 +4831,20 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = gated.groupBy(F.md5("text").alias("__fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    deduped = gated.join(keepers.select("doc_id"), on="doc_id", how="left_semi")
+    # lazy localCheckpoints truncate the composed plan: every stage
+    # below is consumed by 2+ downstream branches (the contamination
+    # corpus AND the clean semi-join read `deduped`; the temperature
+    # sampler's census AND membership join read `clean`), and Catalyst
+    # clones the whole upstream subtree into each consumer -- the
+    # un-truncated plan re-scanned `documents` 21 times and re-ran the
+    # shingle explode + benchmark probe twice (guide: materialize
+    # intermediates to cut very wide plans / duplicated subtrees).
+    # Checkpointed rows are gated-and-deduped docs (corpus-sized,
+    # narrow) materialized once at first action; the RDDs die with the
+    # plan, so nothing persists across bench runs.
+    deduped = gated.join(
+        keepers.select("doc_id"), on="doc_id", how="left_semi"
+    ).localCheckpoint(eager=False)
     contam = contamination_check(
         corpus=deduped,
         benchmark=d.where(bench_src),
@@ -4845,7 +4858,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         contam.where(~F.col("flagged")).select("doc_id"),
         on="doc_id",
         how="left_semi",
-    )
+    ).localCheckpoint(eager=False)
     sampled = temperature_sample(
         clean, group_col="source", key_col="doc_id", target_total=200
     )

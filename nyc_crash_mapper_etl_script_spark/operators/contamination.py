@@ -17,7 +17,9 @@ shingles) shuffle, and AQE broadcasts the benchmark side outright
 when it is small (the common case: benchmarks are MBs, corpora TBs).
 Zero-overlap docs are preserved by aggregating matches with a LEFT
 join from the per-doc shingle census, and zero-SHINGLE docs (empty
-text) by joining the census back onto the full corpus id set.
+text) by exploding OUTER -- one NULL-shingle row keeps the doc in
+the same aggregate, so the whole measurement is one corpus pass
+(one scan, one broadcast probe, one partial-agg exchange).
 """
 
 from __future__ import annotations
@@ -49,32 +51,34 @@ def contamination_check(
     # single-file corpora: spread the shingle explode across cores
     corpus = ensure_parallelism(corpus)
     benchmark = ensure_parallelism(benchmark)
+    # explode_OUTER: a doc whose text yields zero shingles
+    # (NULL/empty/whitespace-only) emits one NULL-shingle row instead
+    # of vanishing, so the per-doc aggregate below covers EVERY corpus
+    # doc in the same single pass -- no second corpus scan, no
+    # id-DISTINCT exchange, no join-back (the r11 shape paid all
+    # three just to resurface zero-shingle docs).  The NULL shingle
+    # never equi-matches the benchmark side and count("sh") skips it,
+    # so such docs still surface as n_shingles=0, contamination NULL,
+    # flagged false.
     doc_sh = corpus.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
     )
     bench_sh = (
         benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    per_doc = (
+    full = (
         doc_sh.join(bench_sh, on="sh", how="left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_shingles"),
+            F.count("sh").alias("n_shingles"),
             F.count("__hit").alias("n_matched"),
         )
     )
-    # join the census back onto the full corpus id set: a doc whose
-    # text yields zero shingles (NULL/empty/whitespace-only) has no
-    # exploded rows and would otherwise vanish from the output -- it
-    # surfaces as n_shingles=0, contamination NULL, flagged false, so
-    # a downstream decontamination gate keeps rather than drops it
-    ids = corpus.select(F.col(id_col)).distinct()
-    full = ids.join(per_doc, on=id_col, how="left")
-    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("long"))
-    n_m = F.coalesce(F.col("n_matched"), F.lit(0).cast("long"))
+    n_sh = F.col("n_shingles")
+    n_m = F.col("n_matched")
     contamination = F.round(n_m / F.nullif(n_sh, F.lit(0)).cast("double"), 4)
     return full.select(
         F.col(id_col),

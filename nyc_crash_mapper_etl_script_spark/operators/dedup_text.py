@@ -742,7 +742,13 @@ def segment_boilerplate_removal(
         F.posexplode(
             F.transform(F.sequence(F.lit(0), n_segs - 1), seg_at)
         ).alias("pos", "seg"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazy localCheckpoint: segs feeds the census AND the probe join,
+    # and without it the scan + split + posexplode subtree runs twice
+    # per action (quiet-box ABBA at sf0.1: 0.79 vs 0.89 s min, ckpt
+    # wins every interleaved pair).  Materialized bytes ~= one corpus
+    # copy (memory-and-disk, freed with the plan); at cluster scale
+    # this trades a second scan+explode pass for one local write+read.
     counts = segs.groupBy("seg").agg(F.count_distinct("id").alias("nd"))
     joined = segs.join(counts, "seg")
     kept_struct = F.when(
@@ -1167,13 +1173,22 @@ def substring_span_stats(
         )
     else:
         # first occurrence per window text: lexicographic min over
-        # (doc_id, pos), encoded as a fixed-width digit string so the
-        # aggregate plans as a map-side-combining HashAggregate
-        # (min(struct) falls back to SortAggregate) -- skew-immune
-        # either way, but hash-agg skips the per-partition sort
-        enc = F.concat(
-            F.lpad(F.col("id").cast("string"), 19, "0"),
-            F.lpad(F.col("pos").cast("string"), 10, "0"),
+        # (doc_id, pos), packed as id*10^10 + pos in ONE decimal(31,0)
+        # -- order-identical to the (id, pos) tuple for the same
+        # domain the previous digit-string encoding assumed
+        # (non-negative id, 1 <= pos < 10^10).  The buffer type is
+        # what picks the aggregate operator: min(string) is not a
+        # mutable fixed-width UnsafeRow field, so BOTH the digit
+        # string and min(struct) plan as SortAggregate with a full
+        # per-partition Sort of every exploded window row; a decimal
+        # occupies a fixed 16-byte slot, so min(decimal) plans as a
+        # map-side-combining HashAggregate (no sort anywhere) and
+        # ships 16 bytes/row into the exchange instead of a 29-char
+        # string.
+        enc = (
+            F.col("id").cast("decimal(19,0)")
+            * F.lit(10_000_000_000).cast("decimal(11,0)")
+            + F.col("pos").cast("decimal(10,0)")
         )
         keyed = windows.withColumn("__e", enc)
         firsts = keyed.groupBy("h1", "h2").agg(F.min("__e").alias("__f"))
@@ -1247,7 +1262,13 @@ def select_canonical(
 
     Output: (id, cluster, q, canonical_id, cluster_size, keep).
     """
-    j = clusters.join(quality, id_col)
+    # lazy localCheckpoint: j feeds BOTH the per-cluster argmax and
+    # the join-back, and Catalyst clones the whole upstream (cluster
+    # resolution + the quality expression battery) into each branch
+    # -- the un-truncated canonical_keep_best plan scanned documents
+    # 6x and ran quality_score twice.  Rows are (id, cluster, q):
+    # corpus-sized but narrow, materialized once per action.
+    j = clusters.join(quality, id_col).localCheckpoint(eager=False)
     best = j.groupBy(cluster_col).agg(
         F.max(
             F.struct(F.col(q_col).alias("__q"), (-F.col(id_col)).alias("__nid"))

@@ -48,12 +48,23 @@ def bm25_rank(
     deterministic on any engine.
     """
     toks = tokens(F.col(text_col))
-    doclen = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    # lazy localCheckpoints: doclen feeds the N/avgdl aggregate AND
+    # the per-doc join, tf feeds the df count AND the scoring join --
+    # without them Catalyst clones each subtree into both consumers
+    # and the corpus is tokenized four times per action instead of
+    # twice.  Both relations are narrow ((id, dl) and
+    # (id, token, tf) restricted to query terms), so materializing
+    # them costs bytes proportional to the corpus ROW COUNT, not its
+    # text.
+    doclen = df.select(F.col(id_col), F.size(toks).alias("dl")).localCheckpoint(
+        eager=False
+    )
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("token"))
         .where(F.col("token").isin(list(query_terms)))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = doclen.agg(
