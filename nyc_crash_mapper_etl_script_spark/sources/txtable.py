@@ -3128,17 +3128,40 @@ class TxTable:
         try:
             removes = list(self._live_files(version=base_version))
             pinned = df.localCheckpoint()
+            # a whole-set replace may change the schema in any
+            # direction (test_txtable_schema_enforce), so the COLUMN
+            # MAP must be reconciled with the replacing schema exactly
+            # as restore reconciles it with the as-of schema: entries
+            # whose logical name the new schema drops are pruned
+            # (retained entries keep writing through their stable
+            # physical names).  A stale entry would otherwise survive
+            # the replace and a later rename/evolve-add consulting it
+            # could bind a physical name another live column owns --
+            # the silent cross-column corruption class.  _commit logs
+            # an explicit empty map when the prune empties a live one.
+            cmap = self._column_map()
+            if cmap:
+                keep = set(df.columns)
+                self._staged_column_map = {
+                    k: v for k, v in cmap.items() if k in keep
+                }
             _, mapping = self._stage(pinned)
         except Exception as e:  # noqa: BLE001 -- translated or re-raised
+            self.__dict__.pop("_staged_column_map", None)
             self._raise_if_concurrent(e, base_version)
-        return self._commit(
-            mapping,
-            removes,
-            "overwrite",
-            base_version=base_version,
-            app_txn=app_txn,
-            read_scope="whole_table",
-        )
+        try:
+            return self._commit(
+                mapping,
+                removes,
+                "overwrite",
+                base_version=base_version,
+                app_txn=app_txn,
+                read_scope="whole_table",
+            )
+        finally:
+            # _commit consumes the staged map on success; a failure in
+            # between must not leak it into the handle's next commit
+            self.__dict__.pop("_staged_column_map", None)
 
     def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
         """Delta-style MERGE: matched rows are replaced by the source

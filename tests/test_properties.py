@@ -242,10 +242,16 @@ def test_txtable_matches_model_under_random_ops(
         elif op == "compact":
             tx.compact(spark)
         elif op == "overwrite":
+            # deliberately the ORIGINAL name: a whole-set replace may
+            # change schema in any direction (schema_enforce test), so
+            # across a live rename this both replaces the logical name
+            # AND must prune the stale map entry (overwrite's colmap
+            # reconciliation) -- the model's binding resets with it
             tx.overwrite(
                 spark.createDataFrame(arg, "k long, v string, ym string")
             )
             model = list(arg)
+            names["v"] = "v"
         elif op == "delete_where_k_ge":
             from pyspark.sql import functions as FF
 
@@ -385,9 +391,15 @@ def test_txtable_matches_model_from_mixed_layout(
         elif op == "compact":
             tx.compact(spark)
         elif op == "overwrite":
+            # non-empty: current logical name (map retained across the
+            # replace); empty: original name -- schema replace resets
+            # the binding and prunes the map (see the clean-layout
+            # model's overwrite note)
             tx.overwrite(df_of(arg) if arg else spark.createDataFrame(
                 [], "k long, v string, ym string"))
             model = list(arg)
+            if not arg:
+                names["v"] = "v"
         elif op == "delete_where_k_ge":
             tx.delete_where(spark, FF.col("k") >= arg)
             model = [r for r in model if r[0] < arg]

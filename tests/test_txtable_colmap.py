@@ -125,6 +125,50 @@ def test_rename_back_to_physical_name_empties_map(spark, tmp_path):
     assert "requires" not in t._entries()[-1]
 
 
+def test_overwrite_reconciles_map_with_replacing_schema(spark, tmp_path):
+    """A whole-set replace may change schema in any direction
+    (schema_enforce test); entries of the live column map whose
+    logical name the replacing schema drops must be pruned with it.
+    The hypothesis model test found the stale-entry state: after
+    rename v->w, overwrite(v) left {w: v} live while the schema said
+    v, so a later rename_column("v", ...) would bind v's physical
+    name to a SECOND logical column."""
+    t = TxTable(str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    t.rename_column("v", "w")
+    assert t._column_map() == {"w": "v"}
+    # replace with the ORIGINAL name: schema becomes (k, v), and the
+    # stale w->v entry must go with it (explicit empty map logged)
+    t.overwrite(_df(spark, [(2, "b")]))
+    assert t.read(spark).columns == ["k", "v"]
+    assert t._column_map() == {}
+    assert t._entries()[-1]["column_map"] == {}
+    # the once-poisoned sequence: a fresh rename of the reused name
+    # maps cleanly and a fresh-handle read binds it
+    t.rename_column("v", "w2")
+    assert t._column_map() == {"w2": "v"}
+    got = TxTable(t.root).read(spark)
+    assert got.columns == ["k", "w2"]
+    assert [(r["k"], r["w2"]) for r in got.collect()] == [(2, "b")]
+    # and appends under the reconciled map keep the stable physical
+    t.append(_df(spark, [(3, "c")], "k long, w2 string"))
+    assert _footer_cols(t) == {"k", "v"}
+
+
+def test_overwrite_with_renamed_schema_keeps_map(spark, tmp_path):
+    """The complementary case: overwriting WITH the current logical
+    name keeps the map entry, and the staged files keep writing the
+    stable physical name."""
+    t = TxTable(str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    t.rename_column("v", "w")
+    t.overwrite(_df(spark, [(2, "b")], "k long, w string"))
+    assert t._column_map() == {"w": "v"}
+    assert _footer_cols(t) == {"k", "v"}  # physical name stable
+    got = sorted((r["k"], r["w"]) for r in TxTable(t.root).read(spark).collect())
+    assert got == [(2, "b")]
+
+
 def test_rename_refusals(spark, tmp_path):
     t = TxTable(str(tmp_path / "t"), partition_by=["ym"])
     t.init(_df(spark, [(1, "a", "2024-01")], "k long, v string, ym string"))
