@@ -297,12 +297,20 @@ def minhash_near_duplicates(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
     # census on the already-partitioned rows: tiny (bk, n) pairs, no
-    # second shuffle of the wide signature rows
+    # second shuffle of the wide signature rows.  Lazy localCheckpoint
+    # because THREE consumers reference it (the members anti-join and
+    # both sides of the oversized self-join): checkpointing sigs does
+    # not stop Catalyst cloning the census aggregate itself into each
+    # consumer -- the r12 before-plan ran the band explode + census
+    # Exchange + HashAggregate three times.  The materialized relation
+    # is only the oversized bucket keys (bounded by corpus/max_bucket,
+    # tiny by construction at any scale).
     big_keys = (
         banded.groupBy("bk")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > max_bucket)
         .select("bk")
+        .localCheckpoint(eager=False)
     )
     members = (
         banded.join(big_keys, "bk", "left_anti")
@@ -638,13 +646,26 @@ def ngram_jaccard_pairs(
     the exception -- catch those with :func:`exact_duplicates`, whose
     hash groupBy is immune to posting-list size).
     """
+    # lazy localCheckpoint: the shingle-set relation is consumed by
+    # up to four plan branches (the inverted index via tok -- cloned
+    # into both self-join sides -- plus sa/sb full-set verify joins on
+    # the capped path), and the split + transform + array_distinct
+    # HOF battery is the per-row-expensive part Catalyst would rerun
+    # per clone.  One materialization of (id, shs), cheap re-reads
+    # (probe mins at sf0.1: capped 1.58 -> 1.01 s, uncapped --
+    # with the sizes checkpoint below -- 1.31 -> 0.67).
     sets_df = _ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), k=k)).alias("shs"),
-    ).where(F.size("shs") > 0)
+    ).where(F.size("shs") > 0).localCheckpoint(eager=False)
     tok = sets_df.select("id", F.explode("shs").alias("sh"))
     if max_posting is None:
-        sizes = tok.groupBy("id").agg(F.count("*").alias("n_sh"))
+        # narrow (id, n_sh) aggregate consumed under BOTH join-back
+        # aliases: checkpoint it once (the tfidf norms rule) instead
+        # of cloning the explode + count per side
+        sizes = tok.groupBy("id").agg(
+            F.count("*").alias("n_sh")
+        ).localCheckpoint(eager=False)
         a, b = tok.alias("a"), tok.alias("b")
         common = (
             a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -964,7 +985,13 @@ def exact_substring_pairs(
     # posting cap as a count-over-window on the SAME wh partitioning
     # the self-join needs: one exchange, reused by both join sides
     # (the census + semi-join form shuffled the window rows three
-    # times; this plan was measured 2.6x faster at sf0.1)
+    # times; this plan was measured 2.6x faster at sf0.1).  NO
+    # localCheckpoint here, re-measured in r12: AQE broadcasts one
+    # join side, so the cloned scan -> explode -> md5 -> window
+    # subtree stays fused in codegen and recompute beats
+    # materializing the wide (id, md5-hex) posting rows -- probe
+    # mins 1.30 s recompute vs 1.88 s checkpointed at sf0.1 (the
+    # same verdict as substring_span_stats' window-relation A/B).
     wnd = Window.partitionBy("wh")
     capped = windows.withColumn("__n", F.count(F.lit(1)).over(wnd)).where(
         F.col("__n") <= max_posting
@@ -1034,7 +1061,17 @@ def tfidf_cosine_pairs(
         .select("id", "sh", "df", (F.col("tf") * idf).alias("w"))
         .localCheckpoint(eager=False)
     )
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # lazy localCheckpoint: finish() consumes the norms under BOTH
+    # aliases (id_a and id_b), and checkpointing w does not stop
+    # Catalyst cloning the norm aggregate itself into each side --
+    # the r12 before-plan carried the Exchange + HashAggregate twice.
+    # (id, nrm) is one narrow row per doc; materializing it once
+    # replaces a full second aggregation pass over the posting rows.
+    norms = (
+        w.groupBy("id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        .localCheckpoint(eager=False)
+    )
 
     def finish(dots: DataFrame) -> DataFrame:
         na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("__na"))
@@ -1065,9 +1102,14 @@ def tfidf_cosine_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # same rule for the full-vector maps: va/vb both read vecs, and
+    # without the checkpoint the ObjectHashAggregate building the
+    # per-doc weight maps (the row's dominant cost) ran once per join
+    # side.  The maps are the verify structure the capped path needs
+    # anyway; one materialization, two cheap re-reads.
     vecs = w.groupBy("id").agg(
         F.map_from_entries(F.collect_list(F.struct("sh", "w"))).alias("vec")
-    )
+    ).localCheckpoint(eager=False)
     va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("__va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb"))
     dots = (

@@ -93,6 +93,61 @@ def test_contamination_is_single_corpus_pass(spark):
     )
 
 
+def test_minhash_band_census_computed_once(spark):
+    # big_keys (the oversized-bucket census) is referenced by THREE
+    # consumers (members anti-join + both oversized self-join sides);
+    # without its lazy localCheckpoint Catalyst clones the band
+    # explode + census Exchange + HashAggregate into each one (the
+    # r12 before-plan ran it 3x).  Checkpointed, the final plan holds
+    # exactly one groupBy("bk") count aggregate: the posting-list
+    # collect_list (ObjectHashAggregate) and the pair-dedup, nothing
+    # counting bucket sizes.
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        minhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 3} repeated words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = _plan(
+        minhash_near_duplicates(docs, num_perm=16, bands=4, max_bucket=4)
+    )
+    # census aggregates surface as HashAggregate(keys=[bk...]) pairs
+    # (partial + final); the checkpointed plan keeps exactly one pair
+    n_census = plan.count("keys=[bk")
+    assert n_census <= 2, (
+        f"band census cloned {n_census // 2}x -- big_keys' lazy "
+        "localCheckpoint no longer truncates its consumers"
+    )
+
+
+def test_tfidf_norms_and_vecs_computed_once(spark):
+    # finish() joins the norms under both aliases and the capped path
+    # joins the weight maps under both aliases; without their lazy
+    # localCheckpoints each aggregate (including the map-building
+    # ObjectHashAggregate, the row's dominant cost) ran once per join
+    # side (r12 before-plan: 2x HashAggregate(nrm) + 2x
+    # ObjectHashAggregate(vec) subtrees).
+    from nyc_crash_mapper_etl_script_spark.operators.dedup_text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared words plus token {i % 2} extra body text") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(tfidf_cosine_pairs(docs, k=3, threshold=0.1, max_posting=8))
+    assert plan.count("map_from_entries") <= 2, (
+        "the per-doc weight-map ObjectHashAggregate is cloned per "
+        "join side -- vecs' lazy localCheckpoint no longer truncates it"
+    )
+    assert plan.count("SQRT") <= 2, (
+        "the norm aggregate is cloned per join side -- norms' lazy "
+        "localCheckpoint no longer truncates it"
+    )
+
+
 def test_semantic_dedup_assigns_once_per_action(spark):
     from nyc_crash_mapper_etl_script_spark.operators.similarity import (
         semantic_dedup,
