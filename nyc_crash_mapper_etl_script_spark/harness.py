@@ -2034,8 +2034,15 @@ def dedup_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, n_cells=8, threshold=0.4, impl="arrow", hash_fn="md5", max_cluster=16
     ).select("vec_id")
     ids = e.select("vec_id")
-    dropped_full = ids.join(kept_full, "vec_id", "left_anti")
-    dropped_cap = ids.join(kept_cap, "vec_id", "left_anti")
+    # each drop set is consumed twice (own count + overlap); the lazy
+    # localCheckpoints stop Catalyst re-running the full semantic
+    # prune per consumer (narrow vec_id rows)
+    dropped_full = ids.join(kept_full, "vec_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    dropped_cap = ids.join(kept_cap, "vec_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     fa = dropped_full.agg(F.count(F.lit(1)).cast("long").alias("n_dropped_full"))
     ca = dropped_cap.agg(F.count(F.lit(1)).cast("long").alias("n_dropped_capped"))
     ma = dropped_cap.join(dropped_full, "vec_id").agg(
@@ -2220,10 +2227,13 @@ def dedup_semantic_stream_divergence(
     kept_b2 = semantic_dedup_incremental(
         new, index, cents, threshold=0.4, impl="arrow", max_cluster=12
     ).select("vec_id")
-    kept_stream = kept_b1.unionByName(kept_b2)
+    # three consumers each (count + both anti-join directions): the
+    # lazy localCheckpoints materialize each keep set once instead of
+    # re-running its prune pipeline per consumer (narrow vec_id rows)
+    kept_stream = kept_b1.unionByName(kept_b2).localCheckpoint(eager=False)
     kept_once = semantic_dedup(
         e, threshold=0.4, impl="arrow", max_cluster=12, centroids=cents
-    ).select("vec_id")
+    ).select("vec_id").localCheckpoint(eager=False)
     ns = kept_stream.agg(F.count(F.lit(1)).cast("long").alias("n_kept_stream"))
     no = kept_once.agg(F.count(F.lit(1)).cast("long").alias("n_kept_oneshot"))
     so = kept_stream.join(kept_once, "vec_id", "left_anti").agg(
@@ -6146,10 +6156,16 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # both pair sets are consumed twice (own count + intersection);
+    # the lazy localCheckpoints keep Catalyst from cloning each FULL
+    # pair pipeline into both consumers (r12: plan 137 -> 57 nodes,
+    # probe mins 1.88 -> 1.17 s at sf0.1)
     lsh = minhash_near_duplicates(
         d, num_perm=64, bands=16, threshold=0.5, base_hash="md5"
-    ).select("id_a", "id_b")
-    exact = ngram_jaccard_pairs(d, k=5, threshold=0.5).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    exact = ngram_jaccard_pairs(d, k=5, threshold=0.5).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
     ea = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     la = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
     ca = lsh.join(exact, ["id_a", "id_b"]).agg(

@@ -776,11 +776,16 @@ def ann_recall(
     query batch before trusting a recall-sensitive pipeline to an
     approximate index.  Queries with zero overlap surface as 0.0, not
     as missing rows."""
-    hits = approx.join(
-        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
-    )
+    # lazy localCheckpoint: the exact baseline is consumed twice (the
+    # hit semi-join and the per-query census) and is usually the
+    # expensive pipeline here (brute_force_topk's whitelisted NLJ) --
+    # without it Catalyst clones the whole baseline subtree into both
+    # consumers.  Materialized rows are only (query_id, vec_id) at
+    # k x queries.
+    ex = exact.select("query_id", "vec_id").localCheckpoint(eager=False)
+    hits = approx.join(ex, ["query_id", "vec_id"], "left_semi")
     per_q = (
-        exact.select("query_id")
+        ex.select("query_id")
         .distinct()
         .join(
             hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n")),
