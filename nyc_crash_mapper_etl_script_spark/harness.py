@@ -3828,10 +3828,13 @@ def pack_concat_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # packed feeds BOTH the text join and the total_chars aggregate;
+    # the lazy localCheckpoint stops Catalyst cloning the greedy
+    # cumsum window into each consumer (narrow assignment rows)
     packed = pack_greedy(
         d, group_col="source", order_col="doc_id", size_col="n_chars",
         budget=1000,
-    )
+    ).localCheckpoint(eager=False)
     return pack_concat(
         packed,
         d,
@@ -4060,8 +4063,19 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     even half -- INTERSECT / EXCEPT as hash-partitioned distinct
     joins (Catalyst plans both as aggregates + joins on the hash)."""
     d = _t(spark, sf_dir, "documents")
-    even = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
-    odd = d.where(F.col("doc_id") % 2 == 1).select(F.md5("text").alias("fp"))
+    # each half is consumed by BOTH set operations; the lazy
+    # localCheckpoints stop Catalyst re-scanning + re-hashing the
+    # corpus per consumer (4 scans + 4 md5 passes -> 2; narrow fp rows)
+    even = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+        .localCheckpoint(eager=False)
+    )
+    odd = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select(F.md5("text").alias("fp"))
+        .localCheckpoint(eager=False)
+    )
     both = even.intersect(odd).select(F.lit("both").alias("which"), "fp")
     only = even.distinct().exceptAll(odd.distinct()).select(
         F.lit("even_only").alias("which"), "fp"

@@ -138,19 +138,75 @@ def dsir_select(
     docs with at least one bigram participate (both scorers omit
     shorter docs).
     """
-    tgt = lm_stupid_backoff_nll(df, target_cond, id_col, text_col, alpha).select(
-        F.col(id_col), F.col("nll").alias("nll_target")
-    )
-    bkg = lm_stupid_backoff_nll(
-        df, F.lit(True), id_col, text_col, alpha
-    ).select(F.col(id_col), F.col("nll").alias("nll_background"))
-    scored = tgt.join(bkg, id_col).select(
-        id_col,
-        "nll_target",
-        "nll_background",
-        F.round(F.col("nll_background") - F.col("nll_target"), 6).alias(
-            "importance"
-        ),
+    # One-pass dual-model scoring (r12): the naive form runs
+    # lm_stupid_backoff_nll twice over the SAME corpus -- two full
+    # bigram explodes, two 3-join scoring passes, two per-doc
+    # aggregates, then a doc-keyed join.  Both scorers share the
+    # identical position relation (pos comes from ``df`` in both
+    # calls; only the model tables differ), so score both models from
+    # ONE explode: six dimension joins against the two model tables,
+    # one per-doc aggregate computing both NLLs.  Arithmetic is
+    # per-position identical to the two-pass form (same probs, same
+    # round-6 means), pinned by the DuckDB oracle which replays both
+    # trainings independently.
+    def _model(rows: DataFrame, suffix: str):
+        # lazy localCheckpoint on the unigram table: it feeds the
+        # totals aggregate and both unigram join sides (vocab-sized).
+        uni = (
+            rows.select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("n1"))
+            .localCheckpoint(eager=False)
+        )
+        tot = uni.agg(
+            F.sum("n1").alias(f"__t{suffix}"),
+            F.count("*").alias(f"__v{suffix}"),
+        )
+        bg = (
+            rows.select(F.explode(bigram_pairs(F.col(text_col))).alias("pc"))
+            .groupBy(F.col("pc.p").alias("p"), F.col("pc.c").alias("c"))
+            .agg(F.count("*").alias(f"n2{suffix}"))
+        )
+        n1p = uni.select(F.col("t").alias("p"), F.col("n1").alias(f"n1p{suffix}"))
+        n1c = uni.select(F.col("t").alias("c"), F.col("n1").alias(f"n1c{suffix}"))
+        backoff = (
+            F.lit(alpha)
+            * (F.coalesce(F.col(f"n1c{suffix}"), F.lit(0)) + F.lit(1.0))
+            / (F.col(f"__t{suffix}") + F.col(f"__v{suffix}"))
+        )
+        prob = F.when(
+            F.col(f"n2{suffix}").isNotNull(),
+            F.col(f"n2{suffix}") / F.col(f"n1p{suffix}"),
+        ).otherwise(backoff)
+        return bg, n1p, n1c, tot, prob
+
+    bg_t, n1p_t, n1c_t, tot_t, prob_t = _model(df.where(target_cond), "t")
+    bg_b, n1p_b, n1c_b, tot_b, prob_b = _model(df, "b")
+    pos = df.select(
+        F.col(id_col), F.explode(bigram_pairs(F.col(text_col))).alias("pc")
+    ).select(id_col, F.col("pc.p").alias("p"), F.col("pc.c").alias("c"))
+    scored = (
+        pos.join(bg_t, ["p", "c"], "left")
+        .join(n1p_t, "p", "left")
+        .join(n1c_t, "c", "left")
+        .join(bg_b, ["p", "c"], "left")
+        .join(n1p_b, "p", "left")
+        .join(n1c_b, "c", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_b))
+        .groupBy(id_col)
+        .agg(
+            F.round(-F.avg(F.log(prob_t)), 6).alias("nll_target"),
+            F.round(-F.avg(F.log(prob_b)), 6).alias("nll_background"),
+        )
+        .select(
+            id_col,
+            "nll_target",
+            "nll_background",
+            F.round(
+                F.col("nll_background") - F.col("nll_target"), 6
+            ).alias("importance"),
+        )
     )
     from nyc_crash_mapper_etl_script_spark.operators.topk import top_k
 

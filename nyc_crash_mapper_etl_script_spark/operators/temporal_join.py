@@ -323,7 +323,11 @@ def asof_join_salted(
         "__fill", F.last("__rv", ignorenulls=True).over(w_local)
     )
 
-    # per-(key, chunk) last reference -- max_by over the chunk's refs
+    # per-(key, chunk) last reference -- max_by over the chunk's refs.
+    # Lazy localCheckpoint: summaries feeds BOTH the (key, cell)
+    # universe and the carry join -- without it the full reference
+    # scan + argmax aggregate is cloned into each consumer.  The
+    # checkpointed relation is one row per key per active chunk.
     summaries = (
         r.groupBy("__k", "__cell")
         .agg(
@@ -331,6 +335,7 @@ def asof_join_salted(
                 F.col("__rv"), F.struct(F.col("__ts"), F.col("__tb"))
             ).alias("__last_rv")
         )
+        .localCheckpoint(eager=False)
     )
     # The carry must be defined at every PROBE cell too, not only at
     # cells that contain a reference -- a probe chunk with no refs at

@@ -79,10 +79,16 @@ def tf_idf(
     and no count-distinct.  The doc count N joins in as a broadcast
     1-row aggregate, and df joins back on the token key.  Zipf skew
     on hot tokens collapses in the partial aggregates."""
+    # lazy localCheckpoint: tf feeds BOTH the df aggregate and the
+    # scoring join -- without it Catalyst clones the tokenize +
+    # explode + (doc, token) aggregate into each consumer, scanning
+    # and tokenizing the corpus twice per action.  The checkpointed
+    # relation is the post-aggregate (doc, token, tf) rows.
     tf = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("__n"))
