@@ -5817,13 +5817,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes aggregate-then-join-back, with a deterministic
     min-suppkey tiebreak for parts where several suppliers hit the
     minimum.  Equality against the min is float-safe: the min IS one
-    of the aggregated values, bit-identical in both engines.  Two
-    narrow shuffles on l_partkey (the second reuses the first's
-    partitioning under AQE); nothing rescans the fact table."""
+    of the aggregated values, bit-identical in both engines.  The
+    costs view is lazily localCheckpointed: it feeds BOTH the
+    per-part min and the join-back, and without the barrier Catalyst
+    clones the fact aggregation into each consumer (2 lineitem scans
+    in the r12 before-plan) -- checkpointed, one scan + one aggregate
+    serve both, and the (partkey, suppkey, cost) rows it stores are
+    exactly what the shuffle moves anyway."""
     li = _t(spark, sf_dir, "lineitem")
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("cost")
-    )
+    ).localCheckpoint(eager=False)
     best = costs.groupBy(F.col("l_partkey").alias("__pk")).agg(
         F.min("cost").alias("min_cost")
     )
@@ -6418,6 +6422,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics demand."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
+    # lazy localCheckpoint: the revenue view feeds BOTH the max
+    # scalar and the equality probe; without it Catalyst clones the
+    # whole fact aggregation into each consumer (2 lineitem scans +
+    # 2 aggregates in the r12 before-plan).  The checkpointed rows
+    # are supplier-keyed (dimension-sized, 2 columns), and reusing
+    # the SAME aggregate output also keeps the max float-identical
+    # to the probe side by construction.
     rev = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -6429,6 +6440,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
             ).alias("total_revenue")
         )
+        .localCheckpoint(eager=False)
     )
     top = rev.agg(F.max("total_revenue").alias("__mx"))
     return (

@@ -162,3 +162,25 @@ def test_semantic_dedup_assigns_once_per_action(spark):
         "the Arrow assignment stage is cloned into both prune-join "
         "sides -- the lazy localCheckpoint no longer truncates it"
     )
+
+
+def test_q15_q2_fact_aggregate_computed_once(spark):
+    # q15's revenue view feeds BOTH the max scalar and the equality
+    # probe; q2's costs view feeds BOTH the per-part min and the
+    # join-back.  Without their lazy localCheckpoints Catalyst clones
+    # the whole fact aggregation into each consumer -- the registry
+    # plans scanned lineitem twice per query (PLANS.md census).
+    # Checkpointed, the declared plan holds no fact FileScan at all
+    # (the one scan runs in the checkpoint-materialization job).
+    from nyc_crash_mapper_etl_script_spark.harness import _REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("q15_top_supplier", "q2_min_cost_supplier"):
+        fn, _sql = _REGISTRY[name]
+        plan = _plan(fn(spark, sf_dir))
+        n = plan.count("lineitem.parquet")
+        assert n <= 1, (
+            f"{name}: lineitem scanned {n}x -- the shared aggregate "
+            "view's lazy localCheckpoint no longer truncates its "
+            "consumers"
+        )
