@@ -293,9 +293,11 @@ def bench_storage(
         # interleaved sentinel: one adjacent sentinel execution per
         # timed op, so each rep carries its own load-invariant ratio
         s = sentinel_fn() if sentinel_fn is not None else None
+        spark.sparkContext.setJobDescription(f"bench-storage: {name}")
         t0 = time.time()
         fn()
         dt = time.time() - t0
+        spark.sparkContext.setJobDescription(None)
         samples.setdefault(name, []).append(dt)
         if s:
             sratios.setdefault(name, []).append(dt / s)
@@ -458,9 +460,14 @@ def main() -> None:
         # number measures distributed execution, the quantity that
         # grows with the data.
         df = build(name)
+        # label the jobs (guide §1.5) so a UI-enabled run maps stages
+        # back to rows; a thread-local setter, microseconds, untimed
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        spark.sparkContext.setJobDescription(None)
+        return dt
 
     def release_cached():
         # PER-QUERY ISOLATION: several queries pin executor
@@ -503,9 +510,12 @@ def main() -> None:
 
     def run_sentinel() -> float:
         df = qs[SENTINEL](spark, sf_dir)
+        spark.sparkContext.setJobDescription("bench: sentinel")
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        spark.sparkContext.setJobDescription(None)
+        return dt
 
     if sentinel_on:
         run_sentinel()  # its own warm pass
