@@ -277,6 +277,7 @@ def bench_storage(
     from nyc_crash_mapper_etl_script_spark.sources.txtable import TxTable
     from nyc_crash_mapper_etl_script_spark.streaming.sizing import (
         state_partitions,
+        state_partitions_for,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -294,10 +295,12 @@ def bench_storage(
         # timed op, so each rep carries its own load-invariant ratio
         s = sentinel_fn() if sentinel_fn is not None else None
         spark.sparkContext.setJobDescription(f"bench-storage: {name}")
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        spark.sparkContext.setJobDescription(None)
+        try:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+        finally:
+            spark.sparkContext.setJobDescription(None)
         samples.setdefault(name, []).append(dt)
         if s:
             sratios.setdefault(name, []).append(dt / s)
@@ -332,13 +335,14 @@ def bench_storage(
             )
 
             def drain():
-                # the rollup holds <=12 groups (3 statuses x change
-                # types): state right-sized to 8 partitions instead of
-                # inheriting the 32 batch-shuffle default -- per-batch
+                # the rollup holds 6 groups (3 statuses x 2 change
+                # types): state partitions DERIVED from that
+                # cardinality (r13; sizing.state_partitions_for ->
+                # 2) instead of the r8 constant 8 -- per-batch
                 # state-store commits are O(state partitions)
                 # (streaming/sizing.py has the sizing rule + numbers)
                 out = os.path.join(base, "feed")
-                with state_partitions(spark, 8):
+                with state_partitions(spark, state_partitions_for(6)):
                     q = (
                         read_txtable_stream(
                             spark, t.root, columns=["o_orderstatus"]
@@ -351,7 +355,9 @@ def bench_storage(
                         .trigger(availableNow=True)
                         .start()
                     )
-                    q.awaitTermination(300)
+                    if not q.awaitTermination(300):
+                        q.stop()
+                        raise RuntimeError("tx_stream_drain timed out")
                 shutil.rmtree(out + "_ck", ignore_errors=True)
 
             rec("tx_stream_drain", drain)
@@ -377,12 +383,12 @@ def bench_storage(
                 feed.append(orders.where(F.col("o_orderkey") % 8 == i))
 
             def drain_steady():
-                # same 8-partition state right-sizing as drain();
+                # same cardinality-derived state sizing as drain();
                 # at one commit per micro-batch the per-partition
                 # state-store commit traffic dominates the marginal
                 # cost, so this row feels it 8x
                 out = os.path.join(base, "feed_steady")
-                with state_partitions(spark, 8):
+                with state_partitions(spark, state_partitions_for(6)):
                     q = (
                         read_txtable_stream(
                             spark,
@@ -461,12 +467,16 @@ def main() -> None:
         # grows with the data.
         df = build(name)
         # label the jobs (guide §1.5) so a UI-enabled run maps stages
-        # back to rows; a thread-local setter, microseconds, untimed
+        # back to rows; a thread-local setter, microseconds, untimed.
+        # try/finally: a raising run must not leak this row's label
+        # onto later rows' (or the sentinel's) jobs
         spark.sparkContext.setJobDescription(f"bench: {name}")
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        spark.sparkContext.setJobDescription(None)
+        try:
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        finally:
+            spark.sparkContext.setJobDescription(None)
         return dt
 
     def release_cached():
@@ -511,10 +521,12 @@ def main() -> None:
     def run_sentinel() -> float:
         df = qs[SENTINEL](spark, sf_dir)
         spark.sparkContext.setJobDescription("bench: sentinel")
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        spark.sparkContext.setJobDescription(None)
+        try:
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        finally:
+            spark.sparkContext.setJobDescription(None)
         return dt
 
     if sentinel_on:

@@ -59,20 +59,23 @@ def register(name: str, sql: str | None):
     return deco
 
 
-#: DRIVER-SAMPLE ROTATION (r11 VERDICT item 4).  The driver's
-#: correctness gate samples the FIRST 50 names of ``queries()`` in
-#: registration order (verified: CORRECTNESS_r9/r10/r11 are exactly
-#: that prefix), so three consecutive rounds oracle-checked the same
-#: 50 rows while 103 of 166 never got a driver-side run.  This list
-#: pins the sample head per round: REGISTRY.md Tranche 1 (35
-#: never-driver-sampled rows, round-robin across families) plus 15
-#: core rows retained from the frozen 50 (flagship, each §2 family,
-#: the scale-critical spatial/dedup/ANN paths, and the bench
-#: sentinel).  Rotate to Tranche 2/3 in later rounds.  Rows pushed
-#: out of the head remain fully oracle-twinned and covered by the
-#: committed SELFCHECK artifacts every round.
+#: DRIVER-SAMPLE ROTATION (r11 VERDICT item 4; r12 VERDICT item 8).
+#: The driver's correctness gate samples the FIRST 50 names of
+#: ``queries()`` in registration order (verified:
+#: CORRECTNESS_r9..r12 are exactly that prefix), so without rotation
+#: the same 50 rows are re-checked every round while the rest never
+#: get a driver-side run.  r13 head: 14 core rows retained from the
+#: frozen 50 (flagship, each §2 family, the scale-critical
+#: spatial/dedup/ANN paths, and the bench sentinel), the TWO rows the
+#: r12 driver sample flagged (txtable_merge_update /
+#: txtable_stream_rollup -- kept in the head so the driver re-audits
+#: them after the r13 determinism investigation), and REGISTRY.md
+#: Tranche 2 (34 never-driver-sampled rows).  Rotate to Tranche 3 in
+#: a later round.  Rows pushed out of the head remain fully
+#: oracle-twinned and covered by the committed SELFCHECK artifacts
+#: every round.
 _DRIVER_SAMPLE_HEAD = [
-    # 15 retained core rows
+    # 14 retained core rows
     "q1_pricing_summary",
     "p5_json_sentinel",
     "j1_dedup_anti_join",
@@ -82,48 +85,49 @@ _DRIVER_SAMPLE_HEAD = [
     "a7_rollup_monitor",
     "w1_per_group_top5_pivot",
     "o3_global_topk",
-    "f4_nullif_allocation",
     "c1_cdc_classify",
     "c2_tally_reconcile",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
-    # REGISTRY.md Tranche 1 (35 never-driver-sampled rows)
-    "dedup_semantic_quality",
-    "sim_pq_topk",
-    "sample_stratified",
-    "text_tfidf_topterms",
-    "interval_join_window_agg",
-    "text_contamination",
-    "pack_sequences",
-    "pack_concat_text",
-    "hopping_window_counts",
-    "a8_group_percentiles",
-    "dedup_exact_substring",
-    "txtable_changes_cdc",
-    "bloom_semi_join_exact",
-    "a9_value_histogram",
-    "a10_zscore_outliers",
-    "pipeline_training_mix",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "w4_unpivot_measures",
-    "txtable_stream_rollup",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "export_shuffled_shards",
-    "sample_weighted_aes",
+    # the two rows the r12 driver sample flagged (re-audit)
     "txtable_merge_update",
-    "q12_shipmode_priority",
-    "q21_waiting_suppliers",
-    "q9_product_profit",
-    "txtable_restore_timetravel",
-    "txtable_dv_delete",
-    "mixture_token_budget",
-    "corpus_profile",
-    "dedup_substring_spans",
-    "dedup_cluster_canonical",
-    "txtable_column_mapping",
+    "txtable_stream_rollup",
+    # REGISTRY.md Tranche 2 (34 never-driver-sampled rows)
+    "semantic_assignment_drift",
+    "sessionize_events",
+    "text_vocab_topk",
+    "zorder_values",
+    "scd2_user_state",
+    "text_repetition",
+    "pack_token_budget",
+    "mv_incremental_refresh",
+    "windowed_stream_vs_batch",
+    "asof_join_salted_events",
+    "bucketed_colocated_join",
+    "dedup_stream_vs_batch",
+    "filter_above_median_quality",
+    "p12_json_props_extract",
+    "w3_event_interarrival",
+    "q3_shipping_priority",
+    "a11_rollup_grouping_sets",
+    "dedup_editdistance",
+    "w5_running_total",
+    "asof_clustered_timeline",
+    "q14_promo_revenue_ratio",
+    "q2_min_cost_supplier",
+    "txtable_stats_pruned_scan",
+    "split_leakage_safe",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q7_volume_shipping",
+    "q20_excess_stock_suppliers",
+    "txtable_delete_where",
+    "text_bm25_rank",
+    "doc_chunk_overlap",
+    "pipeline_rag_prep",
+    "gopher_quality_rules",
+    "canonical_keep_best",
 ]
 
 
@@ -3066,8 +3070,13 @@ def sessionize_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        q.stop()  # no-op after availableNow completion; kills a hung stream
+        # fail LOUDLY on a timed-out drain: proceeding would read a
+        # partially-written sink as if it were the full answer (a
+        # silent wrong-hash on a crawling host); the raise surfaces as
+        # a query error instead
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("sessionize stream drain timed out")
         rows = (
             spark.read.parquet(out)
             .where(F.col("key") < sentinel_key)
@@ -4024,8 +4033,11 @@ def windowed_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        q.stop()  # no-op after availableNow completion; kills a hung stream
+        # fail LOUDLY on a timed-out drain (see sessionize twin): a
+        # partial sink read would be a silent wrong answer
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("windowed stream drain timed out")
         rows = (
             spark.read.parquet(out)
             .where(F.col("event_type") != "__sentinel")
@@ -4855,20 +4867,26 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = gated.groupBy(F.md5("text").alias("__fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    # lazy localCheckpoints truncate the composed plan: every stage
-    # below is consumed by 2+ downstream branches (the contamination
-    # corpus AND the clean semi-join read `deduped`; the temperature
-    # sampler's census AND membership join read `clean`), and Catalyst
-    # clones the whole upstream subtree into each consumer -- the
-    # un-truncated plan re-scanned `documents` 21 times and re-ran the
-    # shingle explode + benchmark probe twice (guide: materialize
-    # intermediates to cut very wide plans / duplicated subtrees).
-    # Checkpointed rows are gated-and-deduped docs (corpus-sized,
-    # narrow) materialized once at first action; the RDDs die with the
-    # plan, so nothing persists across bench runs.
-    deduped = gated.join(
-        keepers.select("doc_id"), on="doc_id", how="left_semi"
-    ).localCheckpoint(eager=False)
+    # size-aware shared materialization truncates the composed plan:
+    # every stage below is consumed by 2+ downstream branches (the
+    # contamination corpus AND the clean semi-join read `deduped`; the
+    # temperature sampler's census AND membership join read `clean`),
+    # and Catalyst clones the whole upstream subtree into each
+    # consumer -- the un-truncated plan re-scanned `documents` 21
+    # times and re-ran the shingle explode + benchmark probe twice
+    # (guide: materialize intermediates to cut very wide plans /
+    # duplicated subtrees).  Materialized rows are gated-and-deduped
+    # docs (corpus-sized, narrow), once at first action; locally the
+    # RDDs die with the plan, so nothing persists across bench runs,
+    # and past the input-bytes bound the helper persists DISK_ONLY
+    # (lineage kept, no storage-memory pinning).
+    from nyc_crash_mapper_etl_script_spark.functions.materialize import (
+        share_corpus_subtree,
+    )
+
+    deduped = share_corpus_subtree(
+        gated.join(keepers.select("doc_id"), on="doc_id", how="left_semi")
+    )
     contam = contamination_check(
         corpus=deduped,
         benchmark=d.where(bench_src),
@@ -4878,11 +4896,13 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # gate on NOT flagged: keeps zero-shingle docs (contamination
     # NULL -> flagged false) instead of silently dropping them
-    clean = deduped.join(
-        contam.where(~F.col("flagged")).select("doc_id"),
-        on="doc_id",
-        how="left_semi",
-    ).localCheckpoint(eager=False)
+    clean = share_corpus_subtree(
+        deduped.join(
+            contam.where(~F.col("flagged")).select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    )
     sampled = temperature_sample(
         clean, group_col="source", key_col="doc_id", target_total=200
     )
@@ -5519,7 +5539,16 @@ def txtable_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # fail LOUDLY on a timed-out drain: reading the MV state of a
+        # partial replay would be a silent wrong answer on a crawling
+        # host (the r12 driver flagged this row hash-red with no
+        # error; the r13 determinism sweep -- 80+ runs across core
+        # counts, SFs, session confs, and thread concurrency, all
+        # byte-identical -- points at an environment transient, and
+        # this guard converts any such transient into a visible error)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("txtable change-feed drain timed out")
         rolled = signed_mv_view(
             spark.read.parquet(state["path"]),
             group_cols,
@@ -5587,6 +5616,7 @@ def asof_clustered_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("value"),
     )
     base = tempfile.mkdtemp(prefix="asof_clustered_")
+    t = None
     try:
         t = TxTable(
             os.path.join(base, "timeline"),
@@ -5605,6 +5635,13 @@ def asof_clustered_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
     finally:
+        # read_clustered's documented session side effects (the
+        # bucketed-scan ordering conf + the catalog entry pointing at
+        # this tempdir) must not outlive the query: in a multi-query
+        # gate session a dangling catalog table over a deleted dir and
+        # a leaked legacy conf would bleed into later rows
+        if t is not None:
+            t.drop_clustered(spark)
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
 

@@ -30,6 +30,9 @@ import pandas as pd  # noqa: F401 -- resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nyc_crash_mapper_etl_script_spark.functions.materialize import (
+    share_corpus_subtree,
+)
 from nyc_crash_mapper_etl_script_spark.functions.text import shingles
 
 
@@ -279,20 +282,19 @@ def minhash_near_duplicates(
         sig_col = minhash_signature_arrow(num_perm, k, seed, base_hash)(F.col(text_col))
     else:
         sig_col = minhash_signature(F.col(text_col), num_perm, k)
-    # lazy localCheckpoint: the signature projection (the expensive
-    # Python/Arrow pass) is materialized ONCE at first action and
-    # every downstream branch -- bucket census, small-bucket agg, big-
-    # bucket self-join -- reads the cached rows.  Without it Catalyst
-    # clones the UDF subtree into each branch (and filter pushdown
-    # through the projection doubles it again): measured 12+ UDF
-    # evaluations for this one logical pass.  The checkpointed RDD is
-    # executor-cached memory-and-disk and garbage-collected with the
-    # DataFrame, so a long-lived service doesn't leak.
-    sigs = (
+    # size-aware shared materialization: the signature projection (the
+    # expensive Python/Arrow pass) is materialized ONCE at first
+    # action and every downstream branch -- bucket census, small-
+    # bucket agg, big-bucket self-join -- reads the cached rows.
+    # Without it Catalyst clones the UDF subtree into each branch (and
+    # filter pushdown through the projection doubles it again):
+    # measured 12+ UDF evaluations for this one logical pass.  The
+    # relation is corpus-sized (id + num_perm-int signature), so past
+    # the input-bytes bound the helper persists DISK_ONLY (lineage
+    # kept) instead of pinning executor storage memory.
+    sigs = share_corpus_subtree(
         docs.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
-        .localCheckpoint(eager=False)
-        .where(F.element_at("sig", 1).isNotNull())
-    )
+    ).where(F.element_at("sig", 1).isNotNull())
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
@@ -576,10 +578,11 @@ def simhash_near_duplicates(
         w = base_w + (1 if c < rem else 0)
         bounds.append((off, w))
         off += w
-    # fingerprints computed once (lazy checkpoint) -- the candidate
-    # self-join would otherwise clone the UDF subtree onto both sides
-    sigs = docs.select(F.col(id_col).alias("id"), sig_col.alias("sig")).localCheckpoint(
-        eager=False
+    # fingerprints computed once (size-aware shared materialization)
+    # -- the candidate self-join would otherwise clone the UDF subtree
+    # onto both sides; corpus-sized, so DISK_ONLY past the bound
+    sigs = share_corpus_subtree(
+        docs.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
     )
     # chunks unrolled in Python: shiftrightunsigned requires a literal
     # shift amount (not a lambda-bound Column)
@@ -646,18 +649,23 @@ def ngram_jaccard_pairs(
     the exception -- catch those with :func:`exact_duplicates`, whose
     hash groupBy is immune to posting-list size).
     """
-    # lazy localCheckpoint: the shingle-set relation is consumed by
-    # up to four plan branches (the inverted index via tok -- cloned
-    # into both self-join sides -- plus sa/sb full-set verify joins on
-    # the capped path), and the split + transform + array_distinct
-    # HOF battery is the per-row-expensive part Catalyst would rerun
-    # per clone.  One materialization of (id, shs), cheap re-reads
-    # (probe mins at sf0.1: capped 1.58 -> 1.01 s, uncapped --
-    # with the sizes checkpoint below -- 1.31 -> 0.67).
-    sets_df = _ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), k=k)).alias("shs"),
-    ).where(F.size("shs") > 0).localCheckpoint(eager=False)
+    # size-aware shared materialization: the shingle-set relation is
+    # consumed by up to four plan branches (the inverted index via tok
+    # -- cloned into both self-join sides -- plus sa/sb full-set
+    # verify joins on the capped path), and the split + transform +
+    # array_distinct HOF battery is the per-row-expensive part
+    # Catalyst would rerun per clone.  One materialization of
+    # (id, shs), cheap re-reads (probe mins at sf0.1: capped
+    # 1.58 -> 1.01 s, uncapped -- with the sizes checkpoint below --
+    # 1.31 -> 0.67).  The relation is CORPUS-sized, so the helper
+    # checkpoints only under the input-bytes bound and falls back to
+    # lineage-preserving DISK_ONLY persistence at cluster scale.
+    sets_df = share_corpus_subtree(
+        _ensure_parallelism(docs).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(F.col(text_col), k=k)).alias("shs"),
+        ).where(F.size("shs") > 0)
+    )
     tok = sets_df.select("id", F.explode("shs").alias("sh"))
     if max_posting is None:
         # narrow (id, n_sh) aggregate consumed under BOTH join-back
@@ -758,18 +766,21 @@ def segment_boilerplate_removal(
         F.slice(words, i * seg_words + F.lit(1), seg_words), " "
     )
     n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
-    segs = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), n_segs - 1), seg_at)
-        ).alias("pos", "seg"),
-    ).localCheckpoint(eager=False)
-    # lazy localCheckpoint: segs feeds the census AND the probe join,
-    # and without it the scan + split + posexplode subtree runs twice
-    # per action (quiet-box ABBA at sf0.1: 0.79 vs 0.89 s min, ckpt
-    # wins every interleaved pair).  Materialized bytes ~= one corpus
-    # copy (memory-and-disk, freed with the plan); at cluster scale
-    # this trades a second scan+explode pass for one local write+read.
+    segs = share_corpus_subtree(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), n_segs - 1), seg_at)
+            ).alias("pos", "seg"),
+        )
+    )
+    # size-aware shared materialization: segs feeds the census AND the
+    # probe join, and without it the scan + split + posexplode subtree
+    # runs twice per action (quiet-box ABBA at sf0.1: 0.79 vs 0.89 s
+    # min, ckpt wins every interleaved pair).  Materialized bytes ~=
+    # one corpus copy, so past the input-bytes bound the helper
+    # switches to lineage-preserving DISK_ONLY persistence instead of
+    # pinning executor storage memory.
     counts = segs.groupBy("seg").agg(F.count_distinct("id").alias("nd"))
     joined = segs.join(counts, "seg")
     kept_struct = F.when(
@@ -1304,13 +1315,15 @@ def select_canonical(
 
     Output: (id, cluster, q, canonical_id, cluster_size, keep).
     """
-    # lazy localCheckpoint: j feeds BOTH the per-cluster argmax and
-    # the join-back, and Catalyst clones the whole upstream (cluster
-    # resolution + the quality expression battery) into each branch
-    # -- the un-truncated canonical_keep_best plan scanned documents
-    # 6x and ran quality_score twice.  Rows are (id, cluster, q):
-    # corpus-sized but narrow, materialized once per action.
-    j = clusters.join(quality, id_col).localCheckpoint(eager=False)
+    # size-aware shared materialization: j feeds BOTH the per-cluster
+    # argmax and the join-back, and Catalyst clones the whole upstream
+    # (cluster resolution + the quality expression battery) into each
+    # branch -- the un-truncated canonical_keep_best plan scanned
+    # documents 6x and ran quality_score twice.  Rows are
+    # (id, cluster, q): corpus-sized but narrow, materialized once per
+    # action; past the input-bytes bound the helper persists DISK_ONLY
+    # (lineage kept) instead of localCheckpoint.
+    j = share_corpus_subtree(clusters.join(quality, id_col))
     best = j.groupBy(cluster_col).agg(
         F.max(
             F.struct(F.col(q_col).alias("__q"), (-F.col(id_col)).alias("__nid"))

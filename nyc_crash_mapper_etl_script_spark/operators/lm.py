@@ -145,10 +145,12 @@ def dsir_select(
     # identical position relation (pos comes from ``df`` in both
     # calls; only the model tables differ), so score both models from
     # ONE explode: six dimension joins against the two model tables,
-    # one per-doc aggregate computing both NLLs.  Arithmetic is
-    # per-position identical to the two-pass form (same probs, same
-    # round-6 means), pinned by the DuckDB oracle which replays both
-    # trainings independently.
+    # one per-doc aggregate computing both NLLs.  Per-position
+    # arithmetic is identical to the two-pass form (same probs); the
+    # per-doc mean is accumulated as an EXACT decimal sum (see the
+    # aggregate below), so the round-6 NLLs are plan- and
+    # order-independent by construction -- pinned by the DuckDB
+    # oracle, which replays both trainings independently.
     def _model(rows: DataFrame, suffix: str):
         # lazy localCheckpoint on the unigram table: it feeds the
         # totals aggregate and both unigram join sides (vocab-sized).
@@ -195,9 +197,30 @@ def dsir_select(
         .crossJoin(F.broadcast(tot_t))
         .crossJoin(F.broadcast(tot_b))
         .groupBy(id_col)
+        # ORDER-INDEPENDENT per-doc means (r12 VERDICT item 7): a
+        # double avg() accumulates in whatever order the aggregate
+        # buffer sees rows, so its low bits -- and, on an unlucky
+        # half-ULP corpus, the 6th rounded decimal -- depend on the
+        # plan/partitioning.  Summing the per-position log-probs as
+        # exact decimal(38,18) makes the reduction associative and
+        # commutative (every order yields the same sum bit-for-bit);
+        # the final cast-to-double of the exact sum is the correctly
+        # rounded double of the TRUE sum, and the divide + round-6
+        # happen once on that deterministic value.  Per-position
+        # arithmetic (prob, log) is unchanged.
         .agg(
-            F.round(-F.avg(F.log(prob_t)), 6).alias("nll_target"),
-            F.round(-F.avg(F.log(prob_b)), 6).alias("nll_background"),
+            F.sum(F.log(prob_t).cast("decimal(38,18)")).alias("__lt"),
+            F.sum(F.log(prob_b).cast("decimal(38,18)")).alias("__lb"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            id_col,
+            F.round(
+                -(F.col("__lt").cast("double")) / F.col("__n"), 6
+            ).alias("nll_target"),
+            F.round(
+                -(F.col("__lb").cast("double")) / F.col("__n"), 6
+            ).alias("nll_background"),
         )
         .select(
             id_col,

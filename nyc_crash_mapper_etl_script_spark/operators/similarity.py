@@ -23,6 +23,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nyc_crash_mapper_etl_script_spark.functions.materialize import (
+    share_corpus_subtree,
+)
 from nyc_crash_mapper_etl_script_spark.functions.partitioning import (
     ensure_parallelism,
 )
@@ -851,15 +854,16 @@ def semantic_dedup(
     # array aggregate (the dot) instead of three (dot + both norms)
     # -- identical float arithmetic (same per-row norm expression,
     # same d / (na * nb) order), so round-6 parity is preserved
-    # lazy localCheckpoint: `assigned` is BOTH the probe and the pool
-    # of the prune join, and Catalyst clones the assignment subtree
-    # into each side -- without it the Arrow matmul pass (and the
-    # corpus scan under it) runs twice per action for one logical
-    # assignment (the minhash-LSH signature checkpoint, same rule)
-    assigned = (
+    # size-aware shared materialization: `assigned` is BOTH the probe
+    # and the pool of the prune join, and Catalyst clones the
+    # assignment subtree into each side -- without it the Arrow matmul
+    # pass (and the corpus scan under it) runs twice per action for
+    # one logical assignment (the minhash-LSH signature rule).  The
+    # relation carries the embedding vectors (corpus-sized, wide), so
+    # DISK_ONLY past the input-bytes bound.
+    assigned = share_corpus_subtree(
         _assign_from_rows(corpus, rows, id_col, vec_col, impl=impl)
         .withColumn("__nrm", vnorm(F.col(vec_col)))
-        .localCheckpoint(eager=False)
     )
     return _semantic_prune(assigned, assigned, threshold, id_col, vec_col, max_cluster)
 
@@ -963,13 +967,13 @@ def semantic_dedup_incremental(
     Returns the batch's KEPT rows as ``(id_col, cell_id)``.
     """
     rows = centroids.orderBy("cell_id").collect()
-    # lazy localCheckpoint, same rationale as semantic_dedup: the
-    # batch assignment feeds the probe side AND the pool union --
-    # without it the batch's Arrow matmul runs twice per action
-    new_assigned = (
+    # size-aware shared materialization, same rationale as
+    # semantic_dedup: the batch assignment feeds the probe side AND
+    # the pool union -- without it the batch's Arrow matmul runs twice
+    # per action.  Batch-sized locally, corpus-batch-sized at scale.
+    new_assigned = share_corpus_subtree(
         _assign_from_rows(new_batch, rows, id_col, vec_col, impl=impl)
         .withColumn("__nrm", vnorm(F.col(vec_col)))
-        .localCheckpoint(eager=False)
     )
     idx = index.select(
         F.col(id_col), F.col(vec_col), F.col("cell_id").cast("int").alias("cell_id")

@@ -143,10 +143,15 @@ def run_nightly(
     # the intersection-tally branch) -- without a materialization
     # barrier each one re-evaluates the ingest/dedup/serial-id
     # upstream from scratch (column-pruned, but still a full pass).
-    # A lazy localCheckpoint computes it once on first action and
-    # serves all branches; at cluster scale this is the standard
-    # persist-the-staged-increment pattern.
-    merged = merged.localCheckpoint(eager=False)
+    # Size-aware shared materialization (r13): one lazy
+    # localCheckpoint under the input-bytes bound (the local/bench
+    # regime, identical to r12), lineage-preserving DISK_ONLY
+    # persistence past it -- the staged increment is fact-table-scale.
+    from nyc_crash_mapper_etl_script_spark.functions.materialize import (
+        share_corpus_subtree,
+    )
+
+    merged = share_corpus_subtree(merged)
 
     # stages 3-4: late-data reconciliation
     if updates_feed is not None:

@@ -141,3 +141,20 @@ def test_sizing_applies_to_apply_in_pandas_with_state(spark, feed, tmp_path):
     # one classification per key, each an insert on first sight
     assert {r["cdc_class"] for r in rows} == {"insert"}
     assert len({r["key"] for r in rows}) == 60
+
+
+def test_state_partitions_for_derives_from_group_cardinality():
+    # the r13 rule: ceil(n_groups / 4), floored at 1, capped --
+    # derived from the STATE, never from the cluster/core count
+    from nyc_crash_mapper_etl_script_spark.streaming.sizing import (
+        state_partitions_for,
+    )
+
+    assert state_partitions_for(1) == 1
+    assert state_partitions_for(4) == 1
+    assert state_partitions_for(6) == 2  # the bench drain rollup
+    assert state_partitions_for(12) == 3
+    assert state_partitions_for(100_000) == 128  # default cap binds
+    assert state_partitions_for(100_000, cap=64) == 64
+    with pytest.raises(ValueError):
+        state_partitions_for(0)
