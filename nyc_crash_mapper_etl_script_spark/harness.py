@@ -3837,13 +3837,16 @@ def pack_concat_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    # packed feeds BOTH the text join and the total_chars aggregate;
-    # the lazy localCheckpoint stops Catalyst cloning the greedy
-    # cumsum window into each consumer (narrow assignment rows)
+    # packed feeds BOTH the text join and the total_chars aggregate.
+    # Deliberately NOT materialized: the r12 lazy localCheckpoint was
+    # A/B'd on the 10x heavy tier (r13, BENCH_HEAVY_QUARTET_c{32,8})
+    # and recompute won at both core counts -- the greedy cumsum
+    # window is cheap relative to materializing a corpus-sized
+    # assignment relation.
     packed = pack_greedy(
         d, group_col="source", order_col="doc_id", size_col="n_chars",
         budget=1000,
-    ).localCheckpoint(eager=False)
+    )
     return pack_concat(
         packed,
         d,
@@ -4075,19 +4078,15 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     even half -- INTERSECT / EXCEPT as hash-partitioned distinct
     joins (Catalyst plans both as aggregates + joins on the hash)."""
     d = _t(spark, sf_dir, "documents")
-    # each half is consumed by BOTH set operations; the lazy
-    # localCheckpoints stop Catalyst re-scanning + re-hashing the
-    # corpus per consumer (4 scans + 4 md5 passes -> 2; narrow fp rows)
-    even = (
-        d.where(F.col("doc_id") % 2 == 0)
-        .select(F.md5("text").alias("fp"))
-        .localCheckpoint(eager=False)
-    )
-    odd = (
-        d.where(F.col("doc_id") % 2 == 1)
-        .select(F.md5("text").alias("fp"))
-        .localCheckpoint(eager=False)
-    )
+    # each half is consumed by BOTH set operations.  Deliberately NOT
+    # materialized: the r12 lazy localCheckpoints were A/B'd on the
+    # 10x heavy tier (r13, BENCH_HEAVY_QUARTET_c{32,8}.json) and the
+    # recompute form won at both 32 and 8 cores -- the cloned scan +
+    # md5 stays fused in codegen under each set-op's partial
+    # aggregate, while materializing pinned a corpus-sized fp
+    # relation for no wall-clock gain.
+    even = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
+    odd = d.where(F.col("doc_id") % 2 == 1).select(F.md5("text").alias("fp"))
     both = even.intersect(odd).select(F.lit("both").alias("which"), "fp")
     only = even.distinct().exceptAll(odd.distinct()).select(
         F.lit("even_only").alias("which"), "fp"

@@ -1244,7 +1244,24 @@ def substring_span_stats(
             + F.col("pos").cast("decimal(10,0)")
         )
         keyed = windows.withColumn("__e", enc)
-        firsts = keyed.groupBy("h1", "h2").agg(F.min("__e").alias("__f"))
+        # Keep only keys that OCCUR at least twice: a unique window's
+        # sole occurrence has __e == min(__e) and can never join-
+        # survive __e != __f, so dropping count==1 keys is value-
+        # identical -- but it shrinks the join's build side from
+        # ~every window in the corpus to just the duplicated window
+        # texts.  Without the filter Catalyst's leaf-derived estimate
+        # put the FULL aggregate under the broadcast threshold and
+        # collected tens of millions of rows through the driver into
+        # one single-threaded hash relation (heavy-tier: 50 s, core-
+        # count invariant); with it the broadcast is genuinely small,
+        # and past the threshold AQE falls back to a shuffle join on
+        # actual size instead of an estimate.
+        firsts = (
+            keyed.groupBy("h1", "h2")
+            .agg(F.min("__e").alias("__f"), F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= 2)
+            .drop("__c")
+        )
         dups = (
             keyed.join(firsts, ["h1", "h2"])
             .where(F.col("__e") != F.col("__f"))

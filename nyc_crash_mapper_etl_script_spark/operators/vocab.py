@@ -79,16 +79,18 @@ def tf_idf(
     and no count-distinct.  The doc count N joins in as a broadcast
     1-row aggregate, and df joins back on the token key.  Zipf skew
     on hot tokens collapses in the partial aggregates."""
-    # lazy localCheckpoint: tf feeds BOTH the df aggregate and the
-    # scoring join -- without it Catalyst clones the tokenize +
-    # explode + (doc, token) aggregate into each consumer, scanning
-    # and tokenizing the corpus twice per action.  The checkpointed
-    # relation is the post-aggregate (doc, token, tf) rows.
+    # tf feeds BOTH the df aggregate and the scoring join, so
+    # Catalyst clones the tokenize + explode + (doc, token) aggregate
+    # into each consumer.  Deliberately NOT materialized: the r12
+    # lazy localCheckpoint was A/B'd on the 10x heavy tier (r13,
+    # BENCH_HEAVY_QUARTET_c{32,8}.json) and the recompute form won at
+    # both 32 and 8 cores -- the cloned pass stays fused in codegen,
+    # while the checkpoint pinned a corpus-sized (doc, token, tf)
+    # relation for no gain.
     tf = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("__n"))
